@@ -1,0 +1,108 @@
+"""Single source of truth for analyzer + scoring parameters.
+
+Everything here is consumed BOTH by the Ray engine (functions/text.py,
+stages/score.py) and by the DuckDB oracle-SQL generator (sqlgen.py), so
+the engine and its correctness oracle share one definition of
+"tokenize" and "BM25".
+
+Reference lineage (/root/reference/snowball/src/...):
+- normalization semantics follow vsm/TermsVector.java:16-36 (tag strip,
+  lowercase, drop numeric/punct tokens, stopword removal) re-expressed
+  as: lowercase -> split on non-[a-z0-9] runs -> drop empty -> drop
+  pure-digit tokens -> drop stopwords.
+- stopword handling follows nlp/Stopwords.java:16-33 (file-loaded set;
+  here a fixed frozen list so SQL and Python agree byte-for-byte).
+- BM25 (k1, b) is new query-side machinery required by the north rule
+  (the reference keeps only DF + TF-IDF, vsm/VectorSpaceModel.java:25).
+"""
+
+from __future__ import annotations
+
+# --- Tokenizer ---------------------------------------------------------
+# Split on runs of anything outside [a-z0-9] after lowercasing. Both
+# Python `re` and DuckDB's RE2 interpret this per code point on UTF-8
+# strings, so accented characters become separators identically.
+TOKEN_SPLIT_PATTERN = r"[^a-z0-9]+"
+# Tokens that are entirely digits are dropped (TermsVector.java:22-26
+# drops number/punct tokens).
+NUMERIC_TOKEN_PATTERN = r"^[0-9]+$"
+
+# Frozen stopword list (ordered, deduped). Head-of-Zipf words present in
+# the synthetic corpora plus common English function words so stopword
+# removal is observable in df counts (FIXTURES.md F5).
+STOPWORDS: tuple[str, ...] = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+    "from", "in", "is", "it", "not", "of", "on", "or", "that", "the",
+    "this", "to", "was", "were", "which", "with",
+)
+STOPWORD_SET = frozenset(STOPWORDS)
+
+# --- BM25 --------------------------------------------------------------
+# Standard Okapi BM25 with the Lucene-style non-negative idf:
+#   idf(t)      = ln( (N - df + 0.5) / (df + 0.5) + 1 )
+#   score(q, d) = sum over distinct query terms t of
+#                 idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+BM25_K1 = 1.2
+BM25_B = 0.75
+TOP_K = 10
+
+# Ranking determinism: rank on round(score, RANK_ROUND_DECIMALS) DESC,
+# doc_id ASC. Rounding before ranking makes the order immune to
+# last-bit float differences between engines; emitted scores are
+# rounded to SCORE_ROUND_DECIMALS.
+RANK_ROUND_DECIMALS = 9
+SCORE_ROUND_DECIMALS = 6
+
+# --- Reference query set (FIXTURES.md F3) ------------------------------
+# Fixed deterministic queries over the synthetic-corpus vocabulary;
+# roughly half have guaranteed hits, several exercise the zero-hit and
+# stopword-only paths. query_id = list index.
+REFERENCE_QUERIES: tuple[str, ...] = (
+    "spark table join",
+    "hash merge batch",
+    "customer order line",
+    "window stream agg",
+    "query scan filter",
+    "sort group value",
+    "vector data column",
+    "slow fast row",
+    "big small part",
+    "key value table scan merge",
+    "stream window",
+    "table",
+    "spark query join order",
+    "line item discount",          # partially absent terms
+    "the a of",                    # stopwords only -> zero hits
+    "zzzunknown qqqabsent",        # fully absent -> zero hits
+    "merge join hash batch spark",
+    "group agg window sort",
+    "customer part supplier",
+    "data value 42 scan",          # numeric token dropped
+)
+
+# --- Index layout ------------------------------------------------------
+# Posting lists are chunked by doc_id shard: shard = doc_id // SHARD_SIZE.
+# The index-build shuffle groups by (term, shard) so a stop-word-class
+# term appearing in nearly every document never forms one giant group —
+# this is the explicit skew handling the north rule calls for. At
+# cluster scale SHARD_SIZE is sized so one chunk's encoded postings stay
+# a few MB (~1M docs/shard); at sandbox scale a smaller value exercises
+# the multi-chunk code paths.
+DEFAULT_SHARD_SIZE = 1 << 20
+
+# --- Snowball workload defaults (FIXTURES.md F4) -----------------------
+# Mirrors /root/reference/snowball/src/bin/SnowballConfig.java:29-45.
+SNOWBALL_DEFAULTS: dict[str, object] = {
+    "max_tokens_away": 6,
+    "min_tokens_away": 1,
+    "context_window_size": 2,
+    "weight_left_context": 0.2,
+    "weight_middle_context": 0.6,
+    "weight_right_context": 0.2,
+    "min_pattern_support": 2,
+    "min_degree_match": 0.6,
+    "min_tuple_confidence": 0.7,
+    "wUpdt": 0.5,
+    "number_iterations": 2,
+    "use_RlogF": True,
+}

@@ -1,0 +1,148 @@
+"""DuckDB oracle-SQL generation from the engine's own constants.
+
+Every SQL string the driver runs as an oracle is generated here from
+the SAME constants (tokenizer regexes, stopwords, BM25 parameters,
+reference query set) that the Ray engine executes — the engine and its
+oracle cannot drift.
+
+The tokenizer CTE mirrors functions/text.py exactly:
+lowercase -> split on non-[a-z0-9] runs -> drop empty -> drop pure
+numbers -> drop stopwords (semantics from
+/root/reference/snowball/src/vsm/TermsVector.java:16-36).
+"""
+
+from __future__ import annotations
+
+from snowball_java_ray.constants import (
+    BM25_B,
+    BM25_K1,
+    RANK_ROUND_DECIMALS,
+    REFERENCE_QUERIES,
+    SCORE_ROUND_DECIMALS,
+    STOPWORDS,
+    TOKEN_SPLIT_PATTERN,
+    TOP_K,
+)
+
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+# regexp_full_match implies anchoring; keep the bare digit class.
+_NUM_SQL = "[0-9]+"
+
+# Produces CTEs `toks_raw` and `toks(doc_id, term)` — one row per
+# surviving token occurrence (multiplicity preserved, for tf/cf).
+SQL_TOKENIZE_CTE = (
+    "toks_raw AS (\n"
+    "  SELECT {id_col} AS doc_id,\n"
+    f"         unnest(string_split_regex(lower({{text_col}}), '{TOKEN_SPLIT_PATTERN}')) AS term\n"
+    "  FROM {table}\n"
+    "),\n"
+    "toks AS (\n"
+    "  SELECT doc_id, term FROM toks_raw\n"
+    f"  WHERE term <> '' AND NOT regexp_full_match(term, '{_NUM_SQL}')\n"
+    f"    AND term NOT IN ({_STOPLIST_SQL})\n"
+    ")"
+)
+
+
+def tokenize_cte(table: str = "documents", id_col: str = "doc_id",
+                 text_col: str = "text") -> str:
+    return SQL_TOKENIZE_CTE.format(table=table, id_col=id_col, text_col=text_col)
+
+
+def queries_values_sql() -> str:
+    """The reference query set as a VALUES relation (query_id, qtext)."""
+    rows = ", ".join(
+        "({}, '{}')".format(i, q.replace("'", "''"))
+        for i, q in enumerate(REFERENCE_QUERIES)
+    )
+    return f"(VALUES {rows}) AS q(query_id, qtext)"
+
+
+def term_df_sql() -> str:
+    """Dictionary: term -> document frequency + collection frequency
+    (mirrors terms.txt, vsm/VectorSpaceModel.java:56-61)."""
+    return f"""
+WITH {tokenize_cte()}
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+FROM toks GROUP BY term ORDER BY term
+"""
+
+
+def doc_stats_sql() -> str:
+    """Per-doc stats incl. the sha256 end-to-end invariant."""
+    return f"""
+WITH {tokenize_cte()},
+dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id)
+SELECT d.doc_id, sha256(d.text) AS content_sha256,
+       coalesce(dl.doc_len, 0) AS doc_len
+FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def index_meta_sql() -> str:
+    return f"""
+WITH {tokenize_cte()},
+dl AS (SELECT d.doc_id, count(t.term) AS doc_len
+       FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id)
+SELECT count(*) AS n_docs,
+       round(avg(doc_len), {SCORE_ROUND_DECIMALS}) AS avgdl,
+       sum(doc_len) AS total_terms
+FROM dl
+"""
+
+
+def bm25_topk_sql(top_k: int = TOP_K) -> str:
+    """Full BM25 top-k over the reference query set, rank-deterministic:
+    rank on round(score, {RANK}) DESC then doc_id ASC; emit score
+    rounded to {SCORE} decimals. idf = ln((N-df+0.5)/(df+0.5)+1).
+    """
+    return f"""
+WITH {tokenize_cte()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
+meta AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doc_len) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+qraw AS (
+  SELECT query_id,
+         unnest(string_split_regex(lower(qtext), '{TOKEN_SPLIT_PATTERN}')) AS term
+  FROM {queries_values_sql()}
+),
+qterms AS (
+  SELECT DISTINCT query_id, term FROM qraw
+  WHERE term <> '' AND NOT regexp_full_match(term, '{_NUM_SQL}')
+    AND term NOT IN ({_STOPLIST_SQL})
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(
+           ln((meta.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf * ({BM25_K1} + 1.0)
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+              + {BM25_B} * dl.doc_len / meta.avgdl))
+         ) AS score
+  FROM qterms q
+  JOIN tf ON q.term = tf.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN meta
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND_DECIMALS}) DESC, doc_id ASC
+         ) AS rank
+  FROM scores
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+       round(score, {SCORE_ROUND_DECIMALS}) AS score
+FROM ranked WHERE rank <= {top_k}
+ORDER BY query_id, rank
+"""

@@ -1,0 +1,163 @@
+"""Driver-facing pipelines over the testdata tables.
+
+Each public function here backs one ``queries()`` entry in
+``__ray_entry__.py`` and has a matching generated oracle SQL in
+``sqlgen.py`` (run by the driver through DuckDB on the same parquet).
+
+The authoritative engine input is the ``corpus`` schema from
+BASELINE.json ``input_hint`` (repo, path, commit, lang, content); the
+testdata ``documents`` table is mapped onto it deterministically (and
+SQL-replicably) by ``documents_as_corpus``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from snowball_java_ray.constants import (
+    BM25_B,
+    BM25_K1,
+    REFERENCE_QUERIES,
+    SCORE_ROUND_DECIMALS,
+    TOP_K,
+)
+from snowball_java_ray.functions.text import sha256_hex
+from snowball_java_ray.stages.index_build import (
+    build_chunks,
+    build_dictionary,
+    build_postings,
+    make_doc_stats,
+)
+from snowball_java_ray.stages.score import BM25Scorer, InvertedIndex
+
+
+def collect_arrow(ds) -> pa.Table:
+    """Stream a (small) Dataset's blocks to one driver-side Arrow table.
+    Only for index metadata / test outputs — never the main corpus."""
+    batches = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not batches:
+        return pa.table({})
+    return pa.concat_tables(batches, promote_options="default")
+
+
+def _corpus_batch(batch: pa.Table) -> pa.Table:
+    sha = pa.array(sha256_hex(batch["text"]))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "repo": pc.binary_join_element_wise(
+                pa.array(["org"] * len(batch)), batch["source"], "/"
+            ),
+            "path": pc.binary_join_element_wise(
+                pa.array(["docs"] * len(batch)),
+                pc.cast(batch["doc_id"], pa.string()),
+                "/",
+            ),
+            "commit": pc.utf8_slice_codeunits(sha, 0, 40),
+            "lang": batch["lang"],
+            "content": batch["text"],
+            "content_sha256": sha,
+        }
+    )
+
+
+def documents_as_corpus(sf_dir: str) -> ray.data.Dataset:
+    """documents(doc_id,text,lang,source,...) -> input_hint corpus shape
+    (deterministic; mirrored in SQL by sqlgen.ingest_corpus_sql)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    return ds.map_batches(_corpus_batch, batch_format="pyarrow")
+
+
+def build_index_bundle(
+    corpus_ds: ray.data.Dataset,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    shard_size: int = 256,
+):
+    """Run the full distributed index build and collect the (small)
+    index tables to the driver: (chunks, dictionary, doc_stats).
+
+    shard_size defaults low here so local runs exercise the multi-chunk
+    (skew-splitting) path; production uses DEFAULT_SHARD_SIZE.
+    """
+    # Materialize the postings once so the two consumers (chunk encode,
+    # dictionary aggregate) don't re-tokenize the corpus. In the
+    # checkpointed production pipeline this is a parquet phase boundary
+    # (pipelines/index_pipeline.py); postings are far smaller than the
+    # corpus (one row per distinct (term, doc)).
+    postings = build_postings(corpus_ds, text_col, id_col, shard_size).materialize()
+    chunks = collect_arrow(build_chunks(postings))
+    dictionary = collect_arrow(build_dictionary(postings))
+    stats = collect_arrow(
+        corpus_ds.map_batches(make_doc_stats(text_col, id_col), batch_format="pyarrow")
+    )
+    return chunks, dictionary, stats
+
+
+def reference_queries_ds() -> ray.data.Dataset:
+    return ray.data.from_items(
+        [{"query_id": i, "qtext": q} for i, q in enumerate(REFERENCE_QUERIES)]
+    )
+
+
+def bm25_topk_pipeline(
+    sf_dir: str,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = TOP_K,
+    concurrency: int = 2,
+) -> ray.data.Dataset:
+    """Index the corpus, broadcast the index once (ray.put), score the
+    reference query set through the BM25Scorer actor pool."""
+    import ray
+
+    corpus = documents_as_corpus(sf_dir)
+    chunks, dictionary, stats = build_index_bundle(corpus)
+    index_ref = ray.put(InvertedIndex(chunks, dictionary, stats))
+    return reference_queries_ds().map_batches(
+        BM25Scorer,
+        fn_constructor_kwargs={
+            "index_ref": index_ref, "k1": k1, "b": b, "top_k": top_k,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=8,
+    ).sort(["query_id", "rank"])
+
+
+def term_df_pipeline(sf_dir: str) -> ray.data.Dataset:
+    corpus = documents_as_corpus(sf_dir)
+    return build_dictionary(build_postings(corpus)).sort("term")
+
+
+def doc_stats_pipeline(sf_dir: str) -> ray.data.Dataset:
+    corpus = documents_as_corpus(sf_dir)
+    return corpus.map_batches(make_doc_stats(), batch_format="pyarrow").sort("doc_id")
+
+
+def index_meta_pipeline(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Count, Mean, Sum
+
+    stats = doc_stats_pipeline(sf_dir)
+    agg = stats.aggregate(
+        Count(alias_name="n_docs"),
+        Mean("doc_len", alias_name="avgdl"),
+        Sum("doc_len", alias_name="total_terms"),
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([int(agg["n_docs"])], pa.int64()),
+            "avgdl": pa.array(
+                [round(float(agg["avgdl"]), SCORE_ROUND_DECIMALS)], pa.float64()
+            ),
+            "total_terms": pa.array([int(agg["total_terms"])], pa.int64()),
+        }
+    )
+
+
+def ingest_corpus_pipeline(sf_dir: str) -> ray.data.Dataset:
+    return documents_as_corpus(sf_dir).sort("doc_id")

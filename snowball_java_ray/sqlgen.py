@@ -93,6 +93,21 @@ FROM dl
 """
 
 
+def ingest_corpus_sql() -> str:
+    """The documents -> input_hint corpus mapping (pipelines/api.py
+    documents_as_corpus), incl. the content_sha256 invariant."""
+    return """
+SELECT doc_id,
+       'org/' || source AS repo,
+       'docs/' || CAST(doc_id AS VARCHAR) AS path,
+       substr(sha256(text), 1, 40) AS "commit",
+       lang,
+       text AS content,
+       sha256(text) AS content_sha256
+FROM documents ORDER BY doc_id
+"""
+
+
 def bm25_topk_sql(top_k: int = TOP_K) -> str:
     """Full BM25 top-k over the reference query set, rank-deterministic:
     rank on round(score, {RANK}) DESC then doc_id ASC; emit score

@@ -3,42 +3,61 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
+
+Column-name contract: every computed/aggregate column is named
+identically in the Ray pipeline and in the generated SQL; float outputs
+are rounded to the same decimals on both sides (constants.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: build the inverted index over the sf0.001
+    corpus (documents mapped to the input_hint corpus schema) and serve
+    BM25 top-k for the reference query set through the actor-pool
+    scorer. Returns the top-k result Dataset."""
+    from snowball_java_ray.pipelines.api import bm25_topk_pipeline
+
+    return bm25_topk_pipeline("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from snowball_java_ray.pipelines import api
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- index / BM25 core (north rule) ---
+        "ingest_corpus": api.ingest_corpus_pipeline,
+        "doc_stats": api.doc_stats_pipeline,
+        "term_df": api.term_df_pipeline,
+        "index_meta": api.index_meta_pipeline,
+        "bm25_topk": api.bm25_topk_pipeline,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracles, generated from the engine's own
+    constants (snowball_java_ray/sqlgen.py) so engine and oracle share
+    one definition of tokenize/BM25. Keys without an entry here get the
+    driver's weaker rows-only check."""
+    from snowball_java_ray import sqlgen
+
+    return {
+        "ingest_corpus": sqlgen.ingest_corpus_sql(),
+        "doc_stats": sqlgen.doc_stats_sql(),
+        "term_df": sqlgen.term_df_sql(),
+        "index_meta": sqlgen.index_meta_sql(),
+        "bm25_topk": sqlgen.bm25_topk_sql(),
+    }

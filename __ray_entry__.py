@@ -35,6 +35,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from snowball_java_ray.ops import relational
     from snowball_java_ray.pipelines import api
 
     return {
@@ -44,6 +45,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": api.term_df_pipeline,
         "index_meta": api.index_meta_pipeline,
         "bm25_topk": api.bm25_topk_pipeline,
+        # --- generic relational operator surface ---
+        "q1_pricing": relational.q1_pricing,
+        "nation_region_counts": relational.nation_region_counts,
+        "order_revenue_by_priority": relational.order_revenue_by_priority,
+        "top_customers": relational.top_customers,
+        "events_hourly": relational.events_hourly,
+        "orders_topk": relational.orders_topk,
     }
 
 
@@ -60,4 +68,10 @@ def oracle_sql() -> dict[str, str]:
         "term_df": sqlgen.term_df_sql(),
         "index_meta": sqlgen.index_meta_sql(),
         "bm25_topk": sqlgen.bm25_topk_sql(),
+        "q1_pricing": sqlgen.q1_pricing_sql(),
+        "nation_region_counts": sqlgen.nation_region_counts_sql(),
+        "order_revenue_by_priority": sqlgen.order_revenue_by_priority_sql(),
+        "top_customers": sqlgen.top_customers_sql(),
+        "events_hourly": sqlgen.events_hourly_sql(),
+        "orders_topk": sqlgen.orders_topk_sql(),
     }

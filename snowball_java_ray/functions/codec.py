@@ -59,24 +59,40 @@ def decode_varbyte(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
     return vals
 
 
-def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, base: int = 0) -> bytes:
+def encode_postings(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray | None = None,
+    base: int = 0,
+) -> bytes:
     """Encode one sorted posting chunk. ``doc_ids`` strictly increasing,
-    all >= ``base`` (the chunk's shard base). Layout:
-    varbyte(len) || varbyte(gaps) || varbyte(tfs)."""
+    all >= ``base`` (the chunk's base doc). Layout:
+    varbyte(len) || varbyte(gaps) || varbyte(tfs) [|| varbyte(dls)].
+
+    ``dls`` (per-posting document length) is embedded so the scorer
+    needs NO separate doc-length lookup table — at 10^12-doc scale a
+    broadcast doc_len array is impossible, and a forward-index join per
+    query would be a shuffle; ~1 byte/posting buys a self-contained
+    chunk (the classic impact-ready posting layout)."""
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     gaps = np.empty(doc_ids.size, dtype=np.uint64)
     if doc_ids.size:
         gaps[0] = np.uint64(doc_ids[0] - base)
         np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:], casting="unsafe")
     header = encode_varbyte(np.array([doc_ids.size], dtype=np.uint64))
-    return header + encode_varbyte(gaps) + encode_varbyte(tfs.astype(np.uint64))
+    out = header + encode_varbyte(gaps) + encode_varbyte(tfs.astype(np.uint64))
+    if dls is not None:
+        out += encode_varbyte(dls.astype(np.uint64))
+    return out
 
 
-def decode_postings(buf: bytes, base: int = 0) -> tuple[np.ndarray, np.ndarray]:
-    """Decode one posting chunk -> (doc_ids:int64, tfs:int32)."""
+def decode_postings(
+    buf: bytes, base: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Decode one posting chunk -> (doc_ids:int64, tfs:int32,
+    dls:int32 | None)."""
     vals = decode_varbyte(buf)
     n = int(vals[0])
     gaps = vals[1 : 1 + n].astype(np.int64)
     tfs = vals[1 + n : 1 + 2 * n].astype(np.int32)
+    dls = vals[1 + 2 * n : 1 + 3 * n].astype(np.int32) if vals.size >= 1 + 3 * n and n else None
     doc_ids = np.cumsum(gaps) + base
-    return doc_ids, tfs
+    return doc_ids, tfs, dls

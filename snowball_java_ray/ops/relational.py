@@ -1,0 +1,274 @@
+"""General relational operators over the TPC-H-ish testdata tables.
+
+Demonstrates the generic Ray Data operator surface the engine builds
+on: column-pruned reads, vectorized filters/projections, multi-key
+grouped aggregation, broadcast hash joins (small side via closure
+capture -> Ray object store), explicit partitioned hash joins for
+large-large, tumbling-window aggregation, and deterministic top-k.
+
+Join strategy notes (SURVEY.md §2.4):
+- dimension tables (region, nation, customer at these scales) are
+  BROADCAST: loaded once on the driver, captured in the map_batches
+  closure -> shipped to workers through the object store once, joined
+  per batch with a vectorized pandas merge. No shuffle.
+- fact-fact joins use partial aggregation first (shrink the left side
+  to one row per key) and then a hash-partitioned join
+  (Dataset.join, hash exchange on the key) — never a broadcast of an
+  unbounded side.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+from ray.data.aggregate import Count, Mean, Sum
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def round_cols(ds: ray.data.Dataset, decimals: dict[str, int]) -> ray.data.Dataset:
+    """Round float columns to fixed decimals — applied to BOTH the Ray
+    output and the oracle SQL so cross-engine float-summation noise
+    (last-ulp differences from reduction order) can't break value
+    comparison."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        for col, nd in decimals.items():
+            i = t.schema.get_field_index(col)
+            t = t.set_column(i, col, pc.round(t[col], ndigits=nd))
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q1_pricing(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-shaped: filter -> computed columns -> multi-key grouped
+    aggregate over lineitem. Vectorized pyarrow filter + compute;
+    Ray groupby does the (small-key-cardinality) shuffle."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+
+    # Money columns are 2-decimal values: converting to integer cents
+    # makes every sum EXACT (int64), so Ray and the SQL oracle produce
+    # bit-identical doubles — no float-summation-order rounding risk.
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02")))
+        )
+        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        disc4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "price_c": price_c,
+                "disc4": disc4,
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("price_c", alias_name="price_c"),
+            Sum("disc4", alias_name="disc4"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": t["sum_qty"],
+                "sum_base_price": pc.divide(pc.cast(t["price_c"], pa.float64()), 100.0),
+                "sum_disc_price": pc.divide(pc.cast(t["disc4"], pa.float64()), 10000.0),
+                "avg_qty": pc.round(t["avg_qty"], ndigits=6),
+                "count_order": t["count_order"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def nation_region_counts(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast join: customer (fact) x nation x region (dims).
+    Dims are read driver-side once and captured in the closure."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    dim = nation.merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )[["n_nationkey", "n_name", "r_name"]]
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.merge(dim, left_on="c_nationkey", right_on="n_nationkey")[
+            ["r_name", "n_name", "c_acctbal"]
+        ]
+        out["acctbal_c"] = (out["c_acctbal"] * 100.0).round().astype("int64")
+        return out[["r_name", "n_name", "acctbal_c"]]
+
+    agg = (
+        _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+        .map_batches(join, batch_format="pandas")
+        .groupby(["r_name", "n_name"])
+        .aggregate(
+            Count(alias_name="n_customers"),
+            Sum("acctbal_c", alias_name="acctbal_c"),
+        )
+        .sort(["r_name", "n_name"])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "r_name": t["r_name"],
+                "n_name": t["n_name"],
+                "n_customers": t["n_customers"],
+                "total_acctbal": pc.divide(pc.cast(t["acctbal_c"], pa.float64()), 100.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def order_revenue_by_priority(sf_dir: str) -> ray.data.Dataset:
+    """Fact-fact join done the scalable way: lineitem is FIRST partially
+    aggregated to one row per l_orderkey (map-side combine + small
+    groupby), then hash-join-partitioned against orders, then the final
+    tiny aggregate. The shuffle moves one row per order, not one per
+    line item."""
+
+    def revenue_partial(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        rev4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        tmp = pa.table({"l_orderkey": t["l_orderkey"], "rev4": rev4})
+        return tmp.group_by("l_orderkey").aggregate([("rev4", "sum")]).rename_columns(
+            ["l_orderkey", "rev4"]
+        )
+
+    per_order = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(revenue_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev4", alias_name="rev4"))
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = orders.join(
+        per_order,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+    agg = (
+        joined.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"), Sum("rev4", alias_name="rev4"))
+        .sort("o_orderpriority")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "n_orders": t["n_orders"],
+                "revenue": pc.divide(pc.cast(t["rev4"], pa.float64()), 10000.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def top_customers(sf_dir: str) -> ray.data.Dataset:
+    """Top-10 customers by total order value: broadcast dim lookup +
+    grouped sum + deterministic top-k (value desc, key asc)."""
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).to_pandas()
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.merge(cust, left_on="o_custkey", right_on="c_custkey")[
+            ["c_custkey", "c_name", "o_totalprice"]
+        ]
+        out["price_c"] = (out["o_totalprice"] * 100.0).round().astype("int64")
+        return out[["c_custkey", "c_name", "price_c"]]
+
+    agg = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(attach, batch_format="pandas")
+        .groupby(["c_custkey", "c_name"])
+        .aggregate(
+            Sum("price_c", alias_name="price_c"),
+            Count(alias_name="n_orders"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_name": t["c_name"],
+                "total_value": pc.divide(pc.cast(t["price_c"], pa.float64()), 100.0),
+                "n_orders": t["n_orders"],
+            }
+        )
+
+    # exact cents make the top-k cut deterministic across engines
+    return (
+        agg.map_batches(finish, batch_format="pyarrow")
+        .sort(["total_value", "c_custkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def events_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1-hour window per event_type: window assignment is a
+    vectorized per-batch projection (floor ts to hour), the aggregate a
+    grouped shuffle on (event_type, window) — the batch-engine
+    expression of a streaming tumbling window (ray_guide: Ray Data has
+    no watermarks; order-independent aggregates need none)."""
+
+    def win(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start": pc.floor_temporal(t["ts"], unit="hour"),
+                "value": t["value"],
+            }
+        )
+
+    out = (
+        _read(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(win, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"),
+        )
+        .sort(["event_type", "window_start"])
+    )
+    return round_cols(out, {"sum_value": 4})
+
+
+def orders_topk(sf_dir: str) -> ray.data.Dataset:
+    """Global deterministic top-k by sort + limit."""
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )

@@ -108,6 +108,91 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --- relational family (ops/relational.py) ---------------------------
+
+
+def q1_pricing_sql() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS sum_base_price,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000
+         AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def nation_region_counts_sql() -> str:
+    return """
+SELECT r.r_name, n.n_name,
+       count(*) AS n_customers,
+       CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+ORDER BY r.r_name, n.n_name
+"""
+
+
+def order_revenue_by_priority_sql() -> str:
+    return """
+WITH per_order AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev4
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(p.rev4) AS DOUBLE) / 10000 AS revenue
+FROM orders o JOIN per_order p ON o.o_orderkey = p.l_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+def top_customers_sql() -> str:
+    return """
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS total_value,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY total_value DESC, c.c_custkey ASC
+LIMIT 10
+"""
+
+
+def events_hourly_sql() -> str:
+    return """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+ORDER BY event_type, window_start
+"""
+
+
+def orders_topk_sql() -> str:
+    return """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
 def bm25_topk_sql(top_k: int = TOP_K) -> str:
     """Full BM25 top-k over the reference query set, rank-deterministic:
     rank on round(score, {RANK}) DESC then doc_id ASC; emit score

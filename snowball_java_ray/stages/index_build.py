@@ -127,7 +127,7 @@ def encode_chunk_group(group: pd.DataFrame) -> pd.DataFrame:
     tfs = g["tf"].to_numpy(dtype=np.int32)
     dls = g["dl"].to_numpy(dtype=np.int32)
     base = int(doc_ids[0])  # chunk base = first doc (smaller deltas than shard base)
-    data = encode_postings(doc_ids, tfs, base=base)
+    data = encode_postings(doc_ids, tfs, dls, base=base)
     return pd.DataFrame(
         {
             "term": [term],
@@ -161,9 +161,25 @@ def build_chunks(postings_ds):
 
 def build_dictionary(postings_ds):
     """postings Dataset -> (term, df, cf) Dataset. df = row count
-    because rows are already unique per (term, doc)."""
+    because rows are already unique per (term, doc).
+
+    NOTE: the index path does NOT use this (the dictionary is derived
+    from the chunk summary rows — see dictionary_from_chunks — avoiding
+    a second full shuffle); it backs the standalone term_df query."""
     from ray.data.aggregate import Count, Sum
 
     return postings_ds.groupby("term").aggregate(
         Count(alias_name="df"), Sum("tf", alias_name="cf")
+    )
+
+
+def dictionary_from_chunks(chunks: pa.Table) -> pa.Table:
+    """(term, df, cf) from chunk summaries — a tiny driver-side
+    aggregate over vocab x shards rows; at web scale this is a
+    per-term-range parquet sidecar written by the same reduce tasks."""
+    return (
+        chunks.select(["term", "df", "cf"])
+        .group_by("term")
+        .aggregate([("df", "sum"), ("cf", "sum")])
+        .rename_columns(["term", "df", "cf"])
     )

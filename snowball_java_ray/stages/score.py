@@ -60,50 +60,56 @@ class _Chunk:
 class InvertedIndex:
     """In-memory view of the chunked compressed index.
 
-    Built from the three index tables (chunks, dictionary, doc stats).
-    Postings stay varbyte-compressed until a term is scored.
+    Self-contained: built from the chunk table plus ``n_docs`` alone.
+    The dictionary (term -> global df/cf) is derived from the chunk
+    summary rows; per-posting doc lengths are embedded in the chunk
+    data (codec.encode_postings), so no doc-length side table is ever
+    broadcast — the property that makes the layout viable at 10^12
+    docs, where each scorer shard would hold only its doc-range's
+    chunks. ``avgdl`` = sum(cf) / n_docs (total surviving tokens over
+    total docs). Postings stay varbyte-compressed until a term is
+    scored.
     """
 
-    def __init__(self, chunks: pa.Table, dictionary: pa.Table, doc_stats: pa.Table):
-        self.df: dict[str, int] = dict(
-            zip(dictionary["term"].to_pylist(), dictionary["df"].to_pylist())
-        )
+    def __init__(self, chunks: pa.Table, n_docs: int):
         self.chunks: dict[str, list[_Chunk]] = {}
+        self.df: dict[str, int] = {}
         terms = chunks["term"].to_pylist()
         shards = chunks["shard"].to_numpy(zero_copy_only=False)
         order = np.argsort(shards, kind="stable")
         bases = chunks["base"].to_numpy(zero_copy_only=False)
+        dfs = chunks["df"].to_numpy(zero_copy_only=False)
         datas = chunks["data"].to_pylist()
         max_tfs = chunks["max_tf"].to_numpy(zero_copy_only=False)
         min_dls = chunks["min_dl"].to_numpy(zero_copy_only=False)
+        total_cf = 0
+        cfs = chunks["cf"].to_numpy(zero_copy_only=False)
         for i in order:  # shard-ascending => doc_id-ascending chunk concat
             self.chunks.setdefault(terms[i], []).append(
                 _Chunk(int(bases[i]), datas[i], int(max_tfs[i]), int(min_dls[i]))
             )
-        doc_ids = doc_stats["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        doc_len = doc_stats["doc_len"].to_numpy(zero_copy_only=False).astype(np.float64)
-        pos = np.argsort(doc_ids, kind="stable")
-        self.doc_ids = doc_ids[pos]
-        self.doc_len = doc_len[pos]
-        self.n_docs = int(len(self.doc_ids))
-        self.avgdl = float(self.doc_len.mean()) if self.n_docs else 0.0
+            self.df[terms[i]] = self.df.get(terms[i], 0) + int(dfs[i])
+            total_cf += int(cfs[i])
+        self.n_docs = int(n_docs)
+        self.avgdl = total_cf / n_docs if n_docs else 0.0
 
     def idf(self, term: str) -> float:
         df = self.df.get(term, 0)
         return math.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
 
-    def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+    def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """-> (doc_ids, tfs, dls), concatenated across chunks in
+        doc_id order."""
         parts = self.chunks.get(term)
         if not parts:
-            return np.empty(0, np.int64), np.empty(0, np.int32)
+            e = np.empty(0, np.int64)
+            return e, e.astype(np.int32), e.astype(np.int32)
         decoded = [decode_postings(c.data, base=c.base) for c in parts]
         return (
-            np.concatenate([d for d, _ in decoded]),
-            np.concatenate([t for _, t in decoded]),
+            np.concatenate([d for d, _, _ in decoded]),
+            np.concatenate([t for _, t, _ in decoded]),
+            np.concatenate([l for _, _, l in decoded]),
         )
-
-    def positions(self, doc_ids: np.ndarray) -> np.ndarray:
-        return np.searchsorted(self.doc_ids, doc_ids)
 
 
 def score_query(
@@ -114,29 +120,54 @@ def score_query(
     top_k: int = TOP_K,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact term-at-a-time BM25 -> (doc_ids, scores) of the top-k,
-    deterministically ordered."""
+    deterministically ordered.
+
+    Accumulation is candidate-sparse (np.unique + add.at over only the
+    touched postings), never an n_docs-sized dense array — required for
+    the doc-sharded scale path. Per-doc contributions sum in sorted
+    term order, matching the oracle's float summation order exactly.
+    """
     terms = sorted(set(tokenize(qtext)))
-    scores = np.zeros(index.n_docs, dtype=np.float64)
-    hit = False
+    doc_parts: list[np.ndarray] = []
+    contrib_parts: list[np.ndarray] = []
     for t in terms:
-        doc_ids, tfs = index.postings(t)
+        doc_ids, tfs, dls = index.postings(t)
         if doc_ids.size == 0:
             continue
-        hit = True
-        pos = index.positions(doc_ids)
-        dl = index.doc_len[pos]
         tf = tfs.astype(np.float64)
+        dl = dls.astype(np.float64)
         contrib = index.idf(t) * tf * (k1 + 1.0) / (
             tf + k1 * (1.0 - b + b * dl / index.avgdl)
         )
-        scores[pos] += contrib
-    if not hit:
+        doc_parts.append(doc_ids)
+        contrib_parts.append(contrib)
+    if not doc_parts:
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    cand = np.flatnonzero(scores)
-    rounded = np.round(scores[cand], RANK_ROUND_DECIMALS)
-    order = np.lexsort((index.doc_ids[cand], -rounded))[:top_k]
-    sel = cand[order]
-    return index.doc_ids[sel], scores[sel]
+    total_postings = sum(p.size for p in doc_parts)
+    lo = min(int(p[0]) for p in doc_parts)
+    hi = max(int(p[-1]) for p in doc_parts)
+    span = hi - lo + 1
+    if total_postings * 4 >= span:
+        # Dense path (stop-word-heavy queries touch most docs): direct
+        # array accumulation over the candidate doc-id span. Per-doc
+        # contributions still add in sorted term order (one add per
+        # term; doc_ids are unique within a term), so float results are
+        # bit-identical to the sparse path and the oracle.
+        scores_d = np.zeros(span, dtype=np.float64)
+        for docs, contrib in zip(doc_parts, contrib_parts):
+            scores_d[docs - lo] += contrib
+        cand = np.flatnonzero(scores_d)
+        uniq = cand + lo
+        scores = scores_d[cand]
+    else:
+        all_docs = np.concatenate(doc_parts)
+        all_contribs = np.concatenate(contrib_parts)
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(scores, inv, all_contribs)
+    rounded = np.round(scores, RANK_ROUND_DECIMALS)
+    order = np.lexsort((uniq, -rounded))[:top_k]
+    return uniq[order], scores[order]
 
 
 def merge_topk(

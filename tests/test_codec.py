@@ -38,24 +38,29 @@ def test_varbyte_compression_small_gaps():
 def test_postings_roundtrip():
     doc_ids = np.array([3, 7, 8, 130, 16384, 16385], dtype=np.int64)
     tfs = np.array([1, 2, 1, 300, 1, 7], dtype=np.int32)
-    buf = encode_postings(doc_ids, tfs, base=0)
-    d, t = decode_postings(buf, base=0)
+    dls = np.array([10, 20, 10, 300, 1, 7], dtype=np.int32)
+    buf = encode_postings(doc_ids, tfs, dls, base=0)
+    d, t, l = decode_postings(buf, base=0)
     assert d.tolist() == doc_ids.tolist()
     assert t.tolist() == tfs.tolist()
+    assert l.tolist() == dls.tolist()
 
 
 def test_postings_roundtrip_with_base():
     base = 1 << 20
     doc_ids = base + np.array([0, 5, 9], dtype=np.int64)
     tfs = np.array([4, 4, 4], dtype=np.int32)
-    d, t = decode_postings(encode_postings(doc_ids, tfs, base=base), base=base)
+    d, t, l = decode_postings(encode_postings(doc_ids, tfs, base=base), base=base)
     assert d.tolist() == doc_ids.tolist()
     assert t.tolist() == tfs.tolist()
+    assert l is None  # dls optional
 
 
 def test_postings_random_roundtrip():
     rng = np.random.default_rng(7)
     doc_ids = np.sort(rng.choice(1_000_000, size=5000, replace=False)).astype(np.int64)
     tfs = rng.integers(1, 1000, size=5000).astype(np.int32)
-    d, t = decode_postings(encode_postings(doc_ids, tfs))
+    dls = rng.integers(1, 500, size=5000).astype(np.int32)
+    d, t, l = decode_postings(encode_postings(doc_ids, tfs, dls))
     assert np.array_equal(d, doc_ids) and np.array_equal(t, tfs)
+    assert np.array_equal(l, dls)

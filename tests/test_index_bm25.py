@@ -10,7 +10,7 @@ from snowball_java_ray import oracle
 from snowball_java_ray.constants import REFERENCE_QUERIES, SCORE_ROUND_DECIMALS
 from snowball_java_ray.pipelines.api import (
     bm25_topk_pipeline,
-    build_index_bundle,
+    build_index,
     collect_arrow,
     documents_as_corpus,
     term_df_pipeline,
@@ -33,8 +33,7 @@ def oracle_idx(docs):
 @pytest.fixture(scope="module")
 def engine_index(ray_session, docs):
     corpus = documents_as_corpus(SF_TINY)
-    chunks, dictionary, stats = build_index_bundle(corpus, shard_size=64)
-    return InvertedIndex(chunks, dictionary, stats), chunks
+    return build_index(corpus, n_docs=len(docs), shard_size=64)
 
 
 def test_dictionary_matches_oracle(ray_session, oracle_idx):
@@ -50,7 +49,7 @@ def test_dictionary_matches_oracle(ray_session, oracle_idx):
 
 
 def test_index_stats_match_oracle(engine_index, oracle_idx):
-    idx, chunks = engine_index
+    idx = engine_index
     assert idx.n_docs == oracle_idx.n_docs
     assert idx.avgdl == pytest.approx(oracle_idx.avgdl, abs=0)
     assert idx.df == oracle_idx.df
@@ -59,15 +58,17 @@ def test_index_stats_match_oracle(engine_index, oracle_idx):
 
 
 def test_postings_match_oracle(engine_index, oracle_idx):
-    idx, _ = engine_index
+    idx = engine_index
     for term, plist in oracle_idx.postings.items():
-        doc_ids, tfs = idx.postings(term)
+        doc_ids, tfs, dls = idx.postings(term)
         assert list(zip(doc_ids.tolist(), tfs.tolist())) == plist, term
+        # embedded per-posting doc lengths match the oracle's doc_len map
+        assert dls.tolist() == [oracle_idx.doc_len[d] for d in doc_ids.tolist()], term
 
 
 def test_topk_rank_identity_vs_oracle(engine_index, oracle_idx):
     """North rule: rank-identical top-k docIDs AND scores."""
-    idx, _ = engine_index
+    idx = engine_index
     for q in REFERENCE_QUERIES:
         want = oracle.bm25_topk(oracle_idx, q)
         doc_ids, scores = score_query(idx, q)
@@ -82,7 +83,7 @@ def test_merge_topk_equals_global(engine_index):
     (the documented multi-node scale path)."""
     import numpy as np
 
-    idx, _ = engine_index
+    idx = engine_index
     q = "table value scan merge"
     full_d, full_s = score_query(idx, q, top_k=10)
     # simulate two doc-range shards by splitting candidate space
@@ -117,7 +118,7 @@ def test_topk_pipeline_matches_duckdb_sql(ray_session, docs):
 
 
 def test_zero_hit_queries(engine_index):
-    idx, _ = engine_index
+    idx = engine_index
     for q in ("the a of", "zzzunknown qqqabsent", ""):
         doc_ids, scores = score_query(idx, q)
         assert len(doc_ids) == 0

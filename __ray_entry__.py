@@ -35,10 +35,25 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
-    from snowball_java_ray.ops import relational
+    from snowball_java_ray.ops import ann, dedup, relational, textstats
     from snowball_java_ray.pipelines import api
 
     return {
+        # --- dedup family ---
+        "dedup_exact": dedup.dedup_exact,
+        "ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "minhash_lsh": dedup.minhash_lsh_candidates,
+        "simhash": dedup.simhash_docs,
+        "simhash_pairs": dedup.simhash_pairs,
+        "embed_dup_pairs": dedup.embed_dup_pairs,
+        # --- similarity search ---
+        "ann_topk": ann.ann_topk,
+        # --- text analysis ---
+        "quality_score": textstats.quality_score,
+        "token_counts": textstats.token_counts,
+        "fingerprint": textstats.fingerprint,
+        "langid": textstats.langid,
+        "lang_profile": textstats.lang_profile,
         # --- index / BM25 core (north rule) ---
         "ingest_corpus": api.ingest_corpus_pipeline,
         "doc_stats": api.doc_stats_pipeline,
@@ -63,6 +78,19 @@ def oracle_sql() -> dict[str, str]:
     from snowball_java_ray import sqlgen
 
     return {
+        "dedup_exact": sqlgen.dedup_exact_sql(),
+        "ngram_jaccard": sqlgen.ngram_jaccard_sql(),
+        "minhash_lsh": sqlgen.minhash_lsh_sql(),
+        "simhash": sqlgen.simhash_sql(),
+        # simhash_pairs: rows-only (pairing is driver-side; SQL hamming
+        # join is possible but redundant with the simhash oracle)
+        "embed_dup_pairs": sqlgen.embed_dup_pairs_sql(),
+        "ann_topk": sqlgen.ann_topk_sql(),
+        "quality_score": sqlgen.quality_score_sql(),
+        "token_counts": sqlgen.token_counts_sql(),
+        "fingerprint": sqlgen.fingerprint_sql(),
+        "langid": sqlgen.langid_sql(),
+        "lang_profile": sqlgen.lang_profile_sql(),
         "ingest_corpus": sqlgen.ingest_corpus_sql(),
         "doc_stats": sqlgen.doc_stats_sql(),
         "term_df": sqlgen.term_df_sql(),

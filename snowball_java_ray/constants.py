@@ -90,6 +90,19 @@ REFERENCE_QUERIES: tuple[str, ...] = (
 # the multi-chunk code paths.
 DEFAULT_SHARD_SIZE = 1 << 20
 
+# --- Dedup / similarity parameters (ops/dedup.py, ops/ann.py) ----------
+# All hashes are md5-derived (md5int60 = first 15 hex digits as int) so
+# every dedup operator has a bit-identical DuckDB oracle.
+NGRAM_N = 3
+JACCARD_THRESHOLD = 0.02
+MINHASH_SEEDS = 16
+MINHASH_BAND_ROWS = 2  # 8 bands x 2 rows
+SIMHASH_BITS = 60
+SIMHASH_MAX_HAMMING = 2
+EMBED_COS_THRESHOLD = 0.35
+ANN_N_QUERIES = 10  # vec_id < 10 are the ANN query vectors
+ANN_TOP_K = 10
+
 # --- Snowball workload defaults (FIXTURES.md F4) -----------------------
 # Mirrors /root/reference/snowball/src/bin/SnowballConfig.java:29-45.
 SNOWBALL_DEFAULTS: dict[str, object] = {

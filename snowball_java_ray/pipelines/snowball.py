@@ -1,0 +1,331 @@
+"""The Snowball bootstrapped relation-extraction pipeline, Ray-Data-first.
+
+Re-expresses the reference's single-JVM loop
+(/root/reference/snowball/src/bin/Snowball.java:36-162) as a
+driver-orchestrated chain of Dataset jobs per iteration:
+
+  extract      map_batches over the tagged corpus (M1-M7), ONE scan,
+               materialized and reused across iterations (replaces the
+               reference's full re-scan + tuple checkpoint,
+               Snowball.java:45-71).
+  match        broadcast semi-join of tuples against the seed set (J1,
+               Snowball.java:371-404) — seed dict in the task closure.
+  cluster      driver-side single-pass clustering over the (small)
+               matched set, order pinned (state/clustering.py).
+  score        actor-pool PatternScorer: patterns + df dictionary
+               broadcast once per actor; every tuple scored against
+               every pattern (Snowball.java:164-255) — the
+               mutating-while-scanning reference semantics split into a
+               pure parallel score pass + aggregates (SURVEY.md §7 #3).
+  selectivity  groupby(pattern_id) over pos/neg flags (A5/A6/A7) with
+               the per-pass RlogF max-normalization fixed point.
+  confidence   noisy-or per tuple key via groupby().map_groups (A9),
+               then wUpdt smoothing against the previous iteration (A8)
+               and seed promotion (Snowball.java:146-158).
+
+TF-IDF context vectors (M11) are computed on the fly from token
+contexts + the corpus DF dictionary (from the inverted-index build) —
+OOV terms get df=1 (explicit smoothing instead of the reference's
+exception at vsm/VectorSpaceModel.java:89-93).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from snowball_java_ray.config import EngineConfig
+from snowball_java_ray.functions.extract import extract_pairs
+from snowball_java_ray.functions.text import tokenize
+from snowball_java_ray.state.clustering import (
+    ClusterTuple,
+    Pattern,
+    pattern_similarity,
+    recompute_centroids,
+    single_pass,
+)
+
+TUPLE_SCHEMA = pa.schema(
+    [
+        ("e1", pa.string()),
+        ("e2", pa.string()),
+        ("doc_id", pa.int64()),
+        ("sentence", pa.string()),
+        ("left", pa.string()),
+        ("middle", pa.string()),
+        ("right", pa.string()),
+    ]
+)
+
+
+def tfidf_vec(text: str, df: dict[str, int], n_docs: int) -> dict[str, float]:
+    toks = tokenize(text)
+    if not toks:
+        return {}
+    return {
+        t: c * math.log(n_docs / max(df.get(t, 1), 1))
+        for t, c in Counter(toks).items()
+    }
+
+
+def make_extractor(cfg: EngineConfig):
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = {k: [] for k in TUPLE_SCHEMA.names}
+        for doc_id, content in zip(
+            batch["doc_id"].to_pylist(), batch["content"].to_pylist()
+        ):
+            for rt in extract_pairs(
+                content or "",
+                cfg.e1_type,
+                cfg.e2_type,
+                cfg.min_tokens_away,
+                cfg.max_tokens_away,
+                cfg.context_window_size,
+            ):
+                cols["e1"].append(rt.e1)
+                cols["e2"].append(rt.e2)
+                cols["doc_id"].append(doc_id)
+                cols["sentence"].append(content)
+                cols["left"].append(rt.left)
+                cols["middle"].append(rt.middle)
+                cols["right"].append(rt.right)
+        return pa.table(cols, schema=TUPLE_SCHEMA)
+
+    return fn
+
+
+def extract_tuples(corpus_ds, cfg: EngineConfig):
+    """Corpus -> candidate tuple Dataset (M1-M7), one scan."""
+    return corpus_ds.map_batches(make_extractor(cfg), batch_format="pyarrow")
+
+
+def _row_to_cluster_tuple(row: dict, df: dict, n_docs: int) -> ClusterTuple:
+    return ClusterTuple(
+        e1=row["e1"],
+        e2=row["e2"],
+        doc_id=row["doc_id"],
+        sentence=row["sentence"],
+        left=tfidf_vec(row["left"], df, n_docs),
+        middle=tfidf_vec(row["middle"], df, n_docs),
+        right=tfidf_vec(row["right"], df, n_docs),
+    )
+
+
+class PatternScorer:
+    """Actor-pool stage: score every tuple against every pattern.
+
+    ``broadcast_ref`` is a ray.ObjectRef to (patterns, df, n_docs,
+    seeds, cfg) — fetched ONCE per actor in __init__. Emits one row per
+    (tuple, matching pattern) with the selectivity flags (A5) already
+    resolved against the broadcast seed dict (J5)."""
+
+    def __init__(self, broadcast_ref):
+        import ray
+
+        patterns, df, n_docs, seeds, cfg = ray.get(broadcast_ref)
+        self.patterns: list[Pattern] = patterns
+        self.df, self.n_docs, self.cfg = df, n_docs, cfg
+        self.seed_by_e1: dict[str, set[str]] = {}
+        for a, b in seeds:
+            self.seed_by_e1.setdefault(a.lower(), set()).add(b.lower())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        out = {
+            "e1": [], "e2": [], "doc_id": [], "sentence": [],
+            "pattern_id": [], "sim": [], "pos": [], "neg": [],
+        }
+        rows = batch.to_pylist()
+        for row in rows:
+            t = _row_to_cluster_tuple(row, self.df, self.n_docs)
+            for p in self.patterns:
+                sim = pattern_similarity(p, t, cfg)
+                if sim < cfg.min_degree_match:
+                    continue
+                seed_locs = self.seed_by_e1.get(t.e1.lower())
+                pos = seed_locs is not None and t.e2.lower() in seed_locs
+                neg = seed_locs is not None and t.e2.lower() not in seed_locs
+                out["e1"].append(t.e1)
+                out["e2"].append(t.e2)
+                out["doc_id"].append(t.doc_id)
+                out["sentence"].append(t.sentence)
+                out["pattern_id"].append(p.pattern_id)
+                out["sim"].append(sim)
+                out["pos"].append(int(pos))
+                out["neg"].append(int(neg))
+        return pa.table(
+            {
+                "e1": pa.array(out["e1"]),
+                "e2": pa.array(out["e2"]),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "sentence": pa.array(out["sentence"]),
+                "pattern_id": pa.array(out["pattern_id"], pa.int64()),
+                "sim": pa.array(out["sim"], pa.float64()),
+                "pos": pa.array(out["pos"], pa.int64()),
+                "neg": pa.array(out["neg"], pa.int64()),
+            }
+        )
+
+
+@dataclass
+class SnowballResult:
+    tuples: pd.DataFrame
+    patterns: pd.DataFrame
+    seeds: set[tuple[str, str]]
+    iterations: int
+
+
+def snowball_bootstrap(
+    corpus_ds,
+    seeds: set[tuple[str, str]],
+    cfg: EngineConfig,
+    df: dict[str, int],
+    n_docs: int,
+) -> SnowballResult:
+    """Run the full bootstrap loop. ``df``/``n_docs`` come from the
+    inverted-index dictionary over the same corpus."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    tuples_ds = extract_tuples(corpus_ds, cfg).materialize()
+    seeds = {(a.lower(), b.lower()) for a, b in seeds}
+    prev_conf: dict[tuple, float] = {}
+    patterns: list[Pattern] = []
+    conf_df = pd.DataFrame()
+
+    for it in range(cfg.number_iterations):
+        # --- J1: broadcast semi-join against seeds ---
+        seed_set = set(seeds)
+
+        def is_seed(t: pa.Table, _s=seed_set) -> pa.Table:
+            keep = [
+                (a.lower(), b.lower()) in _s
+                for a, b in zip(t["e1"].to_pylist(), t["e2"].to_pylist())
+            ]
+            return t.filter(pa.array(keep))
+
+        matched_rows = pa.concat_tables(
+            tuples_ds.map_batches(is_seed, batch_format="pyarrow").iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            ),
+            promote_options="default",
+        ).to_pylist()
+        matched = [_row_to_cluster_tuple(r, df, n_docs) for r in matched_rows]
+        matched.sort(key=lambda t: (t.e1, t.e2, t.doc_id, t.sentence))
+
+        # --- clustering (driver-side, order pinned) ---
+        patterns = single_pass(matched, cfg)
+        patterns = [
+            p for p in patterns if len(p.members) >= cfg.min_pattern_support
+        ]
+        for i, p in enumerate(patterns):
+            p.pattern_id = i
+        if not patterns:
+            break
+
+        # --- score pass (actor pool, broadcast state) ---
+        bref = ray.put((patterns, df, n_docs, seeds, cfg))
+        scored = tuples_ds.map_batches(
+            PatternScorer,
+            fn_constructor_kwargs={"broadcast_ref": bref},
+            batch_format="pyarrow",
+            concurrency=2,
+        ).materialize()
+
+        # --- A5/A6/A7: selectivity -> confidence -> RlogF fixed point ---
+        sel = {
+            int(r["pattern_id"]): (int(r["sum(pos)"]), int(r["sum(neg)"]))
+            for r in scored.groupby("pattern_id")
+            .aggregate(Sum("pos"), Sum("neg"))
+            .iter_rows()
+        }
+        rlogf = {}
+        for p in patterns:
+            pos, neg = sel.get(p.pattern_id, (0, 0))
+            p.positive, p.negative = pos, neg
+            conf = pos / (pos + neg) if (pos + neg) else 0.0
+            if cfg.use_RlogF:
+                rlogf[p.pattern_id] = conf * (1.0 + math.log2(pos)) if pos > 0 else 0.0
+            else:
+                p.confidence = conf
+        if cfg.use_RlogF:
+            mx = max(rlogf.values(), default=0.0)
+            for p in patterns:
+                p.confidence = rlogf[p.pattern_id] / mx if mx > 0 else 0.0
+
+        # --- A9: noisy-or tuple confidence (distributed groupby) ---
+        pconf = {p.pattern_id: p.confidence for p in patterns}
+
+        def noisy_or(g: pd.DataFrame, _pc=pconf) -> pd.DataFrame:
+            prod = 1.0
+            g2 = g.sort_values("pattern_id")
+            for pid, sim in zip(g2["pattern_id"], g2["sim"]):
+                prod *= 1.0 - _pc[int(pid)] * float(sim)
+            return pd.DataFrame(
+                {
+                    "e1": [g2["e1"].iloc[0]],
+                    "e2": [g2["e2"].iloc[0]],
+                    "doc_id": [g2["doc_id"].iloc[0]],
+                    "sentence": [g2["sentence"].iloc[0]],
+                    "confidence": [1.0 - prod],
+                }
+            )
+
+        conf_df = (
+            scored.groupby(["e1", "e2", "doc_id", "sentence"])
+            .map_groups(noisy_or, batch_format="pandas")
+            .to_pandas()
+        )
+
+        # --- A8: wUpdt smoothing vs previous iteration ---
+        def smooth(row):
+            key = (row["e1"], row["e2"], row["doc_id"], row["sentence"])
+            old = prev_conf.get(key)
+            c = row["confidence"]
+            return c * cfg.wUpdt + old * (1 - cfg.wUpdt) if old is not None else c
+
+        if it > 0:
+            conf_df["confidence"] = conf_df.apply(smooth, axis=1)
+        prev_conf = {
+            (r.e1, r.e2, r.doc_id, r.sentence): r.confidence
+            for r in conf_df.itertuples()
+        }
+
+        # --- seed promotion ---
+        promoted = conf_df[conf_df["confidence"] >= cfg.min_tuple_confidence]
+        seeds |= {
+            (a.lower(), b.lower())
+            for a, b in zip(promoted["e1"], promoted["e2"])
+        }
+
+    if len(conf_df):
+        tuples_out = conf_df.sort_values(
+            ["confidence", "e1", "e2", "doc_id"],
+            ascending=[False, True, True, True],
+            ignore_index=True,
+        )
+        tuples_out["confidence"] = tuples_out["confidence"].round(6)
+    else:
+        tuples_out = pd.DataFrame(
+            columns=["e1", "e2", "doc_id", "sentence", "confidence"]
+        )
+    patterns_out = pd.DataFrame(
+        {
+            "pattern_id": [p.pattern_id for p in patterns],
+            "n_tuples": [len(p.members) for p in patterns],
+            "positive": [p.positive for p in patterns],
+            "negative": [p.negative for p in patterns],
+            "confidence": [round(p.confidence, 6) for p in patterns],
+        }
+    )
+    return SnowballResult(
+        tuples=tuples_out,
+        patterns=patterns_out,
+        seeds=seeds,
+        iterations=cfg.number_iterations,
+    )

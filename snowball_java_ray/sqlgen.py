@@ -442,6 +442,31 @@ ORDER BY query_vec_id, rank
 """
 
 
+def boolean_and_sql() -> str:
+    """Conjunctive retrieval oracle: doc contains ALL query terms."""
+    return f"""
+WITH {tokenize_cte()},
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+qraw AS (
+  SELECT query_id,
+         unnest(string_split_regex(lower(qtext), '{TOKEN_SPLIT_PATTERN}')) AS term
+  FROM {queries_values_sql()}
+),
+qterms AS (
+  SELECT DISTINCT query_id, term FROM qraw
+  WHERE term <> '' AND NOT regexp_full_match(term, '{_NUM_SQL}')
+    AND term NOT IN ({_STOPLIST_SQL})
+),
+qn AS (SELECT query_id, count(*) AS n FROM qterms GROUP BY query_id)
+SELECT q.query_id, dt.doc_id
+FROM qterms q
+JOIN dt ON dt.term = q.term
+GROUP BY q.query_id, dt.doc_id
+HAVING count(*) = (SELECT n FROM qn WHERE qn.query_id = q.query_id)
+ORDER BY query_id, doc_id
+"""
+
+
 def bm25_topk_sql(top_k: int = TOP_K) -> str:
     """Full BM25 top-k over the reference query set, rank-deterministic:
     rank on round(score, {RANK}) DESC then doc_id ASC; emit score

@@ -1,0 +1,123 @@
+"""Checkpoint-resumable distributed index build.
+
+The corpus is split into doc-range PARTITIONS (the resumability and
+lineage unit); each partition runs the tokenize -> groupby(term, shard)
+-> encode pipeline and writes one chunk parquet file + a manifest entry
+with metrics. Chunks from different partitions never overlap in doc_id
+space, so no cross-partition merge is needed — the global index is the
+union of per-partition chunk tables, with the dictionary derived from
+chunk summaries at load (stages/index_build.dictionary_from_chunks).
+
+This is exactly how a 10^12-doc build stays restartable: one
+`ray job submit` per failed/remaining input shard range; finished
+shards are skipped by the manifest; per-shard outputs are immutable
+parquet. A killed run resumes to byte-identical results
+(tests/test_resume.py)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from snowball_java_ray.config import EngineConfig
+from snowball_java_ray.stages.index_build import build_chunks, build_postings
+from snowball_java_ray.state.checkpoint import Manifest
+
+
+def _partition_bounds(n_docs: int, n_partitions: int) -> list[tuple[int, int]]:
+    step = (n_docs + n_partitions - 1) // n_partitions
+    return [(lo, min(lo + step, n_docs)) for lo in range(0, n_docs, step)]
+
+
+def build_index_checkpointed(
+    corpus_source,
+    out_dir: str,
+    n_docs: int,
+    n_partitions: int = 4,
+    shard_size: int = 256,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    max_partitions: int | None = None,
+) -> dict:
+    """``corpus_source(lo, hi) -> ray.data.Dataset`` yields the corpus
+    slice with lo <= doc_id < hi (a read_parquet with a row filter in
+    production — predicate pushdown keeps the read partition-local).
+
+    ``max_partitions`` caps how many incomplete partitions this run
+    processes (used by the resume test to simulate a killed run).
+    Returns the manifest entries."""
+    man = Manifest(out_dir)
+    meta_path = os.path.join(out_dir, "meta.json")
+    done_now = 0
+    for lo, hi in _partition_bounds(n_docs, n_partitions):
+        pid = f"docs_{lo}_{hi}"
+        out_file = os.path.join(out_dir, f"chunks_{pid}.parquet")
+        if man.is_done(pid, out_file):
+            continue
+        if max_partitions is not None and done_now >= max_partitions:
+            break
+        t0 = time.perf_counter()
+        ds = corpus_source(lo, hi)
+        postings = build_postings(ds, text_col, id_col, shard_size)
+        chunk_batches = list(
+            build_chunks(postings).iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        tbl = (
+            pa.concat_tables(chunk_batches, promote_options="default")
+            if chunk_batches
+            else None
+        )
+        tmp = out_file + ".tmp"
+        if tbl is not None and tbl.num_rows:
+            pq.write_table(tbl, tmp)
+        else:
+            pq.write_table(_empty_chunks_table(), tmp)
+        os.replace(tmp, out_file)
+        man.mark_done(
+            pid,
+            doc_lo=lo,
+            doc_hi=hi,
+            n_chunks=0 if tbl is None else tbl.num_rows,
+            n_postings=0 if tbl is None else int(pa.compute.sum(tbl["df"]).as_py() or 0),
+            bytes=os.path.getsize(out_file),
+            seconds=round(time.perf_counter() - t0, 3),
+        )
+        done_now += 1
+    # meta written once all partitions are complete
+    bounds = _partition_bounds(n_docs, n_partitions)
+    if all(
+        man.is_done(f"docs_{lo}_{hi}", os.path.join(out_dir, f"chunks_docs_{lo}_{hi}.parquet"))
+        for lo, hi in bounds
+    ):
+        import json
+
+        with open(meta_path + ".tmp", "w") as f:
+            json.dump({"n_docs": n_docs, "shard_size": shard_size,
+                       "n_partitions": n_partitions}, f)
+        os.replace(meta_path + ".tmp", meta_path)
+    return man.entries
+
+
+def _empty_chunks_table() -> pa.Table:
+    from snowball_java_ray.stages.index_build import CHUNK_SCHEMA
+
+    return CHUNK_SCHEMA.empty_table()
+
+
+def load_index(out_dir: str):
+    """Assemble the InvertedIndex from all per-partition chunk files."""
+    import glob
+    import json
+
+    from snowball_java_ray.stages.score import InvertedIndex
+
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    files = sorted(glob.glob(os.path.join(out_dir, "chunks_*.parquet")))
+    tbl = pa.concat_tables(
+        [pq.read_table(f) for f in files], promote_options="default"
+    )
+    return InvertedIndex(tbl, meta["n_docs"])

@@ -55,6 +55,7 @@ class _Chunk:
     data: bytes
     max_tf: int
     min_dl: int
+    shard: int = 0
 
 
 class InvertedIndex:
@@ -86,7 +87,10 @@ class InvertedIndex:
         cfs = chunks["cf"].to_numpy(zero_copy_only=False)
         for i in order:  # shard-ascending => doc_id-ascending chunk concat
             self.chunks.setdefault(terms[i], []).append(
-                _Chunk(int(bases[i]), datas[i], int(max_tfs[i]), int(min_dls[i]))
+                _Chunk(
+                    int(bases[i]), datas[i], int(max_tfs[i]), int(min_dls[i]),
+                    int(shards[i]),
+                )
             )
             self.df[terms[i]] = self.df.get(terms[i], 0) + int(dfs[i])
             total_cf += int(cfs[i])
@@ -168,6 +172,87 @@ def score_query(
     rounded = np.round(scores, RANK_ROUND_DECIMALS)
     order = np.lexsort((uniq, -rounded))[:top_k]
     return uniq[order], scores[order]
+
+
+def score_query_wand(
+    index: InvertedIndex,
+    qtext: str,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = TOP_K,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max WAND over the chunked index: provably returns the SAME
+    top-k as ``score_query`` (tested), decoding only chunks that can
+    beat the running threshold.
+
+    Chunks are shard-aligned across terms, so the doc space partitions
+    into shards; each shard's upper bound is the sum of its terms'
+    chunk bounds ub(t) = idf * max_tf*(k1+1) / (max_tf + k1*(1-b +
+    b*min_dl/avgdl)) (monotone in tf, anti-monotone in dl). Shards are
+    visited in descending bound order; a shard is skipped when its
+    bound < kth_best - 2e-9 — the margin guarantees the skipped docs
+    also lose after RANK_ROUND_DECIMALS rounding and doc_id
+    tie-breaking, so rank identity with the exact scorer is exact, not
+    probabilistic."""
+    terms = sorted(set(tokenize(qtext)))
+    per_term: list[tuple[float, list[_Chunk]]] = []
+    shard_ub: dict[int, float] = {}
+    for t in terms:
+        parts = index.chunks.get(t)
+        if not parts:
+            continue
+        idf = index.idf(t)
+        per_term.append((idf, parts))
+        for c in parts:
+            tf = float(c.max_tf)
+            ub = idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * c.min_dl / index.avgdl)
+            )
+            shard_ub[c.shard] = shard_ub.get(c.shard, 0.0) + ub
+    if not per_term:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+
+    # chunks by (shard, term) for selective decode
+    by_shard: dict[int, list[tuple[float, _Chunk]]] = {}
+    for idf, parts in per_term:
+        for c in parts:
+            by_shard.setdefault(c.shard, []).append((idf, c))
+
+    order = sorted(shard_ub, key=lambda s: (-shard_ub[s], s))
+    cand_docs: list[np.ndarray] = []
+    cand_scores: list[np.ndarray] = []
+    kth = -np.inf
+    n_kept = 0
+    for s in order:
+        if n_kept >= top_k and shard_ub[s] < kth - 2e-9:
+            continue  # no doc in this shard can enter the top-k
+        doc_parts, contrib_parts = [], []
+        for idf, c in by_shard[s]:
+            doc_ids, tfs, dls = decode_postings(c.data, base=c.base)
+            tf = tfs.astype(np.float64)
+            dl = dls.astype(np.float64)
+            contrib = idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * dl / index.avgdl)
+            )
+            doc_parts.append(doc_ids)
+            contrib_parts.append(contrib)
+        all_docs = np.concatenate(doc_parts)
+        all_contribs = np.concatenate(contrib_parts)
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(scores, inv, all_contribs)
+        cand_docs.append(uniq)
+        cand_scores.append(scores)
+        n_kept += uniq.size
+        if n_kept >= top_k:
+            flat = np.concatenate(cand_scores)
+            if flat.size >= top_k:
+                kth = np.partition(flat, -top_k)[-top_k]
+    docs = np.concatenate(cand_docs)
+    scores = np.concatenate(cand_scores)
+    rounded = np.round(scores, RANK_ROUND_DECIMALS)
+    order2 = np.lexsort((docs, -rounded))[:top_k]
+    return docs[order2], scores[order2]
 
 
 def merge_topk(

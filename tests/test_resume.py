@@ -1,0 +1,89 @@
+"""Resume correctness: killed build + resume => byte-identical index
+and identical top-k (north rule, SURVEY.md §5.3)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from snowball_java_ray.constants import REFERENCE_QUERIES
+from snowball_java_ray.pipelines.api import build_index, documents_as_corpus
+from snowball_java_ray.pipelines.index_pipeline import (
+    build_index_checkpointed,
+    load_index,
+)
+from snowball_java_ray.stages.score import score_query
+from tests.conftest import SF_TINY
+
+N_DOCS = 500
+
+
+def corpus_source(lo, hi):
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{SF_TINY}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    # doc-range predicate: in production a parquet row filter (pushdown)
+    ds = ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["doc_id"], lo), pc.less(t["doc_id"], hi))
+        ),
+        batch_format="pyarrow",
+    )
+    from snowball_java_ray.pipelines.api import _corpus_batch
+
+    return ds.map_batches(_corpus_batch, batch_format="pyarrow")
+
+
+def test_killed_build_resumes_identically(ray_session, tmp_path):
+    full_dir = str(tmp_path / "full")
+    resumed_dir = str(tmp_path / "resumed")
+
+    # single-shot build
+    build_index_checkpointed(corpus_source, full_dir, N_DOCS, n_partitions=4,
+                             shard_size=64)
+    # "killed" build: only 2 of 4 partitions complete
+    entries = build_index_checkpointed(
+        corpus_source, resumed_dir, N_DOCS, n_partitions=4, shard_size=64,
+        max_partitions=2,
+    )
+    assert sum(1 for e in entries.values() if e["state"] == "done") == 2
+    assert not os.path.exists(os.path.join(resumed_dir, "meta.json"))
+
+    # resume completes the remaining partitions only
+    entries = build_index_checkpointed(
+        corpus_source, resumed_dir, N_DOCS, n_partitions=4, shard_size=64
+    )
+    assert sum(1 for e in entries.values() if e["state"] == "done") == 4
+
+    # byte-identical partition outputs
+    for f in sorted(os.listdir(full_dir)):
+        if f.endswith(".parquet"):
+            a = open(os.path.join(full_dir, f), "rb").read()
+            b = open(os.path.join(resumed_dir, f), "rb").read()
+            assert a == b, f
+
+    # identical query results, also vs the one-shot in-memory build
+    idx_full = load_index(full_dir)
+    idx_res = load_index(resumed_dir)
+    idx_mem = build_index(documents_as_corpus(SF_TINY), n_docs=N_DOCS, shard_size=64)
+    for q in REFERENCE_QUERIES[:8]:
+        d0, s0 = score_query(idx_mem, q)
+        d1, s1 = score_query(idx_full, q)
+        d2, s2 = score_query(idx_res, q)
+        assert d0.tolist() == d1.tolist() == d2.tolist(), q
+        assert np.array_equal(s1, s2) and np.array_equal(s0, s1), q
+
+
+def test_manifest_metrics(ray_session, tmp_path):
+    d = str(tmp_path / "m")
+    entries = build_index_checkpointed(corpus_source, d, N_DOCS, n_partitions=2,
+                                       shard_size=64)
+    for e in entries.values():
+        assert e["state"] == "done"
+        assert e["n_chunks"] > 0 and e["bytes"] > 0 and e["seconds"] >= 0
+    man = json.load(open(os.path.join(d, "manifest.json")))
+    assert len(man) == 2

@@ -63,6 +63,21 @@ def _corpus_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def verify_sha_batch(batch: pa.Table, text_col: str = "content") -> pa.Table:
+    """M12 sha-equality guard (SURVEY.md §2.2): recompute sha256 of the
+    content and assert equality with the carried ``content_sha256`` at a
+    materialization boundary. Raises on any corruption — the per-row
+    end-to-end invariant from BASELINE.json input_hint."""
+    got = sha256_hex(batch[text_col])
+    want = batch["content_sha256"].to_pylist()
+    bad = [i for i, (g, w) in enumerate(zip(got, want)) if g != w]
+    if bad:
+        raise ValueError(
+            f"content_sha256 mismatch for {len(bad)} rows, first at batch row {bad[0]}"
+        )
+    return batch
+
+
 def documents_as_corpus(sf_dir: str) -> ray.data.Dataset:
     """documents(doc_id,text,lang,source,...) -> input_hint corpus shape
     (deterministic; mirrored in SQL by sqlgen.ingest_corpus_sql)."""
@@ -94,8 +109,11 @@ def build_index(
     the multi-chunk (skew-splitting) path; production uses
     DEFAULT_SHARD_SIZE.
     """
-    postings = build_postings(corpus_ds, text_col, id_col, shard_size)
-    chunks = collect_arrow(build_chunks(postings))
+    from snowball_java_ray.stages.index_build import build_chunk_table
+
+    chunks = collect_arrow(
+        build_chunk_table(corpus_ds, text_col, id_col, shard_size)
+    )
     if n_docs is None:
         n_docs = corpus_ds.count()
     return InvertedIndex(chunks, n_docs)
@@ -164,7 +182,12 @@ def index_meta_pipeline(sf_dir: str) -> pa.Table:
 
 
 def ingest_corpus_pipeline(sf_dir: str) -> ray.data.Dataset:
-    return documents_as_corpus(sf_dir).sort("doc_id")
+    # the sha guard runs at the materialization boundary (M12)
+    return (
+        documents_as_corpus(sf_dir)
+        .map_batches(verify_sha_batch, batch_format="pyarrow")
+        .sort("doc_id")
+    )
 
 
 def boolean_and_pipeline(sf_dir: str) -> pa.Table:

@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from snowball_java_ray.config import EngineConfig
-from snowball_java_ray.stages.index_build import build_chunks, build_postings
+from snowball_java_ray.stages.index_build import build_chunk_table
 from snowball_java_ray.state.checkpoint import Manifest
 
 
@@ -61,9 +61,10 @@ def build_index_checkpointed(
             break
         t0 = time.perf_counter()
         ds = corpus_source(lo, hi)
-        postings = build_postings(ds, text_col, id_col, shard_size)
         chunk_batches = list(
-            build_chunks(postings).iter_batches(batch_size=None, batch_format="pyarrow")
+            build_chunk_table(ds, text_col, id_col, shard_size).iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
         )
         tbl = (
             pa.concat_tables(chunk_batches, promote_options="default")

@@ -151,11 +151,149 @@ def build_postings(corpus_ds, text_col="content", id_col="doc_id",
     )
 
 
-def build_chunks(postings_ds):
+PARTIAL_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("shard", pa.int64()),
+        ("blob", pa.binary()),  # packed (doc_ids int64 | tfs int32 | dls int32)
+        ("n", pa.int32()),
+    ]
+)
+
+
+def _pack_partial(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> bytes:
+    return (
+        doc_ids.astype("<i8").tobytes()
+        + tfs.astype("<i4").tobytes()
+        + dls.astype("<i4").tobytes()
+    )
+
+
+def _unpack_partial(blob: bytes, n: int):
+    doc_ids = np.frombuffer(blob, dtype="<i8", count=n)
+    tfs = np.frombuffer(blob, dtype="<i4", count=n, offset=8 * n)
+    dls = np.frombuffer(blob, dtype="<i4", count=n, offset=12 * n)
+    return doc_ids, tfs, dls
+
+
+def make_partial_chunks(
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    shard_size: int = DEFAULT_SHARD_SIZE,
+):
+    """Map-side combiner: tokenize the batch and pack its postings per
+    (term, shard) into ONE binary row each. The subsequent shuffle
+    moves one row per (term, shard, map task) instead of one row per
+    posting — at 13M postings / 64 tasks this is a ~1000x reduction in
+    shuffled rows, the make-or-break combiner for the groupby at 100 TB
+    (ray_guide: 'pre-aggregate first')."""
+    explode = make_explode_postings(text_col, id_col, shard_size)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        p = explode(batch)
+        terms = p["term"].to_numpy(zero_copy_only=False)
+        shards = p["shard"].to_numpy(zero_copy_only=False)
+        doc_ids = p["doc_id"].to_numpy(zero_copy_only=False)
+        tfs = p["tf"].to_numpy(zero_copy_only=False)
+        dls = p["dl"].to_numpy(zero_copy_only=False)
+        # group rows by (term, shard) via lexsort; docs ascending within
+        order = np.lexsort((doc_ids, shards, terms))
+        terms, shards = terms[order], shards[order]
+        doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
+        if len(terms) == 0:
+            return PARTIAL_SCHEMA.empty_table()
+        boundary = np.flatnonzero(
+            (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+        )
+        starts = np.concatenate([[0], boundary + 1])
+        ends = np.concatenate([boundary + 1, [len(terms)]])
+        out_t, out_s, out_b, out_n = [], [], [], []
+        for a, b in zip(starts, ends):
+            out_t.append(terms[a])
+            out_s.append(int(shards[a]))
+            out_b.append(_pack_partial(doc_ids[a:b], tfs[a:b], dls[a:b]))
+            out_n.append(int(b - a))
+        return pa.table(
+            {
+                "term": pa.array(out_t),
+                "shard": pa.array(out_s, pa.int64()),
+                "blob": pa.array(out_b, pa.binary()),
+                "n": pa.array(out_n, pa.int32()),
+            },
+            schema=PARTIAL_SCHEMA,
+        )
+
+    return fn
+
+
+def merge_encode_group(group: pd.DataFrame) -> pd.DataFrame:
+    """Reduce: merge a (term, shard)'s packed partials (already
+    doc-sorted within each partial), sort across partials, varbyte
+    encode."""
+    term = group["term"].iloc[0]
+    shard = int(group["shard"].iloc[0])
+    parts = [
+        _unpack_partial(b, int(n)) for b, n in zip(group["blob"], group["n"])
+    ]
+    doc_ids = np.concatenate([p[0] for p in parts])
+    tfs = np.concatenate([p[1] for p in parts])
+    dls = np.concatenate([p[2] for p in parts])
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
+    base = int(doc_ids[0])
+    data = encode_postings(doc_ids, tfs, dls, base=base)
+    return pd.DataFrame(
+        {
+            "term": [term],
+            "shard": [shard],
+            "base": [base],
+            "df": [len(doc_ids)],
+            "cf": [int(tfs.sum())],
+            "max_tf": [int(tfs.max())],
+            "min_dl": [int(dls.min())],
+            "data": [data],
+        }
+    )
+
+
+def build_chunk_table(
+    corpus_ds,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    shard_size: int = DEFAULT_SHARD_SIZE,
+):
+    """corpus Dataset -> chunk Dataset via the combiner path: ONE scan,
+    then a shuffle of packed partial rows only."""
+    partials = corpus_ds.map_batches(
+        make_partial_chunks(text_col, id_col, shard_size),
+        batch_format="pyarrow",
+    )
+    return partials.groupby(["term", "shard"]).map_groups(
+        merge_encode_group, batch_format="pandas"
+    )
+
+
+def build_chunks(postings_ds, num_blocks: int | None = None):
     """postings Dataset -> encoded chunk Dataset. This is the core
-    index-build shuffle: hash exchange on (term, shard)."""
-    return postings_ds.groupby(["term", "shard"]).map_groups(
-        encode_chunk_group, batch_format="pandas"
+    index-build shuffle: an exchange on (term, shard).
+
+    The groupby is sort-based; its partition count inherits the input
+    block count, so a fragmented upstream (many small map outputs)
+    fans the sort into hundreds of tiny partitions and per-block
+    overhead dominates (measured 100s vs 7s on the same data). We
+    coalesce to ~2 blocks per CPU first — repartition without shuffle
+    is a cheap block merge."""
+    if num_blocks is None:
+        try:
+            import ray
+
+            num_blocks = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            num_blocks = 16
+    return (
+        postings_ds.repartition(num_blocks)
+        .groupby(["term", "shard"])
+        .map_groups(encode_chunk_group, batch_format="pandas")
     )
 
 

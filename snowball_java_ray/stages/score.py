@@ -72,9 +72,14 @@ class InvertedIndex:
     scored.
     """
 
-    def __init__(self, chunks: pa.Table, n_docs: int):
+    def __init__(self, chunks: pa.Table, n_docs: int, cache_terms: int = 1024):
         self.chunks: dict[str, list[_Chunk]] = {}
         self.df: dict[str, int] = {}
+        # decoded-postings cache (hot terms decoded once per scorer
+        # actor; pure memoization — results unchanged). Bounded FIFO.
+        self._cache: dict[str, tuple] = {}
+        self._contrib_cache: dict[tuple, tuple] = {}
+        self._cache_terms = cache_terms
         terms = chunks["term"].to_pylist()
         shards = chunks["shard"].to_numpy(zero_copy_only=False)
         order = np.argsort(shards, kind="stable")
@@ -104,16 +109,61 @@ class InvertedIndex:
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """-> (doc_ids, tfs, dls), concatenated across chunks in
         doc_id order."""
+        hit = self._cache.get(term)
+        if hit is not None:
+            return hit
         parts = self.chunks.get(term)
         if not parts:
             e = np.empty(0, np.int64)
             return e, e.astype(np.int32), e.astype(np.int32)
         decoded = [decode_postings(c.data, base=c.base) for c in parts]
-        return (
+        out = (
             np.concatenate([d for d, _, _ in decoded]),
             np.concatenate([t for _, t, _ in decoded]),
             np.concatenate([l for _, _, l in decoded]),
         )
+        if len(self._cache) >= self._cache_terms:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[term] = out
+        return out
+
+    def contributions(
+        self, term: str, k1: float, b: float
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, per-doc BM25 contribution) for a term — the
+        impact-precompute pattern: the tf/dl math runs once per term
+        per scorer actor and is reused by every query (results are the
+        same arrays, so float summation stays bit-identical)."""
+        key = (term, k1, b)
+        hit = self._contrib_cache.get(key)
+        if hit is not None:
+            return hit
+        doc_ids, tfs, dls = self.postings(term)
+        if doc_ids.size == 0:
+            out = (doc_ids, np.empty(0, np.float64))
+        else:
+            tf = tfs.astype(np.float64)
+            dl = dls.astype(np.float64)
+            contrib = self.idf(term) * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * dl / self.avgdl)
+            )
+            out = (doc_ids, contrib)
+        if len(self._contrib_cache) >= self._cache_terms:
+            self._contrib_cache.pop(next(iter(self._contrib_cache)))
+        self._contrib_cache[key] = out
+        return out
+
+    def precompute_impacts(self, k1: float = BM25_K1, b: float = BM25_B) -> None:
+        """Materialize every term's contribution array up front (the
+        impact-ordered-index pattern). Call BEFORE ray.put-ing the
+        index: actors then share the ready numpy arrays zero-copy from
+        the object store instead of each re-decoding the postings —
+        turns per-actor cold-start cost into one driver-side pass."""
+        self._cache_terms = max(self._cache_terms, len(self.chunks) + 1)
+        for t in self.chunks:
+            self.contributions(t, k1, b)
+        # drop the raw decoded cache; impacts are what queries read
+        self._cache.clear()
 
 
 def score_query(
@@ -135,14 +185,9 @@ def score_query(
     doc_parts: list[np.ndarray] = []
     contrib_parts: list[np.ndarray] = []
     for t in terms:
-        doc_ids, tfs, dls = index.postings(t)
+        doc_ids, contrib = index.contributions(t, k1, b)
         if doc_ids.size == 0:
             continue
-        tf = tfs.astype(np.float64)
-        dl = dls.astype(np.float64)
-        contrib = index.idf(t) * tf * (k1 + 1.0) / (
-            tf + k1 * (1.0 - b + b * dl / index.avgdl)
-        )
         doc_parts.append(doc_ids)
         contrib_parts.append(contrib)
     if not doc_parts:
@@ -169,9 +214,23 @@ def score_query(
         uniq, inv = np.unique(all_docs, return_inverse=True)
         scores = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(scores, inv, all_contribs)
+    return _topk_select(uniq, scores, top_k)
+
+
+def _topk_select(
+    doc_ids: np.ndarray, scores: np.ndarray, top_k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic top-k cut: argpartition pre-selects the candidates
+    that can place (including ALL ties at the k-th rounded score), then
+    the small lexsort applies the (round DESC, doc_id ASC) order —
+    identical output to a full sort, O(n) instead of O(n log n)."""
     rounded = np.round(scores, RANK_ROUND_DECIMALS)
-    order = np.lexsort((uniq, -rounded))[:top_k]
-    return uniq[order], scores[order]
+    if rounded.size > 4 * top_k:
+        kth = np.partition(rounded, rounded.size - top_k)[rounded.size - top_k]
+        mask = rounded >= kth
+        doc_ids, scores, rounded = doc_ids[mask], scores[mask], rounded[mask]
+    order = np.lexsort((doc_ids, -rounded))[:top_k]
+    return doc_ids[order], scores[order]
 
 
 def score_query_wand(
@@ -250,9 +309,7 @@ def score_query_wand(
                 kth = np.partition(flat, -top_k)[-top_k]
     docs = np.concatenate(cand_docs)
     scores = np.concatenate(cand_scores)
-    rounded = np.round(scores, RANK_ROUND_DECIMALS)
-    order2 = np.lexsort((docs, -rounded))[:top_k]
-    return docs[order2], scores[order2]
+    return _topk_select(docs, scores, top_k)
 
 
 def merge_topk(

@@ -108,6 +108,53 @@ def _empty_chunks_table() -> pa.Table:
     return CHUNK_SCHEMA.empty_table()
 
 
+def compact_chunks(chunks: pa.Table) -> pa.Table:
+    """Segment merge (SURVEY.md §7 step 5): when build partitions are
+    not shard-aligned, one (term, shard) may own several chunks with
+    disjoint doc ranges. Compaction decodes, concatenates in doc order
+    and re-encodes one chunk per (term, shard) — the per-term-range
+    merge that makes the global index independent of how many build
+    partitions produced it (tested equal to a single-shot build)."""
+    import pandas as pd
+
+    from snowball_java_ray.functions.codec import decode_postings, encode_postings
+    from snowball_java_ray.stages.index_build import CHUNK_SCHEMA
+    import numpy as np
+
+    df = chunks.to_pandas()
+    out_rows = []
+    for (term, shard), g in df.groupby(["term", "shard"], sort=True):
+        if len(g) == 1:
+            out_rows.append(g.iloc[0])
+            continue
+        decoded = [
+            decode_postings(bytes(b), base=int(base))
+            for b, base in zip(g["data"], g["base"])
+        ]
+        doc_ids = np.concatenate([d for d, _, _ in decoded])
+        tfs = np.concatenate([t for _, t, _ in decoded])
+        dls = np.concatenate([l for _, _, l in decoded])
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
+        base = int(doc_ids[0])
+        out_rows.append(
+            pd.Series(
+                {
+                    "term": term,
+                    "shard": int(shard),
+                    "base": base,
+                    "df": len(doc_ids),
+                    "cf": int(tfs.sum()),
+                    "max_tf": int(tfs.max()),
+                    "min_dl": int(dls.min()),
+                    "data": encode_postings(doc_ids, tfs, dls, base=base),
+                }
+            )
+        )
+    out = pd.DataFrame(out_rows).sort_values(["term", "shard"])
+    return pa.Table.from_pandas(out, schema=CHUNK_SCHEMA, preserve_index=False)
+
+
 def load_index(out_dir: str):
     """Assemble the InvertedIndex from all per-partition chunk files."""
     import glob

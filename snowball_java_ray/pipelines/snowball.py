@@ -172,6 +172,35 @@ class PatternScorer:
         )
 
 
+def retrieve_seed_candidate_docs(index, seeds: set[tuple[str, str]]) -> "np.ndarray":
+    """The north-star retrieval integration: instead of scanning the
+    full corpus to find seed occurrences (Snowball.java:371-404 scans
+    every tuple), query the inverted index with each seed's terms
+    (conjunctive AND over e1+e2 tokens) and take the union of matching
+    doc_ids. At 10^12 docs this turns the per-iteration seed match from
+    a full scan into an index lookup; extraction then runs only on the
+    retrieved slice. Guaranteed superset of docs containing both
+    surface forms (tested)."""
+    import numpy as np
+
+    out: list[np.ndarray] = []
+    for e1, e2 in seeds:
+        terms = sorted(set(tokenize(f"{e1} {e2}")))
+        if not terms:
+            continue
+        acc = None
+        for t in terms:
+            ids, _, _ = index.postings(t)
+            acc = ids if acc is None else np.intersect1d(acc, ids)
+            if acc.size == 0:
+                break
+        if acc is not None and acc.size:
+            out.append(acc)
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(out))
+
+
 @dataclass
 class SnowballResult:
     tuples: pd.DataFrame

@@ -1,0 +1,140 @@
+"""Tagged-text source, result sinks, segment compaction, retrieval
+integration, and property-based index conformance."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from snowball_java_ray import oracle
+from snowball_java_ray.pipelines.api import build_index
+from snowball_java_ray.stages.score import InvertedIndex, score_query
+
+
+def test_read_tagged_text(ray_session, tmp_path):
+    from snowball_java_ray.sources.readers import read_tagged_text
+
+    p = tmp_path / "sentences.txt"
+    p.write_text(
+        "The <ORG>Acme</ORG> opened in <LOC>Lisbon</LOC> today .\n"
+        "\n"
+        "plain line\n"
+    )
+    ds = read_tagged_text(str(p))
+    rows = ds.take_all()
+    assert [r["doc_id"] for r in rows] == [0, 1, 2]
+    assert rows[0]["content"].startswith("The <ORG>")
+    assert rows[1]["content"] == ""
+
+
+def test_write_results_roundtrip(ray_session, tmp_path):
+    import pandas as pd
+
+    from snowball_java_ray.sources.readers import pretty_tuples, write_results
+
+    t = pd.DataFrame(
+        {"e1": ["A"], "e2": ["B"], "doc_id": [1], "sentence": ["s"],
+         "confidence": [0.9]}
+    )
+    p = pd.DataFrame({"pattern_id": [0], "n_tuples": [2], "positive": [2],
+                      "negative": [0], "confidence": [1.0]})
+    write_results(t, p, str(tmp_path / "out"))
+    back = pq.read_table(str(tmp_path / "out" / "tuples.parquet")).to_pandas()
+    assert back["e1"].tolist() == ["A"]
+    assert "0.900000\tA\tB\ts" in pretty_tuples(t)
+
+
+def test_compact_chunks_equals_single_shot(ray_session, tmp_path):
+    """Non-shard-aligned partitions -> compaction == single-shot build."""
+    from snowball_java_ray.pipelines.index_pipeline import (
+        build_index_checkpointed,
+        compact_chunks,
+        load_index,
+    )
+    from tests.test_resume import N_DOCS, corpus_source
+    from snowball_java_ray.constants import REFERENCE_QUERIES
+    from snowball_java_ray.pipelines.api import documents_as_corpus
+    from tests.conftest import SF_TINY
+
+    d = str(tmp_path / "parts")
+    # 3 partitions of 167 docs vs shard_size 64 -> misaligned boundaries
+    build_index_checkpointed(corpus_source, d, N_DOCS, n_partitions=3,
+                             shard_size=64)
+    idx_multi = load_index(d)
+    # some (term, shard) must own >1 chunk before compaction
+    import glob
+    import pyarrow as pa
+
+    tbl = pa.concat_tables([pq.read_table(f) for f in
+                            sorted(glob.glob(f"{d}/chunks_*.parquet"))])
+    key_counts = tbl.group_by(["term", "shard"]).aggregate([("base", "count")])
+    assert max(key_counts["base_count"].to_pylist()) > 1
+    compacted = compact_chunks(tbl)
+    key_counts2 = compacted.group_by(["term", "shard"]).aggregate(
+        [("base", "count")]
+    )
+    assert max(key_counts2["base_count"].to_pylist()) == 1
+
+    idx_single = build_index(documents_as_corpus(SF_TINY), n_docs=N_DOCS,
+                             shard_size=64)
+    idx_comp = InvertedIndex(compacted, N_DOCS)
+    for q in REFERENCE_QUERIES[:6]:
+        d0, s0 = score_query(idx_single, q)
+        d1, s1 = score_query(idx_multi, q)
+        d2, s2 = score_query(idx_comp, q)
+        assert d0.tolist() == d1.tolist() == d2.tolist(), q
+        assert np.array_equal(s0, s1) and np.array_equal(s0, s2), q
+
+
+def test_retrieval_superset_of_seed_matches(ray_session):
+    import ray.data
+
+    from snowball_java_ray.config import EngineConfig
+    from snowball_java_ray.pipelines.snowball import (
+        extract_tuples,
+        retrieve_seed_candidate_docs,
+    )
+    from snowball_java_ray.sources.corpus import DEFAULT_SEEDS, gen_corpus_table
+
+    tbl = gen_corpus_table(400, seed=42, tagged_fraction=0.6)
+    idx = build_index(ray.data.from_arrow(tbl), n_docs=400, shard_size=128)
+    cand = set(retrieve_seed_candidate_docs(idx, DEFAULT_SEEDS).tolist())
+    assert cand  # retrieval found something
+    # every doc whose extracted tuple matches a seed must be retrieved
+    tuples = extract_tuples(
+        ray.data.from_arrow(tbl), EngineConfig()
+    ).take_all()
+    seeds_l = {(a.lower(), b.lower()) for a, b in DEFAULT_SEEDS}
+    must = {
+        r["doc_id"] for r in tuples
+        if (r["e1"].lower(), r["e2"].lower()) in seeds_l
+    }
+    assert must, "fixture has no seed occurrences"
+    assert must <= cand
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_property_random_corpus_engine_equals_oracle(ray_session, seed):
+    """Property-based conformance (SURVEY.md §5.4): random small corpora
+    -> engine index == oracle index, top-k rank-identical."""
+    import ray.data
+
+    from snowball_java_ray.sources.corpus import gen_corpus_table
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(50, 200))
+    tbl = gen_corpus_table(n, seed=seed, tagged_fraction=float(rng.random()))
+    docs = list(zip(tbl["doc_id"].to_pylist(), tbl["content"].to_pylist()))
+    oidx = oracle.build_index(docs)
+    eidx = build_index(
+        ray.data.from_arrow(tbl), n_docs=n,
+        shard_size=int(rng.integers(16, 128)), text_col="content",
+    )
+    assert eidx.df == oidx.df
+    vocab = list(oidx.df)
+    for _ in range(10):
+        q = " ".join(rng.choice(vocab, size=int(rng.integers(1, 4))))
+        want = oracle.bm25_topk(oidx, q)
+        got_d, got_s = score_query(eidx, q)
+        assert got_d.tolist() == [d for d, _ in want], q
+        for gs, (_, ws) in zip(got_s.tolist(), want):
+            assert gs == pytest.approx(ws, rel=1e-12)

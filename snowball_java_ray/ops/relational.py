@@ -247,7 +247,16 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
         return pa.table(
             {
                 "event_type": t["event_type"],
-                "window_start": pc.floor_temporal(t["ts"], unit="hour"),
+                # string window key: immune to timestamp-unit
+                # re-normalization inside Ray's shuffle
+                # (Arrow's %S emits fractional seconds; trim to 19 chars)
+                "window_start": pc.utf8_slice_codeunits(
+                    pc.strftime(
+                        pc.floor_temporal(t["ts"], unit="hour"),
+                        format="%Y-%m-%d %H:%M:%S",
+                    ),
+                    0, 19,
+                ),
                 "value": t["value"],
             }
         )

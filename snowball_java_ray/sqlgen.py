@@ -88,7 +88,7 @@ dl AS (SELECT d.doc_id, count(t.term) AS doc_len
        GROUP BY d.doc_id)
 SELECT count(*) AS n_docs,
        round(avg(doc_len), {SCORE_ROUND_DECIMALS}) AS avgdl,
-       sum(doc_len) AS total_terms
+       CAST(sum(doc_len) AS BIGINT) AS total_terms
 FROM dl
 """
 
@@ -175,7 +175,8 @@ LIMIT 10
 
 def events_hourly_sql() -> str:
     return """
-SELECT event_type, date_trunc('hour', ts) AS window_start,
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        count(*) AS n_events,
        round(sum(value), 4) AS sum_value
 FROM events
@@ -458,7 +459,7 @@ qterms AS (
     AND term NOT IN ({_STOPLIST_SQL})
 ),
 qn AS (SELECT query_id, count(*) AS n FROM qterms GROUP BY query_id)
-SELECT q.query_id, dt.doc_id
+SELECT CAST(q.query_id AS BIGINT) AS query_id, dt.doc_id
 FROM qterms q
 JOIN dt ON dt.term = q.term
 GROUP BY q.query_id, dt.doc_id
@@ -515,7 +516,7 @@ ranked AS (
          ) AS rank
   FROM scores
 )
-SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank, doc_id,
        round(score, {SCORE_ROUND_DECIMALS}) AS score
 FROM ranked WHERE rank <= {top_k}
 ORDER BY query_id, rank

@@ -108,7 +108,8 @@ def make_doc_stats(text_col: str = "content", id_col: str = "doc_id"):
             {
                 "doc_id": batch[id_col].cast(pa.int64()),
                 "content_sha256": pa.array(sha256_hex(batch[text_col])),
-                "doc_len": pa.array(doc_len, type=pa.int32()),
+                # int64 to match the SQL oracle's BIGINT count
+                "doc_len": pa.array(doc_len.astype("int64"), type=pa.int64()),
             }
         )
 

@@ -35,7 +35,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
-    from snowball_java_ray.ops import ann, dedup, relational, textstats
+    from snowball_java_ray.ops import ann, dedup, joins, relational, textstats
     from snowball_java_ray.pipelines import api
 
     return {
@@ -70,7 +70,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue_by_priority": relational.order_revenue_by_priority,
         "top_customers": relational.top_customers,
         "events_hourly": relational.events_hourly,
+        "events_sessions": relational.events_sessions,
         "orders_topk": relational.orders_topk,
+        "customer_order_totals": joins.customer_order_totals,
     }
 
 
@@ -108,5 +110,7 @@ def oracle_sql() -> dict[str, str]:
         "order_revenue_by_priority": sqlgen.order_revenue_by_priority_sql(),
         "top_customers": sqlgen.top_customers_sql(),
         "events_hourly": sqlgen.events_hourly_sql(),
+        "events_sessions": sqlgen.events_sessions_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),
+        "customer_order_totals": sqlgen.customer_order_totals_sql(),
     }

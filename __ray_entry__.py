@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- Snowball workload layer (rows-only; pytest-oracled) ---
         "snowball_extract": api.snowball_extract_pipeline,
         "snowball_e2e": api.snowball_e2e_pipeline,
+        "snowball_patterns": api.snowball_patterns_pipeline,
+        "term_topk_df": api.term_topk_df_pipeline,
         # --- generic relational operator surface ---
         "q1_pricing": relational.q1_pricing,
         "nation_region_counts": relational.nation_region_counts,
@@ -100,6 +102,7 @@ def oracle_sql() -> dict[str, str]:
         "ingest_corpus": sqlgen.ingest_corpus_sql(),
         "doc_stats": sqlgen.doc_stats_sql(),
         "term_df": sqlgen.term_df_sql(),
+        "term_topk_df": sqlgen.term_topk_df_sql(),
         "index_meta": sqlgen.index_meta_sql(),
         "bm25_topk": sqlgen.bm25_topk_sql(),
         "boolean_and": sqlgen.boolean_and_sql(),

@@ -104,7 +104,8 @@ def lsh_ann_topk(
     top_k: int = ANN_TOP_K,
     n_planes: int = 8,
     seed: int = 42,
-) -> pa.Table:
+    return_stats: bool = False,
+):
     """Approximate variant: random-hyperplane buckets + 1-bit
     multiprobe, exact verify inside candidate buckets. Returns the same
     schema as ann_topk; recall measured in tests, not exact-matched."""
@@ -129,11 +130,13 @@ def lsh_ann_topk(
         buckets[int(k)] = np.flatnonzero(keys == k)
 
     out_q, out_r, out_v, out_c = [], [], [], []
+    n_cand_total = 0
     for qi in np.flatnonzero(ids < n_queries):
         key = int(keys[qi])
         cand_keys = [key] + [key ^ (1 << p) for p in range(n_planes)]
         cand = np.concatenate([buckets.get(k, np.empty(0, np.int64)) for k in cand_keys])
         cand = cand[ids[cand.astype(np.int64)] != ids[qi]].astype(np.int64)
+        n_cand_total += int(cand.size)
         if cand.size == 0:
             continue
         sims = matn[cand] @ matn[qi]
@@ -144,7 +147,7 @@ def lsh_ann_topk(
         out_r.extend(range(1, take + 1))
         out_v.extend(ids[cand[order]].tolist())
         out_c.extend(np.round(sims[order], OUT_DECIMALS).tolist())
-    return pa.table(
+    tbl = pa.table(
         {
             "query_vec_id": pa.array(out_q, pa.int64()),
             "rank": pa.array(out_r, pa.int32()),
@@ -152,3 +155,10 @@ def lsh_ann_topk(
             "cos": pa.array(out_c, pa.float64()),
         }
     )
+    if return_stats:
+        n_q = int((ids < n_queries).sum())
+        return tbl, {
+            "mean_candidates": n_cand_total / max(n_q, 1),
+            "corpus_size": int(len(ids)) - 1,
+        }
+    return tbl

@@ -156,6 +156,34 @@ def term_df_pipeline(sf_dir: str) -> ray.data.Dataset:
     return build_dictionary(build_postings(corpus)).sort("term")
 
 
+def term_topk_df_pipeline(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Top-k heaviest terms by df (the skew report: these are the
+    stop-word-class terms the sharding exists for)."""
+    corpus = documents_as_corpus(sf_dir)
+    return (
+        build_dictionary(build_postings(corpus))
+        .sort(["df", "term"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def snowball_patterns_pipeline(sf_dir: str):
+    """Pattern table of the bootstrap run (rows-only check)."""
+    from snowball_java_ray.config import EngineConfig
+    from snowball_java_ray.pipelines.snowball import snowball_bootstrap
+    from snowball_java_ray.sources.corpus import DEFAULT_SEEDS
+
+    tbl, corpus = _snowball_inputs()
+    index = build_index(corpus, n_docs=_SNOWBALL_CORPUS_ROWS, shard_size=256)
+    import ray.data
+
+    res = snowball_bootstrap(
+        ray.data.from_arrow(tbl), DEFAULT_SEEDS, EngineConfig(), index.df,
+        index.n_docs,
+    )
+    return res.patterns
+
+
 def doc_stats_pipeline(sf_dir: str) -> ray.data.Dataset:
     corpus = documents_as_corpus(sf_dir)
     return corpus.map_batches(make_doc_stats(), batch_format="pyarrow").sort("doc_id")

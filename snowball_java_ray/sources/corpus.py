@@ -39,6 +39,16 @@ FILLER_VOCAB = (
     "table query join scan merge hash sort window stream batch filter "
     "group value data column row vector key part line order customer"
 ).split()
+# FIXTURES.md F1: ~5k-term Zipfian vocabulary (s ~= 1.07). The head is
+# the hand-picked code-like words above (guaranteed heavy-term skew);
+# the tail is generated identifiers.
+VOCAB_SIZE = 5000
+FULL_VOCAB = FILLER_VOCAB + [
+    f"id{i:04d}" for i in range(VOCAB_SIZE - len(FILLER_VOCAB))
+]
+_ZIPF_S = 1.07
+_probs = 1.0 / np.arange(1, len(FULL_VOCAB) + 1) ** _ZIPF_S
+_ZIPF_PROBS = _probs / _probs.sum()
 LANGS = ["py", "java", "go", "js", "txt"]
 
 
@@ -59,11 +69,10 @@ def gen_row(seed: int, i: int, tagged_fraction: float = 0.5) -> dict:
             tmpl = NEG_TEMPLATES[int(rng.integers(len(NEG_TEMPLATES)))]
         content = tmpl.format(org=org, loc=loc)
     else:
-        # Zipfian filler text (heavy-term skew by construction)
-        n = int(rng.integers(8, 40))
-        probs = 1.0 / np.arange(1, len(FILLER_VOCAB) + 1) ** 1.07
-        probs /= probs.sum()
-        words = rng.choice(FILLER_VOCAB, size=n, p=probs)
+        # Zipfian filler text over the 5k vocab (heavy-term skew in the
+        # head, realistic long tail)
+        n = int(rng.integers(8, 60))
+        words = rng.choice(FULL_VOCAB, size=n, p=_ZIPF_PROBS)
         content = " ".join(words)
     lang = LANGS[i % len(LANGS)]
     return {

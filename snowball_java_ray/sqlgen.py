@@ -68,6 +68,15 @@ FROM toks GROUP BY term ORDER BY term
 """
 
 
+def term_topk_df_sql(k: int = 10) -> str:
+    return f"""
+WITH {tokenize_cte()},
+d AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+      FROM toks GROUP BY term)
+SELECT term, df, cf FROM d ORDER BY df DESC, term ASC LIMIT {k}
+"""
+
+
 def doc_stats_sql() -> str:
     """Per-doc stats incl. the sha256 end-to-end invariant."""
     return f"""

@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": relational.top_customers,
         "events_hourly": relational.events_hourly,
         "events_sessions": relational.events_sessions,
+        "events_sliding": relational.events_sliding,
         "orders_topk": relational.orders_topk,
         "customer_order_totals": joins.customer_order_totals,
     }
@@ -114,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": sqlgen.top_customers_sql(),
         "events_hourly": sqlgen.events_hourly_sql(),
         "events_sessions": sqlgen.events_sessions_sql(),
+        "events_sliding": sqlgen.events_sliding_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),
         "customer_order_totals": sqlgen.customer_order_totals_sql(),
     }

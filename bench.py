@@ -204,6 +204,21 @@ def run_bench() -> dict:
     n_results = qds.count()
     timings["bm25_batch_1000q"] = time.perf_counter() - t0
 
+    # training-data ops over the raw sf tables (un-replicated: these
+    # measure the op pipelines at the driver-gate scale)
+    from snowball_java_ray.ops.ann import ann_topk
+    from snowball_java_ray.ops.dedup import minhash_lsh_candidates, simhash_docs
+
+    t0 = time.perf_counter()
+    n_mh = minhash_lsh_candidates(SF_DIR).count()
+    timings["dedup_minhash_lsh"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_sh = simhash_docs(SF_DIR).count()
+    timings["dedup_simhash"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_ann = ann_topk(SF_DIR).count()
+    timings["ann_topk"] = time.perf_counter() - t0
+
     # latency percentiles: single-query scoring against the loaded index
     from snowball_java_ray.stages.score import score_query
 

@@ -46,6 +46,40 @@ def tokenize(text: str) -> list[str]:
     return out
 
 
+# Code-aware mode (SURVEY.md M9 note): source-code identifiers split on
+# camelCase boundaries BEFORE lowercasing, so `getUserName` indexes as
+# get/user/name and snake_case falls out of the base splitter. Applied
+# per-`lang` when analyzing the code corpus; the canonical mode stays
+# the conformance-checked default.
+# Two capture-group passes (RE2-compatible — no lookbehind), applied
+# identically in the Python and Arrow paths:
+_CAMEL1 = (r"([a-z0-9])([A-Z])", r"\1 \2")        # fooBar -> foo Bar
+_CAMEL2 = (r"([A-Z])([A-Z][a-z])", r"\1 \2")      # HTTPFoo -> HTTP Foo
+_CAMEL1_RE = re.compile(_CAMEL1[0])
+_CAMEL2_RE = re.compile(_CAMEL2[0])
+
+
+def tokenize_code(text: str) -> list[str]:
+    """Code-aware tokenization: camelCase split + the canonical
+    normalizer. `parseHTTPResponse` -> [parse, http, response]."""
+    pre = _CAMEL2_RE.sub(_CAMEL2[1], _CAMEL1_RE.sub(_CAMEL1[1], text))
+    return tokenize(pre)
+
+
+def tokenize_code_arrow(texts: pa.Array | pa.ChunkedArray):
+    """Vectorized code-aware path: camelCase boundary inserts are
+    pyarrow regex replaces, then the canonical vectorized tokenizer."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    pre = pc.replace_substring_regex(
+        texts, pattern=_CAMEL1[0], replacement=_CAMEL1[1]
+    )
+    pre = pc.replace_substring_regex(
+        pre, pattern=_CAMEL2[0], replacement=_CAMEL2[1]
+    )
+    return tokenize_arrow(pre)
+
+
 def tokenize_arrow(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, pa.Array]:
     """Vectorized tokenization of a batch of strings.
 

@@ -313,6 +313,58 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
     )
 
 
+def events_sliding(sf_dir: str, window_min: int = 60, slide_min: int = 30) -> ray.data.Dataset:
+    """Sliding windows (60-min window, 30-min slide) per event_type:
+    each event is assigned to every window covering it (window_min /
+    slide_min assignments) in a vectorized flat-map, then one grouped
+    aggregate — the batch expression of a sliding stream window."""
+    k = window_min // slide_min
+
+    def assign(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        # epoch minutes, floored to slide grid
+        mins = ts.astype("datetime64[m]").astype("int64")
+        base = (mins // slide_min) * slide_min
+        parts = []
+        for j in range(k):
+            start = base - j * slide_min
+            parts.append(
+                pa.table(
+                    {
+                        "event_type": t["event_type"],
+                        "window_start": pa.array(
+                            start.astype("datetime64[m]")
+                            .astype("datetime64[us]")
+                        ),
+                        "value": t["value"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start": pc.utf8_slice_codeunits(
+                    pc.strftime(t["window_start"], format="%Y-%m-%d %H:%M:%S"),
+                    0, 19,
+                ),
+                "n_events": t["n_events"],
+                "sum_value": pc.round(t["sum_value"], ndigits=4),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .map_batches(fmt, batch_format="pyarrow")
+        .sort(["event_type", "window_start"])
+    )
+
+
 def orders_topk(sf_dir: str) -> ray.data.Dataset:
     """Global deterministic top-k by sort + limit."""
     return (

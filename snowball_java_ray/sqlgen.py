@@ -225,6 +225,28 @@ ORDER BY user_id, session_id
 """
 
 
+def events_sliding_sql(window_min: int = 60, slide_min: int = 30) -> str:
+    """Sliding-window oracle: explode each event to its k covering
+    windows via generate_series, then aggregate."""
+    k = window_min // slide_min
+    return f"""
+WITH exploded AS (
+  SELECT event_type, value,
+         to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 60 // {slide_min})
+                        * {slide_min} * 60
+                      - j * {slide_min} * 60)::TIMESTAMP AS window_start
+  FROM events, unnest(generate_series(0, {k - 1})) AS t(j)
+)
+SELECT event_type,
+       strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM exploded
+GROUP BY event_type, window_start
+ORDER BY event_type, window_start
+"""
+
+
 def customer_order_totals_sql() -> str:
     return """
 SELECT c.c_custkey,

@@ -97,3 +97,19 @@ def test_tokenizer_matches_duckdb_sql():
         (i, t) for i, txt in enumerate(texts) for t in tokenize(txt)
     )
     assert got == want
+
+
+def test_tokenize_code_mode():
+    from snowball_java_ray.functions.text import tokenize_code, tokenize_code_arrow
+    import pyarrow as pa
+
+    assert tokenize_code("getUserName") == ["get", "user", "name"]
+    assert tokenize_code("parseHTTPResponse") == ["parse", "http", "response"]
+    assert tokenize_code("snake_case_name") == ["snake", "case", "name"]
+    assert tokenize_code("XMLHttpRequest2") == ["xml", "http", "request2"]
+    texts = ["getUserName", "parseHTTPResponse foo_bar", ""]
+    row_idx, toks = tokenize_code_arrow(pa.array(texts))
+    got = [[] for _ in texts]
+    for r, t in zip(row_idx, toks.to_pylist()):
+        got[r].append(t)
+    assert got == [tokenize_code(t) for t in texts]

@@ -167,16 +167,27 @@ def ngram_jaccard_pairs(
 # --- MinHash + LSH -----------------------------------------------------
 
 
+# Universal-hash mixing constants: one md5 per shingle, then
+# mixed_s(h) = (A_s * h + B_s) mod 2^64 per seed — 16x fewer digest
+# calls than hashing (seed, shingle) pairs and fully numpy-vectorizable,
+# while staying bit-replicable in DuckDB HUGEINT arithmetic.
+MINHASH_AB: tuple[tuple[int, int], ...] = tuple(
+    (md5int60(f"a{s}") | 1, md5int60(f"b{s}")) for s in range(MINHASH_SEEDS)
+)
+_MH_A = np.array([a for a, _ in MINHASH_AB], dtype=np.uint64)
+_MH_B = np.array([b for _, b in MINHASH_AB], dtype=np.uint64)
+
+
 def minhash_signature(text: str, n_seeds: int = MINHASH_SEEDS) -> list[int]:
-    """Per-seed minimum of md5int60(f"{seed}:{shingle}"). At cluster
-    scale the md5 becomes a vectorized 64-bit mixer; md5 is kept here
-    for bit-identical SQL replication."""
+    """Per-seed minimum of (A_s * md5int60(shingle) + B_s) mod 2^64.
+    Vectorized: one md5 per distinct shingle, then a (shingles x seeds)
+    uint64 mix matrix."""
     shs = shingles(text)
     if not shs:
         return []  # shingle-less docs take part in no buckets (SQL parity)
-    return [
-        min(md5int60(f"{s}:{sh}") for sh in shs) for s in range(n_seeds)
-    ]
+    h = np.array([md5int60(sh) for sh in shs], dtype=np.uint64)
+    mixed = h[:, None] * _MH_A[None, :n_seeds] + _MH_B[None, :n_seeds]
+    return [int(v) for v in mixed.min(axis=0)]
 
 
 def minhash_lsh_candidates(sf_dir: str) -> ray.data.Dataset:

@@ -327,12 +327,19 @@ ORDER BY p.doc_a, p.doc_b
 
 
 def minhash_lsh_sql() -> str:
-    h = _MD5INT60.format(expr="s.seed || ':' || sh.shingle")
+    from snowball_java_ray.ops.dedup import MINHASH_AB
+
+    seed_rows = ", ".join(
+        f"({s}, {a}::HUGEINT, {b}::HUGEINT)" for s, (a, b) in enumerate(MINHASH_AB)
+    )
+    h = _MD5INT60.format(expr="sh.shingle")
     return f"""
 WITH {_SHINGLES_CTE},
-seeds AS (SELECT unnest(generate_series(0, {MINHASH_SEEDS - 1})) AS seed),
+seeds(seed, a, b) AS (VALUES {seed_rows}),
 mh AS (
-  SELECT sh.doc_id, s.seed, min({h}) AS minhash
+  SELECT sh.doc_id, s.seed,
+         min((s.a * {h}::HUGEINT + s.b) % 18446744073709551616::HUGEINT)
+           AS minhash
   FROM sh CROSS JOIN seeds s
   GROUP BY sh.doc_id, s.seed
 ),

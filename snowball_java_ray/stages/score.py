@@ -75,6 +75,14 @@ class InvertedIndex:
     def __init__(self, chunks: pa.Table, n_docs: int, cache_terms: int = 1024):
         self.chunks: dict[str, list[_Chunk]] = {}
         self.df: dict[str, int] = {}
+        if chunks.num_rows == 0 or "term" not in chunks.schema.names:
+            # empty corpus / all-stopword corpus -> empty index
+            self._cache: dict[str, tuple] = {}
+            self._contrib_cache: dict[tuple, tuple] = {}
+            self._cache_terms = cache_terms
+            self.n_docs = int(n_docs)
+            self.avgdl = 0.0
+            return
         # decoded-postings cache (hot terms decoded once per scorer
         # actor; pure memoization — results unchanged). Bounded FIFO.
         self._cache: dict[str, tuple] = {}

@@ -1,0 +1,84 @@
+"""Property-based tests (hypothesis): codec round-trips and
+tokenizer/oracle invariants hold for arbitrary inputs."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from snowball_java_ray.functions.codec import (
+    decode_postings,
+    decode_varbyte,
+    encode_postings,
+    encode_varbyte,
+)
+from snowball_java_ray.functions.text import tokenize
+from snowball_java_ray.functions.vectors import cosine
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip_any(values):
+    arr = np.array(values, dtype=np.uint64)
+    assert decode_varbyte(encode_varbyte(arr)).tolist() == values
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=100),
+    st.data(),
+)
+@settings(max_examples=100, deadline=None)
+def test_postings_roundtrip_any(doc_set, data):
+    doc_ids = np.array(sorted(doc_set), dtype=np.int64)
+    n = len(doc_ids)
+    tfs = np.array(
+        data.draw(st.lists(st.integers(1, 10**6), min_size=n, max_size=n)),
+        dtype=np.int32,
+    )
+    dls = np.array(
+        data.draw(st.lists(st.integers(0, 10**6), min_size=n, max_size=n)),
+        dtype=np.int32,
+    )
+    d, t, l = decode_postings(encode_postings(doc_ids, tfs, dls))
+    assert np.array_equal(d, doc_ids)
+    assert np.array_equal(t, tfs)
+    assert np.array_equal(l, dls)
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_tokenizer_invariants(text):
+    toks = tokenize(text)
+    for t in toks:
+        assert t == t.lower()
+        assert t != ""
+        assert not t.isdigit()
+        # tokens contain only [a-z0-9]
+        assert all("a" <= c <= "z" or "0" <= c <= "9" for c in t)
+    # idempotent under re-tokenization of the joined output
+    assert tokenize(" ".join(toks)) == toks
+
+
+@given(
+    st.dictionaries(st.text(min_size=1, max_size=5),
+                    st.floats(-1e6, 1e6), max_size=8),
+    st.dictionaries(st.text(min_size=1, max_size=5),
+                    st.floats(-1e6, 1e6), max_size=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_cosine_bounds(a, b):
+    c = cosine(a, b)
+    assert -1.0 - 1e-9 <= c <= 1.0 + 1e-9
+
+
+def test_empty_index_is_valid(ray_session):
+    import pyarrow as pa
+
+    from snowball_java_ray.stages.index_build import CHUNK_SCHEMA
+    from snowball_java_ray.stages.score import InvertedIndex, score_query
+
+    idx = InvertedIndex(CHUNK_SCHEMA.empty_table(), 0)
+    d, s = score_query(idx, "anything at all")
+    assert d.size == 0
+    idx2 = InvertedIndex(pa.table({}), 5)
+    d, s = score_query(idx2, "spark table")
+    assert d.size == 0

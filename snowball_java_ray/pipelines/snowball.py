@@ -343,6 +343,12 @@ def snowball_bootstrap(
         tuples_out = pd.DataFrame(
             columns=["e1", "e2", "doc_id", "sentence", "confidence"]
         )
+    def centroid_terms(vec: dict[str, float], k: int = 5) -> str:
+        # O4: words by weight desc, then word asc (reference
+        # utils/SortMaps.java:67-90 pretty-print order)
+        top = sorted(vec.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return " ".join(w for w, _ in top)
+
     patterns_out = pd.DataFrame(
         {
             "pattern_id": [p.pattern_id for p in patterns],
@@ -350,6 +356,9 @@ def snowball_bootstrap(
             "positive": [p.positive for p in patterns],
             "negative": [p.negative for p in patterns],
             "confidence": [round(p.confidence, 6) for p in patterns],
+            "left_terms": [centroid_terms(p.left_c) for p in patterns],
+            "middle_terms": [centroid_terms(p.middle_c) for p in patterns],
+            "right_terms": [centroid_terms(p.right_c) for p in patterns],
         }
     )
     return SnowballResult(

@@ -107,6 +107,38 @@ def _shingle_rows(t: pa.Table) -> pa.Table:
     )
 
 
+def _keep_hot_groups(ds, keys: list[str]):
+    """Drop rows whose group key is a singleton BEFORE the pair-emit
+    map_groups: most buckets/shingles are unique, and map_groups pays
+    per-GROUP Python overhead, so filtering first cuts the group count
+    by ~10-100x (measured 7s -> ~2s on the sf0.1 minhash). The hot-key
+    set is collected and broadcast (small — only colliding keys); at
+    10^12 scale this becomes a bloom-filter semi-join."""
+    from ray.data.aggregate import Count
+
+    # two consumers (count + filter) -> pin once, don't re-execute the
+    # upstream lineage twice
+    ds = ds.materialize()
+    counts = ds.groupby(keys).aggregate(Count(alias_name="__n"))
+
+    def only_hot(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["__n"], 2)).drop_columns(["__n"])
+
+    hot = counts.map_batches(only_hot, batch_format="pyarrow")
+    hot_keys = {
+        tuple(r[k] for k in keys) for r in hot.iter_rows()
+    }
+
+    def filt(t: pa.Table) -> pa.Table:
+        cols = [t[k].to_pylist() for k in keys]
+        mask = [tuple(vals) in hot_keys for vals in zip(*cols)]
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
 def ngram_jaccard_pairs(
     sf_dir: str, threshold: float = JACCARD_THRESHOLD
 ) -> ray.data.Dataset:
@@ -137,7 +169,8 @@ def ngram_jaccard_pairs(
         return pd.DataFrame({"doc_a": a, "doc_b": b})
 
     pair_counts = (
-        shingle_ds.groupby("shingle")
+        _keep_hot_groups(shingle_ds, ["shingle"])
+        .groupby("shingle")
         .map_groups(emit_pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="common"))
@@ -222,9 +255,9 @@ def minhash_lsh_candidates(sf_dir: str) -> ray.data.Dataset:
         a, b = zip(*pairs)
         return pd.DataFrame({"doc_a": a, "doc_b": b})
 
+    bands_ds = _read_docs(sf_dir).map_batches(bands, batch_format="pyarrow")
     return (
-        _read_docs(sf_dir)
-        .map_batches(bands, batch_format="pyarrow")
+        _keep_hot_groups(bands_ds, ["band", "band_key"])
         .groupby(["band", "band_key"])
         .map_groups(emit_pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])

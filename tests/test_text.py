@@ -113,3 +113,55 @@ def test_tokenize_code_mode():
     for r, t in zip(row_idx, toks.to_pylist()):
         got[r].append(t)
     assert got == [tokenize_code(t) for t in texts]
+
+
+def test_fast_tokenizer_equals_regex_path():
+    """The byte-level fast path must equal the regex-kernel path and
+    the pure-Python tokenizer on adversarial inputs."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    texts = [
+        "", " ", "a", "A", "1", "abc123", "123abc", "123",
+        "hello  world", "trailing space ", " leading", "ALL CAPS",
+        "mixedCASE42", "tab\tsep", "newline\nsep", "café déjà-vu",
+        "中文 text here", "emoji 🙂 ok", "a1b2c3", "__dunder__",
+        "x" * 500, ("word " * 100).strip(), "the a of and",
+        "ümlaut Über", "ssß sharp", "0" * 50,
+    ]
+    arr = pa.array(texts)
+    row_idx, toks = tokenize_arrow(arr)
+    got = [[] for _ in texts]
+    for r, t in zip(row_idx, toks.to_pylist()):
+        got[r].append(t)
+    assert got == [tokenize(t) for t in texts]
+    # sliced array path
+    sl = arr.slice(3, 10)
+    r2, t2 = tokenize_arrow(sl)
+    got2 = [[] for _ in range(len(sl))]
+    for r, t in zip(r2, t2.to_pylist()):
+        got2[r].append(t)
+    assert got2 == [tokenize(t) for t in texts[3:13]]
+    # null handling
+    arr3 = pa.array(["a b", None, "c"])
+    r3, t3 = tokenize_arrow(arr3)
+    got3 = [[] for _ in range(3)]
+    for r, t in zip(r3, t3.to_pylist()):
+        got3[r].append(t)
+    assert got3 == [["b"], [], ["c"]]
+
+
+def test_fast_tokenizer_random_fuzz():
+    import random
+
+    rng = random.Random(42)
+    alphabet = "abcXYZ019 _-.\t\nàé中🙂"
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 80)))
+        for _ in range(300)
+    ]
+    row_idx, toks = tokenize_arrow(pa.array(texts))
+    got = [[] for _ in texts]
+    for r, t in zip(row_idx, toks.to_pylist()):
+        got[r].append(t)
+    assert got == [tokenize(t) for t in texts]

@@ -116,6 +116,34 @@ def _row_to_cluster_tuple(row: dict, df: dict, n_docs: int) -> ClusterTuple:
     )
 
 
+def batch_tfidf_vectors(
+    texts: "pa.ChunkedArray | pa.Array", df: dict[str, int], n_docs: int
+) -> list[dict[str, float]]:
+    """Vectorized M11: tokenize a whole context column with the Arrow
+    tokenizer, aggregate tf per (row, term) in C++, then build the
+    sparse dicts. Values identical to tfidf_vec (same tf counts, same
+    idf lookups)."""
+    import math as _math
+
+    from snowball_java_ray.functions.text import term_frequencies, tokenize_arrow
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    row_idx, toks = tokenize_arrow(texts)
+    tf_row, terms, tfs, _ = term_frequencies(row_idx, toks, n)
+    out: list[dict[str, float]] = [dict() for _ in range(n)]
+    term_list = terms.to_pylist()
+    idf_cache: dict[str, float] = {}
+    for r, t, c in zip(tf_row.tolist(), term_list, tfs.tolist()):
+        w = idf_cache.get(t)
+        if w is None:
+            w = _math.log(n_docs / max(df.get(t, 1), 1))
+            idf_cache[t] = w
+        out[r][t] = c * w
+    return out
+
+
 class PatternScorer:
     """Actor-pool stage: score every tuple against every pattern.
 
@@ -140,9 +168,20 @@ class PatternScorer:
             "e1": [], "e2": [], "doc_id": [], "sentence": [],
             "pattern_id": [], "sim": [], "pos": [], "neg": [],
         }
-        rows = batch.to_pylist()
-        for row in rows:
-            t = _row_to_cluster_tuple(row, self.df, self.n_docs)
+        # contexts vectorized per column (M11 batch path); remaining
+        # per-row work is small-dict math against few patterns
+        lefts = batch_tfidf_vectors(batch["left"], self.df, self.n_docs)
+        mids = batch_tfidf_vectors(batch["middle"], self.df, self.n_docs)
+        rights = batch_tfidf_vectors(batch["right"], self.df, self.n_docs)
+        e1s = batch["e1"].to_pylist()
+        e2s = batch["e2"].to_pylist()
+        doc_ids = batch["doc_id"].to_pylist()
+        sents = batch["sentence"].to_pylist()
+        for i in range(len(batch)):
+            t = ClusterTuple(
+                e1=e1s[i], e2=e2s[i], doc_id=doc_ids[i], sentence=sents[i],
+                left=lefts[i], middle=mids[i], right=rights[i],
+            )
             for p in self.patterns:
                 sim = pattern_similarity(p, t, cfg)
                 if sim < cfg.min_degree_match:

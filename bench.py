@@ -33,6 +33,7 @@ os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "20"))
+CORPUS_BYTES = 0
 
 
 def prepare_bench_corpus(sf_dir: str, factor: int) -> tuple[str, int]:
@@ -72,6 +73,8 @@ def replicated_corpus(sf_dir: str, factor: int):
     files = sorted(
         os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".parquet")
     )
+    global CORPUS_BYTES
+    CORPUS_BYTES = sum(os.path.getsize(f) for f in files)
     # Block count is DATA-driven (~32k docs per block), not CPU-driven:
     # constant per-task work at every parallelism level keeps the
     # scaling comparison honest (CPU-proportional blocks gave the
@@ -171,6 +174,9 @@ def run_bench() -> dict:
             "index_build_docs_per_sec": round(
                 n_docs / timings["index_build_to_parquet"], 1
             ),
+            "index_build_mb_per_sec": round(
+                CORPUS_BYTES / 1e6 / timings["index_build_to_parquet"], 1
+            ),
         }
         ray.shutdown()
         return out
@@ -240,6 +246,9 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "n_docs": int(n_docs),
         "index_build_docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "index_build_mb_per_sec": round(
+            CORPUS_BYTES / 1e6 / timings["index_build"], 1
+        ),
         "bm25_queries_per_sec": round(1000 / timings["bm25_batch_1000q"], 1),
         "bm25_p50_ms": round(float(np.percentile(lat_ms, 50)), 3),
         "bm25_p99_ms": round(float(np.percentile(lat_ms, 99)), 3),

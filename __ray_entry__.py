@@ -36,7 +36,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
     from snowball_java_ray.ops import ann, dedup, joins, relational, textstats
-    from snowball_java_ray.pipelines import api
+    from snowball_java_ray.pipelines import api, curate
 
     return {
         # --- dedup family ---
@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": relational.events_sliding,
         "orders_topk": relational.orders_topk,
         "customer_order_totals": joins.customer_order_totals,
+        # --- composed curation pipeline ---
+        "curated_corpus": curate.curated_corpus,
     }
 
 
@@ -118,4 +120,5 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": sqlgen.events_sliding_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),
         "customer_order_totals": sqlgen.customer_order_totals_sql(),
+        "curated_corpus": sqlgen.curated_corpus_sql(),
     }

@@ -549,6 +549,73 @@ ORDER BY query_id, doc_id
 """
 
 
+def curated_corpus_sql() -> str:
+    """The composed curation pipeline: quality gate -> exact dedup ->
+    MinHash-LSH near-dedup (drop larger member of surviving pairs)."""
+    from snowball_java_ray.ops.dedup import MINHASH_AB
+    from snowball_java_ray.pipelines.curate import MAX_STOP_RATIO, MIN_TERMS
+
+    seed_rows = ", ".join(
+        f"({s}, {a}::HUGEINT, {b}::HUGEINT)" for s, (a, b) in enumerate(MINHASH_AB)
+    )
+    h = _MD5INT60.format(expr="sh.shingle")
+    return f"""
+WITH raw AS (
+  SELECT doc_id, unnest({_RAW_TOKS}) AS w FROM documents
+),
+rawstats AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN w IN ({_STOPLIST_SQL}) THEN 1 ELSE 0 END) AS n_stop
+  FROM raw GROUP BY doc_id
+),
+{tokenize_cte()},
+terms AS (SELECT doc_id, count(*) AS n_terms FROM toks GROUP BY doc_id),
+quality AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN terms t ON d.doc_id = t.doc_id
+  LEFT JOIN rawstats s ON d.doc_id = s.doc_id
+  WHERE t.n_terms >= {MIN_TERMS}
+    AND coalesce(s.n_stop * 1.0 / s.n_tokens, 0.0) <= {MAX_STOP_RATIO}
+),
+exact AS (
+  SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+),
+docarr AS (SELECT doc_id, {_RAW_TOKS} AS arr FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(arr) - {NGRAM_N - 1}),
+                i -> {_SHINGLE_EXPR})) AS shingle
+  FROM docarr WHERE len(arr) >= {NGRAM_N}
+),
+seeds(seed, a, b) AS (VALUES {seed_rows}),
+mh AS (
+  SELECT sh.doc_id, s.seed,
+         min((s.a * {h}::HUGEINT + s.b) % 18446744073709551616::HUGEINT)
+           AS minhash
+  FROM sh CROSS JOIN seeds s
+  GROUP BY sh.doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, seed // {MINHASH_BAND_ROWS} AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM mh GROUP BY doc_id, seed // {MINHASH_BAND_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+dropped AS (
+  SELECT DISTINCT c.doc_b AS doc_id FROM cand c
+  JOIN exact ea ON c.doc_a = ea.doc_id
+  JOIN exact eb ON c.doc_b = eb.doc_id
+)
+SELECT e.doc_id FROM exact e
+WHERE e.doc_id NOT IN (SELECT doc_id FROM dropped)
+ORDER BY e.doc_id
+"""
+
+
 def bm25_topk_sql(top_k: int = TOP_K) -> str:
     """Full BM25 top-k over the reference query set, rank-deterministic:
     rank on round(score, {RANK}) DESC then doc_id ASC; emit score

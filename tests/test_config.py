@@ -57,3 +57,19 @@ def test_zone_similarity_reallocation():
     partial = zone_similarity({"l": 1.0}, mid, {"r": 1.0},
                               {"L": 1.0}, mid, {"R": 1.0}, 0.2, 0.6, 0.2)
     assert abs(partial - 0.6) < 1e-12
+
+
+def test_default_config_matches_reference_defaults():
+    from snowball_java_ray.config import default_config
+
+    cfg = default_config()
+    assert cfg.max_tokens_away == 6 and cfg.wUpdt == 0.5
+
+
+def test_distributed_corpus_generator(ray_session):
+    from snowball_java_ray.sources.corpus import gen_corpus_dataset, gen_corpus_table
+
+    ds = gen_corpus_dataset(100, seed=42, tagged_fraction=0.5)
+    got = ds.to_pandas().sort_values("doc_id", ignore_index=True)
+    want = gen_corpus_table(100, seed=42, tagged_fraction=0.5).to_pandas()
+    assert got.equals(want)  # distributed generation == serial generation

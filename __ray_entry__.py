@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "events_sessions": relational.events_sessions,
         "events_sliding": relational.events_sliding,
+        "events_props_stats": relational.events_props_stats,
         "orders_topk": relational.orders_topk,
         "customer_order_totals": joins.customer_order_totals,
         # --- composed curation pipeline ---
@@ -118,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": sqlgen.events_hourly_sql(),
         "events_sessions": sqlgen.events_sessions_sql(),
         "events_sliding": sqlgen.events_sliding_sql(),
+        "events_props_stats": sqlgen.events_props_stats_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),
         "customer_order_totals": sqlgen.customer_order_totals_sql(),
         "curated_corpus": sqlgen.curated_corpus_sql(),

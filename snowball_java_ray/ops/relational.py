@@ -24,7 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Count, Max, Mean, Sum
 
 
 def _read(sf_dir: str, table: str, columns: list[str]) -> ray.data.Dataset:
@@ -362,6 +362,38 @@ def events_sliding(sf_dir: str, window_min: int = 60, slide_min: int = 30) -> ra
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
         .map_batches(fmt, batch_format="pyarrow")
         .sort(["event_type", "window_start"])
+    )
+
+
+def events_props_stats(sf_dir: str) -> ray.data.Dataset:
+    """JSON scalar functions: parse the ``props`` JSON column, extract
+    the numeric field ``k``, aggregate per event_type. Parsing happens
+    per batch (orjson-class cost; at 100 TB this is an actor-pool stage
+    with a compiled parser — here the stdlib keeps it dependency-free)."""
+    import json
+
+    def parse(t: pa.Table) -> pa.Table:
+        ks = []
+        for p in t["props"].to_pylist():
+            try:
+                v = json.loads(p or "{}").get("k")
+            except (ValueError, TypeError):
+                v = None
+            ks.append(v if isinstance(v, int) else None)
+        return pa.table(
+            {"event_type": t["event_type"], "k": pa.array(ks, pa.int64())}
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_type", "props"])
+        .map_batches(parse, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("k", alias_name="sum_k"),
+            Max("k", alias_name="max_k"),
+        )
+        .sort("event_type")
     )
 
 

@@ -259,6 +259,18 @@ ORDER BY c.c_custkey
 """
 
 
+def events_props_stats_sql() -> str:
+    return """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def orders_topk_sql() -> str:
     return """
 SELECT o_orderkey, o_totalprice, o_orderpriority

@@ -164,7 +164,19 @@ def load_index(out_dir: str):
 
     with open(os.path.join(out_dir, "meta.json")) as f:
         meta = json.load(f)
-    files = sorted(glob.glob(os.path.join(out_dir, "chunks_*.parquet")))
+    def _doc_lo(path: str) -> tuple[int, str]:
+        # chunks_docs_{lo}_{hi}.parquet — order by numeric doc_lo, NOT
+        # lexicographically: "docs_1250_1875" < "docs_625_1250" as strings,
+        # and out-of-order concat breaks the doc_id-sorted postings
+        # invariant score_query's dense path relies on.
+        name = os.path.basename(path)
+        parts = name.split("_")
+        try:
+            return (int(parts[2]), name)
+        except (IndexError, ValueError):
+            return (1 << 62, name)
+
+    files = sorted(glob.glob(os.path.join(out_dir, "chunks_*.parquet")), key=_doc_lo)
     tbl = pa.concat_tables(
         [pq.read_table(f) for f in files], promote_options="default"
     )

@@ -90,15 +90,19 @@ class InvertedIndex:
         self._cache_terms = cache_terms
         terms = chunks["term"].to_pylist()
         shards = chunks["shard"].to_numpy(zero_copy_only=False)
-        order = np.argsort(shards, kind="stable")
         bases = chunks["base"].to_numpy(zero_copy_only=False)
+        # (shard ASC, base ASC): doc_id-ascending chunk concat even when a
+        # build-partition boundary splits a shard and the chunk files were
+        # concatenated in arbitrary order — postings() and the dense path
+        # of score_query require per-term doc_id sortedness.
+        order = np.lexsort((bases, shards))
         dfs = chunks["df"].to_numpy(zero_copy_only=False)
         datas = chunks["data"].to_pylist()
         max_tfs = chunks["max_tf"].to_numpy(zero_copy_only=False)
         min_dls = chunks["min_dl"].to_numpy(zero_copy_only=False)
         total_cf = 0
         cfs = chunks["cf"].to_numpy(zero_copy_only=False)
-        for i in order:  # shard-ascending => doc_id-ascending chunk concat
+        for i in order:
             self.chunks.setdefault(terms[i], []).append(
                 _Chunk(
                     int(bases[i]), datas[i], int(max_tfs[i]), int(min_dls[i]),

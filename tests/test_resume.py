@@ -78,6 +78,30 @@ def test_killed_build_resumes_identically(ray_session, tmp_path):
         assert np.array_equal(s1, s2) and np.array_equal(s0, s1), q
 
 
+def test_load_index_nonlexicographic_bounds(ray_session, tmp_path):
+    """Partition bounds whose doc_lo values do NOT sort lexicographically
+    (step=63: "126" < "63" as strings) + a shard_size that makes partition
+    boundaries split shards. load_index must still produce doc_id-ordered
+    per-term postings and identical top-k to the one-shot build."""
+    d = str(tmp_path / "nonlex")
+    build_index_checkpointed(corpus_source, d, N_DOCS, n_partitions=8,
+                             shard_size=64)
+    idx = load_index(d)
+    idx_mem = build_index(documents_as_corpus(SF_TINY), n_docs=N_DOCS, shard_size=64)
+    # every term's postings strictly increasing in doc_id
+    checked = 0
+    for term in list(idx.chunks)[:200]:
+        doc_ids, _, _ = idx.postings(term)
+        assert np.all(np.diff(doc_ids) > 0), term
+        checked += 1
+    assert checked > 0
+    for q in REFERENCE_QUERIES[:8]:
+        d0, s0 = score_query(idx_mem, q)
+        d1, s1 = score_query(idx, q)
+        assert d0.tolist() == d1.tolist(), q
+        assert np.array_equal(s0, s1), q
+
+
 def test_manifest_metrics(ray_session, tmp_path):
     d = str(tmp_path / "m")
     entries = build_index_checkpointed(corpus_source, d, N_DOCS, n_partitions=2,

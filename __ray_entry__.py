@@ -61,6 +61,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_meta": api.index_meta_pipeline,
         "bm25_topk": api.bm25_topk_pipeline,
         "boolean_and": api.boolean_and_pipeline,
+        # doc-sharded serving (ST5 scale path): per-doc-range shard
+        # actors + scatter/gather — rank-identical, same oracles
+        "bm25_topk_sharded": api.bm25_topk_sharded_pipeline,
+        "boolean_and_sharded": api.boolean_and_sharded_pipeline,
         # --- Snowball workload layer (rows-only; pytest-oracled) ---
         "snowball_extract": api.snowball_extract_pipeline,
         "snowball_e2e": api.snowball_e2e_pipeline,
@@ -110,6 +114,8 @@ def oracle_sql() -> dict[str, str]:
         "index_meta": sqlgen.index_meta_sql(),
         "bm25_topk": sqlgen.bm25_topk_sql(),
         "boolean_and": sqlgen.boolean_and_sql(),
+        "bm25_topk_sharded": sqlgen.bm25_topk_sql(),
+        "boolean_and_sharded": sqlgen.boolean_and_sql(),
         # snowball_extract / snowball_e2e: rows-only (input is the
         # synthesized tagged corpus, not a DuckDB-visible view)
         "q1_pricing": sqlgen.q1_pricing_sql(),

@@ -12,6 +12,8 @@ SQL-replicably) by ``documents_as_corpus``.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -149,6 +151,101 @@ def bm25_topk_pipeline(
         concurrency=concurrency,
         batch_size=8,
     ).sort(["query_id", "rank"])
+
+
+def ensure_index_dir(
+    sf_dir: str, shard_size: int = 256, n_partitions: int = 4
+) -> str:
+    """Build (or reuse) the on-disk doc-range-partitioned index for
+    ``sf_dir`` under /tmp — the serving-side input of the sharded path.
+    Cache key includes corpus row count + file mtime so a regenerated
+    testdata dir invalidates; the manifest makes re-entry a no-op."""
+    import pyarrow.parquet as pq
+
+    from snowball_java_ray.pipelines.index_pipeline import (
+        build_index_checkpointed,
+    )
+
+    src = f"{sf_dir}/documents.parquet"
+    n_docs = pq.read_metadata(src).num_rows
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{n_docs}"
+        f"_{shard_size}_{n_partitions}_{int(os.path.getmtime(src))}"
+    )
+    out_dir = os.path.join("/tmp/snowball_serve", key)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def corpus_source(lo, hi):
+        ds = ray.data.read_parquet(
+            src, columns=["doc_id", "text", "lang", "source"]
+        )
+        # doc-range predicate; in production a parquet row filter
+        # (row-group pushdown keeps the read partition-local)
+        ds = ds.map_batches(
+            lambda t: t.filter(
+                pc.and_(
+                    pc.greater_equal(t["doc_id"], lo), pc.less(t["doc_id"], hi)
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        return ds.map_batches(_corpus_batch, batch_format="pyarrow")
+
+    build_index_checkpointed(
+        corpus_source, out_dir, n_docs,
+        n_partitions=n_partitions, shard_size=shard_size,
+    )
+    return out_dir
+
+
+def bm25_topk_sharded_pipeline(
+    sf_dir: str,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = TOP_K,
+    concurrency: int = 2,
+    n_partitions: int = 4,
+) -> ray.data.Dataset:
+    """Doc-sharded serving (SURVEY §2.3 ST5 scale path): per-doc-range
+    shard actors each load only their chunk parquet; queries scatter
+    through the gather stage and merge via merge_topk. Rank-identical
+    to bm25_topk_pipeline (tested) and to the same DuckDB oracle."""
+    from snowball_java_ray.stages.serve import BM25ShardedService
+
+    index_dir = ensure_index_dir(sf_dir, n_partitions=n_partitions)
+    svc = BM25ShardedService(index_dir)
+    return svc.topk_dataset(
+        reference_queries_ds(), k1=k1, b=b, top_k=top_k,
+        concurrency=concurrency,
+    ).sort(["query_id", "rank"])
+
+
+def boolean_and_sharded_pipeline(
+    sf_dir: str, n_partitions: int = 4
+) -> pa.Table:
+    """Conjunctive retrieval over the sharded fleet: per-shard posting
+    intersection, concat across ascending doc-range shards (already
+    doc_id-sorted)."""
+    from snowball_java_ray.stages.serve import BM25ShardedService
+
+    index_dir = ensure_index_dir(sf_dir, n_partitions=n_partitions)
+    svc = BM25ShardedService(index_dir)
+    out_q, out_d = [], []
+    try:
+        for qid, qtext in enumerate(REFERENCE_QUERIES):
+            acc = svc.boolean_and(qtext)
+            if acc.size == 0:
+                continue
+            out_q.extend([qid] * acc.size)
+            out_d.extend(acc.tolist())
+    finally:
+        svc.shutdown()
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+        }
+    )
 
 
 def term_df_pipeline(sf_dir: str) -> ray.data.Dataset:

@@ -49,6 +49,13 @@ TOPK_SCHEMA = pa.schema(
 )
 
 
+def bm25_idf(df: int, n_docs: int) -> float:
+    """The one idf expression, shared by the local index and the
+    sharded gather stage (stages/serve.py) so shipped-in idfs are
+    bit-identical to locally computed ones."""
+    return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+
 @dataclass
 class _Chunk:
     base: int
@@ -115,8 +122,7 @@ class InvertedIndex:
         self.avgdl = total_cf / n_docs if n_docs else 0.0
 
     def idf(self, term: str) -> float:
-        df = self.df.get(term, 0)
-        return math.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        return bm25_idf(self.df.get(term, 0), self.n_docs)
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """-> (doc_ids, tfs, dls), concatenated across chunks in
@@ -140,13 +146,18 @@ class InvertedIndex:
         return out
 
     def contributions(
-        self, term: str, k1: float, b: float
+        self, term: str, k1: float, b: float, idf: float | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
         """(doc_ids, per-doc BM25 contribution) for a term — the
         impact-precompute pattern: the tf/dl math runs once per term
         per scorer actor and is reused by every query (results are the
-        same arrays, so float summation stays bit-identical)."""
-        key = (term, k1, b)
+        same arrays, so float summation stays bit-identical).
+
+        ``idf`` overrides the locally derived idf — the doc-sharded
+        serving path ships the gather stage's globally-computed idf with
+        each query, so shard actors need no dictionary at all. The
+        expression below is evaluated identically either way."""
+        key = (term, k1, b, idf)
         hit = self._contrib_cache.get(key)
         if hit is not None:
             return hit
@@ -156,7 +167,8 @@ class InvertedIndex:
         else:
             tf = tfs.astype(np.float64)
             dl = dls.astype(np.float64)
-            contrib = self.idf(term) * tf * (k1 + 1.0) / (
+            idf_v = self.idf(term) if idf is None else idf
+            contrib = idf_v * tf * (k1 + 1.0) / (
                 tf + k1 * (1.0 - b + b * dl / self.avgdl)
             )
             out = (doc_ids, contrib)
@@ -194,10 +206,24 @@ def score_query(
     term order, matching the oracle's float summation order exactly.
     """
     terms = sorted(set(tokenize(qtext)))
+    return score_terms(index, [(t, None) for t in terms], k1, b, top_k)
+
+
+def score_terms(
+    index: InvertedIndex,
+    terms_idf: list[tuple[str, float | None]],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = TOP_K,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Core of ``score_query`` over pre-tokenized (term, idf) pairs in
+    sorted term order; idf=None means derive from the index's own
+    dictionary. The doc-sharded serving path calls this directly with
+    gather-stage-computed global idfs."""
     doc_parts: list[np.ndarray] = []
     contrib_parts: list[np.ndarray] = []
-    for t in terms:
-        doc_ids, contrib = index.contributions(t, k1, b)
+    for t, idf in terms_idf:
+        doc_ids, contrib = index.contributions(t, k1, b, idf=idf)
         if doc_ids.size == 0:
             continue
         doc_parts.append(doc_ids)
@@ -339,16 +365,23 @@ def merge_topk(
     return doc_ids[order], scores[order]
 
 
+def topk_rows(out_q, out_r, out_d, out_s, qid, doc_ids, scores) -> None:
+    """Append one query's ranked result to the four column builders —
+    the one place rank numbering and score rounding happen (shared with
+    the sharded gather stage in stages/serve.py)."""
+    n = len(doc_ids)
+    out_q.extend([int(qid)] * n)
+    out_r.extend(range(1, n + 1))
+    out_d.extend(doc_ids.tolist())
+    out_s.extend(np.round(scores, SCORE_ROUND_DECIMALS).tolist())
+
+
 def topk_table(query_ids, qtexts, index, k1, b, top_k) -> pa.Table:
     """Score a batch of queries -> TOPK_SCHEMA rows."""
     out_q, out_r, out_d, out_s = [], [], [], []
     for qid, qtext in zip(query_ids, qtexts):
         doc_ids, scores = score_query(index, qtext, k1, b, top_k)
-        n = len(doc_ids)
-        out_q.extend([int(qid)] * n)
-        out_r.extend(range(1, n + 1))
-        out_d.extend(doc_ids.tolist())
-        out_s.extend(np.round(scores, SCORE_ROUND_DECIMALS).tolist())
+        topk_rows(out_q, out_r, out_d, out_s, qid, doc_ids, scores)
     return pa.table(
         {
             "query_id": pa.array(out_q, pa.int64()),

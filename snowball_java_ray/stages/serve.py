@@ -1,0 +1,264 @@
+"""Doc-sharded BM25 serving — the SURVEY.md §2.3 ST5 scale path.
+
+Replaces the driver-assembled broadcast index for query serving: the
+index stays on disk as per-doc-range chunk parquet files (written by
+``pipelines.index_pipeline.build_index_checkpointed``), and serving is
+
+    queries Dataset
+      -> map_batches(ShardedBM25Scorer, concurrency=G)      # gather
+           each __call__ tokenizes its query batch, computes global
+           idfs from the dictionary (the small side), scatters the
+           batch to every shard actor, and merges per-query shard
+           top-ks with ``merge_topk``
+    shard actors: one ``ShardScorer`` Ray actor per doc-range
+           partition; each loads ONLY its own chunks parquet in
+           __init__ and never sees the dictionary — idfs ship with
+           the queries.
+
+Why raw Ray actors here: the shard actors hold partitioned mutable
+state (decoded-postings / impact caches over their doc range) that
+``map_batches`` actor pools cannot route to by key — Ray Data gives no
+key-affine batch placement, so doc-range partitioning needs explicit
+actors (the documented Dataset-API escape hatch).
+
+Scale story (10^12 docs, 256 nodes): chunk files are the unit of
+placement — each node hosts the shard actors for its doc ranges; the
+dictionary (term -> global df, derived from chunk summary columns,
+orders of magnitude smaller than postings) is ray.put once and read by
+the G gather actors, not by the shard actors; a query batch costs one
+scatter RPC per shard actor and returns only k rows per shard, so
+gather bandwidth is O(S * k) per batch regardless of corpus size. At
+extreme dictionary sizes the df lookup itself would be hash-sharded;
+documented, not needed at sandbox scale.
+
+Rank identity with the single-index path is exact, not probabilistic:
+every doc's postings live in exactly one shard, per-doc contributions
+sum in the same sorted-term order with the same shipped idf floats
+(``stages.score.bm25_idf`` is the single shared expression), each
+shard's local top-k keeps every doc whose global rank <= k (its local
+rank can only be better), and ``merge_topk`` applies the identical
+(round(score) DESC, doc_id ASC) key. Tested equal to the broadcast
+path and to the DuckDB oracle (tests/test_serve.py).
+
+Reference semantics replaced: Snowball.java:371-404 (full-scan seed
+matching) — here a sharded top-k retrieval service.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from snowball_java_ray.constants import BM25_B, BM25_K1, TOP_K
+from snowball_java_ray.functions.text import tokenize
+from snowball_java_ray.stages.score import (
+    TOPK_SCHEMA,
+    InvertedIndex,
+    bm25_idf,
+    merge_topk,
+    score_terms,
+    topk_rows,
+)
+
+
+class _ShardScorer:
+    """Per-doc-range scorer. Loads ONLY its shard's chunk file(s) in
+    __init__; global stats arrive as scalars (avgdl) and per-query idfs.
+    Wrapped as a Ray actor by ``make_shard_actor``."""
+
+    def __init__(self, chunk_files: list[str], n_docs: int, avgdl: float):
+        tbl = pa.concat_tables(
+            [pq.read_table(f) for f in chunk_files], promote_options="default"
+        )
+        self.index = InvertedIndex(tbl, n_docs)
+        # global avgdl overrides the shard-local ratio; idf ships with
+        # queries, so the shard-local df dict is never consulted.
+        self.index.avgdl = avgdl
+
+    def score_batch(
+        self,
+        queries: list[tuple[int, list[tuple[str, float]]]],
+        k1: float,
+        b: float,
+        top_k: int,
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """queries: [(query_id, [(term, global_idf), ...] sorted)] ->
+        per-query local top-k (doc_ids, scores)."""
+        return [
+            score_terms(self.index, terms_idf, k1, b, top_k)
+            for _, terms_idf in queries
+        ]
+
+    def boolean_and(self, terms: list[str]) -> np.ndarray:
+        """Conjunctive intersection within this shard's doc range."""
+        acc: np.ndarray | None = None
+        for t in terms:
+            ids, _, _ = self.index.postings(t)
+            acc = ids if acc is None else np.intersect1d(acc, ids)
+            if acc.size == 0:
+                break
+        return acc if acc is not None else np.empty(0, np.int64)
+
+
+# Logical CPUs reserved per shard actor. 0 = request-driven service
+# actors schedule anywhere and don't starve the Dataset operators that
+# share the cluster (a 4-shard fleet at num_cpus=1 would consume every
+# CPU of a small session and deadlock the gather pool). On a production
+# cluster, size this so shards spread across nodes (e.g. 1).
+SHARD_ACTOR_NUM_CPUS = 0
+
+
+def make_shard_actor(chunk_files: list[str], n_docs: int, avgdl: float):
+    import ray
+
+    return (
+        ray.remote(_ShardScorer)
+        .options(num_cpus=SHARD_ACTOR_NUM_CPUS)
+        .remote(chunk_files, n_docs, avgdl)
+    )
+
+
+class BM25ShardedService:
+    """Driver-side handle over the sharded serving fleet.
+
+    Built from an index directory produced by
+    ``build_index_checkpointed`` (chunks_docs_{lo}_{hi}.parquet +
+    meta.json). Reads ONLY the summary columns (term, df, cf) of each
+    chunk file to derive the dictionary — the postings bytes never
+    touch the driver."""
+
+    def __init__(self, index_dir: str):
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            meta = json.load(f)
+        self.n_docs = int(meta["n_docs"])
+        files = sorted(
+            glob.glob(os.path.join(index_dir, "chunks_*.parquet")),
+            key=_doc_lo_key,
+        )
+        if not files:
+            raise FileNotFoundError(f"no chunk files in {index_dir}")
+        df: dict[str, int] = {}
+        total_cf = 0
+        for f in files:
+            summ = pq.read_table(f, columns=["term", "df", "cf"])
+            for t, d in zip(summ["term"].to_pylist(),
+                            summ["df"].to_numpy(zero_copy_only=False)):
+                df[t] = df.get(t, 0) + int(d)
+            s = pa.compute.sum(summ["cf"]).as_py()
+            total_cf += int(s or 0)
+        self.avgdl = total_cf / self.n_docs if self.n_docs else 0.0
+        import ray
+
+        self.df_ref = ray.put(df)
+        self.handles = [
+            make_shard_actor([f], self.n_docs, self.avgdl) for f in files
+        ]
+
+    def topk_dataset(
+        self,
+        queries_ds,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+        top_k: int = TOP_K,
+        concurrency: int = 2,
+        batch_size: int = 8,
+    ):
+        """queries(query_id, qtext) -> TOPK_SCHEMA rows via scatter/
+        gather. The returned Dataset's plan holds the actor handles, so
+        the fleet lives as long as the Dataset does."""
+        return queries_ds.map_batches(
+            ShardedBM25Scorer,
+            fn_constructor_kwargs={
+                "shard_handles": self.handles,
+                "df_ref": self.df_ref,
+                "n_docs": self.n_docs,
+                "k1": k1,
+                "b": b,
+                "top_k": top_k,
+            },
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            batch_size=batch_size,
+        )
+
+    def boolean_and(self, qtext: str) -> np.ndarray:
+        """Conjunctive doc_ids across all shards (scatter + concat —
+        shard doc ranges are disjoint and ascending, so the concat is
+        already doc_id-sorted)."""
+        import ray
+
+        terms = sorted(set(tokenize(qtext)))
+        if not terms:
+            return np.empty(0, np.int64)
+        parts = ray.get([h.boolean_and.remote(terms) for h in self.handles])
+        return np.concatenate(parts) if parts else np.empty(0, np.int64)
+
+    def shutdown(self):
+        import ray
+
+        for h in self.handles:
+            ray.kill(h)
+        self.handles = []
+
+
+class ShardedBM25Scorer:
+    """Gather-stage callable for ``map_batches``: holds the dictionary
+    (one ray.get per gather actor, zero-copy plasma read), computes
+    global idfs, scatters to the shard fleet, merges."""
+
+    def __init__(self, shard_handles, df_ref, n_docs, k1=BM25_K1, b=BM25_B,
+                 top_k=TOP_K):
+        import ray
+
+        self.handles = shard_handles
+        self.df = (
+            ray.get(df_ref) if isinstance(df_ref, ray.ObjectRef) else df_ref
+        )
+        self.n_docs = n_docs
+        self.k1, self.b, self.top_k = k1, b, top_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        qids = batch["query_id"].to_pylist()
+        qtexts = batch["qtext"].to_pylist()
+        queries = []
+        for qid, qtext in zip(qids, qtexts):
+            terms = sorted(set(tokenize(qtext)))
+            queries.append(
+                (int(qid),
+                 [(t, bm25_idf(self.df.get(t, 0), self.n_docs)) for t in terms])
+            )
+        per_shard = ray.get(
+            [h.score_batch.remote(queries, self.k1, self.b, self.top_k)
+             for h in self.handles]
+        )
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for i, (qid, _) in enumerate(queries):
+            docs, scores = merge_topk(
+                [per_shard[s][i] for s in range(len(per_shard))], self.top_k
+            )
+            topk_rows(out_q, out_r, out_d, out_s, qid, docs, scores)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int32()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            },
+            schema=TOPK_SCHEMA,
+        )
+
+
+def _doc_lo_key(path: str) -> tuple[int, str]:
+    name = os.path.basename(path)
+    parts = name.split("_")
+    try:
+        return (int(parts[2]), name)
+    except (IndexError, ValueError):
+        return (1 << 62, name)

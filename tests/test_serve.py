@@ -1,0 +1,55 @@
+"""Doc-sharded serving (stages/serve.py) — rank identity with the
+single-index broadcast path, which is itself oracled against DuckDB.
+
+Reference replaced: Snowball.java:371-404 (full-scan retrieval) via the
+SURVEY.md §2.3 ST5 scatter/gather scale path."""
+
+import numpy as np
+import pyarrow as pa
+
+from snowball_java_ray.constants import REFERENCE_QUERIES
+from snowball_java_ray.pipelines.api import (
+    bm25_topk_pipeline,
+    bm25_topk_sharded_pipeline,
+    boolean_and_pipeline,
+    boolean_and_sharded_pipeline,
+    collect_arrow,
+    ensure_index_dir,
+)
+from snowball_java_ray.stages.serve import BM25ShardedService
+from tests.conftest import SF_TINY
+
+
+def _sorted_pandas(tbl: pa.Table):
+    df = tbl.to_pandas()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_sharded_topk_identical_to_broadcast(ray_session):
+    a = collect_arrow(bm25_topk_pipeline(SF_TINY))
+    b = collect_arrow(bm25_topk_sharded_pipeline(SF_TINY))
+    assert a.schema == b.schema
+    assert _sorted_pandas(a).equals(_sorted_pandas(b))
+
+
+def test_sharded_boolean_and_identical(ray_session):
+    a = boolean_and_pipeline(SF_TINY)
+    b = boolean_and_sharded_pipeline(SF_TINY)
+    assert _sorted_pandas(a).equals(_sorted_pandas(b))
+
+
+def test_sharded_service_direct(ray_session, tmp_path):
+    """Service-level probes: per-shard state isolation + empty query."""
+    index_dir = ensure_index_dir(SF_TINY)
+    svc = BM25ShardedService(index_dir)
+    try:
+        assert len(svc.handles) == 4  # one actor per doc-range partition
+        # zero-hit query: no rows, no error
+        assert svc.boolean_and("zzzznotaterm qqqqalsonot").size == 0
+        assert svc.boolean_and("").size == 0
+        # conjunctive result is doc_id-sorted (ascending shard concat)
+        for q in REFERENCE_QUERIES[:4]:
+            ids = svc.boolean_and(q)
+            assert np.all(np.diff(ids) > 0)
+    finally:
+        svc.shutdown()

@@ -23,7 +23,10 @@ def norm(df):
 
 qs, os_ = em.queries(), em.oracle_sql()
 fails = []
+only = set(sys.argv[1:])  # optional name filter: run a subset
 for name in sorted(qs):
+    if only and name not in only:
+        continue
     t0 = time.time()
     try:
         res = qs[name](SF)

@@ -65,7 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # actors + scatter/gather — rank-identical, same oracles
         "bm25_topk_sharded": api.bm25_topk_sharded_pipeline,
         "boolean_and_sharded": api.boolean_and_sharded_pipeline,
-        # --- Snowball workload layer (rows-only; pytest-oracled) ---
+        # --- Snowball workload layer (serial-twin value oracles) ---
         "snowball_extract": api.snowball_extract_pipeline,
         "snowball_e2e": api.snowball_e2e_pipeline,
         "snowball_patterns": api.snowball_patterns_pipeline,
@@ -116,8 +116,13 @@ def oracle_sql() -> dict[str, str]:
         "boolean_and": sqlgen.boolean_and_sql(),
         "bm25_topk_sharded": sqlgen.bm25_topk_sql(),
         "boolean_and_sharded": sqlgen.boolean_and_sql(),
-        # snowball_extract / snowball_e2e: rows-only (input is the
-        # synthesized tagged corpus, not a DuckDB-visible view)
+        # Snowball layer: value-level oracles via the serial twin
+        # (oracle_snowball.py) — generating these SQL strings runs the
+        # Ray-free twin and writes its parquet; the SQL reads it back,
+        # so the hash compare certifies distributed == serial semantics
+        "snowball_extract": sqlgen.snowball_extract_sql(),
+        "snowball_e2e": sqlgen.snowball_e2e_sql(),
+        "snowball_patterns": sqlgen.snowball_patterns_sql(),
         "q1_pricing": sqlgen.q1_pricing_sql(),
         "nation_region_counts": sqlgen.nation_region_counts_sql(),
         "order_revenue_by_priority": sqlgen.order_revenue_by_priority_sql(),

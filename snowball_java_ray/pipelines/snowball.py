@@ -186,9 +186,16 @@ class PatternScorer:
                 sim = pattern_similarity(p, t, cfg)
                 if sim < cfg.min_degree_match:
                     continue
+                # A5 per-seed counting (SnowballPattern.java:62-71): the
+                # reference iterates ALL seeds — every seed sharing e1
+                # increments pos (e2 matches, at most one in a seed set)
+                # or neg (e2 differs, possibly several).
                 seed_locs = self.seed_by_e1.get(t.e1.lower())
-                pos = seed_locs is not None and t.e2.lower() in seed_locs
-                neg = seed_locs is not None and t.e2.lower() not in seed_locs
+                if seed_locs is None:
+                    pos = neg = 0
+                else:
+                    pos = int(t.e2.lower() in seed_locs)
+                    neg = len(seed_locs) - pos
                 out["e1"].append(t.e1)
                 out["e2"].append(t.e2)
                 out["doc_id"].append(t.doc_id)
@@ -351,11 +358,14 @@ def snowball_bootstrap(
         )
 
         # --- A8: wUpdt smoothing vs previous iteration ---
+        # Reference semantics (Snowball.java:260-276, SnowballTuple
+        # confidence_old = 0 at construction): in iterations > 0 EVERY
+        # tuple smooths, first-seen ones against old = 0.0 (halving
+        # their confidence at wUpdt = 0.5).
         def smooth(row):
             key = (row["e1"], row["e2"], row["doc_id"], row["sentence"])
-            old = prev_conf.get(key)
-            c = row["confidence"]
-            return c * cfg.wUpdt + old * (1 - cfg.wUpdt) if old is not None else c
+            old = prev_conf.get(key, 0.0)
+            return row["confidence"] * cfg.wUpdt + old * (1 - cfg.wUpdt)
 
         if it > 0:
             conf_df["confidence"] = conf_df.apply(smooth, axis=1)

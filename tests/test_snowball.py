@@ -102,3 +102,57 @@ def test_bootstrap_deterministic(ray_session, boot_result):
     )
     pd.testing.assert_frame_equal(boot_result.tuples, again.tuples)
     assert boot_result.seeds == again.seeds
+
+
+def test_serial_twin_matches_distributed(ray_session):
+    """The Ray-free serial twin (oracle_snowball.py) and the distributed
+    bootstrap agree value-for-value on a small corpus — the repo-local
+    version of the driver-gate snowball oracles."""
+    import ray.data
+
+    from snowball_java_ray.oracle_snowball import (
+        bootstrap_serial,
+        corpus_df_dict,
+        extract_serial,
+    )
+    from snowball_java_ray.pipelines.api import build_index
+    from snowball_java_ray.pipelines.snowball import (
+        extract_tuples,
+        snowball_bootstrap,
+    )
+
+    cfg = EngineConfig()
+    tbl = gen_corpus_table(300, seed=7, tagged_fraction=0.6)
+    corpus = ray.data.from_arrow(tbl)
+
+    # extraction parity
+    ray_ext = (
+        extract_tuples(corpus, cfg)
+        .to_pandas()
+        .sort_values(["e1", "e2", "doc_id", "sentence", "left"],
+                     ignore_index=True)
+    )
+    ser_ext = extract_serial(tbl, cfg).sort_values(
+        ["e1", "e2", "doc_id", "sentence", "left"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(ray_ext, ser_ext)
+
+    # dictionary parity: serial df dict == index dictionary
+    df, n_docs = corpus_df_dict(tbl)
+    index = build_index(ray.data.from_arrow(tbl), n_docs=300, shard_size=256)
+    assert df == index.df
+
+    # end-to-end parity (tuples + patterns)
+    res = snowball_bootstrap(
+        ray.data.from_arrow(tbl), DEFAULT_SEEDS, cfg, index.df, index.n_docs
+    )
+    ser_tuples, ser_patterns = bootstrap_serial(
+        tbl, DEFAULT_SEEDS, cfg, df, n_docs
+    )
+    pd.testing.assert_frame_equal(
+        res.tuples.sort_values(["e1", "e2", "doc_id", "sentence"],
+                               ignore_index=True)[ser_tuples.columns],
+        ser_tuples.sort_values(["e1", "e2", "doc_id", "sentence"],
+                               ignore_index=True),
+    )
+    pd.testing.assert_frame_equal(res.patterns, ser_patterns)

@@ -98,8 +98,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": sqlgen.ngram_jaccard_sql(),
         "minhash_lsh": sqlgen.minhash_lsh_sql(),
         "simhash": sqlgen.simhash_sql(),
-        # simhash_pairs: rows-only (pairing is driver-side; SQL hamming
-        # join is possible but redundant with the simhash oracle)
+        "simhash_pairs": sqlgen.simhash_pairs_sql(),
         "embed_dup_pairs": sqlgen.embed_dup_pairs_sql(),
         "ann_topk": sqlgen.ann_topk_sql(),
         "quality_score": sqlgen.quality_score_sql(),

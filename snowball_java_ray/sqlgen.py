@@ -288,6 +288,7 @@ from snowball_java_ray.constants import (  # noqa: E402
     MINHASH_BAND_ROWS,
     MINHASH_SEEDS,
     NGRAM_N,
+    SIMHASH_MAX_HAMMING,
 )
 
 # raw tokens (empties dropped, stopwords/numbers KEPT) as a list column
@@ -392,6 +393,21 @@ sh AS (
 SELECT d.doc_id, CAST(coalesce(sh.simhash, 0) AS BIGINT) AS simhash
 FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
 ORDER BY d.doc_id
+"""
+
+
+def simhash_pairs_sql() -> str:
+    """Hamming-distance near-dup pairs over the SQL-computed simhash
+    fingerprints (bit_count(xor(a, b)) <= SIMHASH_MAX_HAMMING) — the
+    exact-semantics oracle for the distributed chunk-blocked pairing."""
+    inner = simhash_sql()
+    return f"""
+WITH shv AS ({inner})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM shv a JOIN shv b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
 """
 
 

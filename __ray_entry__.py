@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dup_pairs": dedup.embed_dup_pairs,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
+        "lsh_ann": ann.lsh_ann_topk,
         # --- text analysis ---
         "quality_score": textstats.quality_score,
         "token_counts": textstats.token_counts,
@@ -101,6 +102,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": sqlgen.simhash_pairs_sql(),
         "embed_dup_pairs": sqlgen.embed_dup_pairs_sql(),
         "ann_topk": sqlgen.ann_topk_sql(),
+        "lsh_ann": sqlgen.lsh_ann_sql(),
         "quality_score": sqlgen.quality_score_sql(),
         "token_counts": sqlgen.token_counts_sql(),
         "fingerprint": sqlgen.fingerprint_sql(),

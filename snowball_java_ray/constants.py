@@ -102,6 +102,9 @@ SIMHASH_MAX_HAMMING = 2
 EMBED_COS_THRESHOLD = 0.35
 ANN_N_QUERIES = 10  # vec_id < 10 are the ANN query vectors
 ANN_TOP_K = 10
+# sign-LSH ANN: md5-derived hyperplanes (ops/ann.lsh_planes), 1-bit
+# multiprobe; shared by engine and the generated DuckDB oracle
+ANN_LSH_PLANES = 8
 
 # --- Snowball workload defaults (FIXTURES.md F4) -----------------------
 # Mirrors /root/reference/snowball/src/bin/SnowballConfig.java:29-45.

@@ -21,7 +21,11 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from snowball_java_ray.constants import ANN_N_QUERIES, ANN_TOP_K
+from snowball_java_ray.constants import (
+    ANN_LSH_PLANES,
+    ANN_N_QUERIES,
+    ANN_TOP_K,
+)
 
 RANK_DECIMALS = 9
 OUT_DECIMALS = 6
@@ -98,67 +102,124 @@ def ann_topk(
     )
 
 
+def lsh_planes(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic md5-derived hyperplanes in [-1, 1) — the same
+    bit-replicable-everywhere trick as the minhash mixing constants, so
+    the DuckDB oracle (sqlgen.lsh_ann_sql) carries the IDENTICAL plane
+    literals and the whole approximate pipeline is value-checkable.
+    Uniform-cube projections are a standard substitute for gaussian in
+    sign-LSH; recall vs brute force is pinned by tests/test_ann.py."""
+    from snowball_java_ray.ops.dedup import md5int60
+
+    vals = np.array(
+        [
+            md5int60(f"plane{p}:{d}") / float(1 << 59) - 1.0
+            for p in range(n_planes)
+            for d in range(dim)
+        ],
+        dtype=np.float64,
+    )
+    return vals.reshape(n_planes, dim)
+
+
+def lsh_codes(matn: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-pattern bucket key per row (bit p set iff dot(v, plane_p)
+    > 0). Sign is normalization-invariant, matching the SQL side's
+    unnormalized inner products."""
+    bits = (matn @ planes.T > 0).astype(np.uint32)
+    keys = np.zeros(len(matn), dtype=np.uint32)
+    for p in range(planes.shape[0]):
+        keys |= bits[:, p] << p
+    return keys
+
+
 def lsh_ann_topk(
     sf_dir: str,
     n_queries: int = ANN_N_QUERIES,
     top_k: int = ANN_TOP_K,
-    n_planes: int = 8,
-    seed: int = 42,
-    return_stats: bool = False,
-):
-    """Approximate variant: random-hyperplane buckets + 1-bit
-    multiprobe, exact verify inside candidate buckets. Returns the same
-    schema as ann_topk; recall measured in tests, not exact-matched."""
-    import pyarrow.parquet as pq
+    n_planes: int = ANN_LSH_PLANES,
+) -> ray.data.Dataset:
+    """Approximate top-k: random-hyperplane buckets + 1-bit multiprobe,
+    exact verify inside candidate buckets — distributed (VERDICT r1 fix
+    #3): the probe map (bucket key -> probing queries, built from the
+    small query side) is broadcast via ray.put; ONE corpus scan assigns
+    each batch's bucket keys and scores only the vectors whose key some
+    query probes (tie-preserving per-batch partial top-k); the exact
+    merge is the same groupby(query) as ann_topk. No shuffle at all —
+    strictly cheaper than the groupby(bucket) shape, and the corpus is
+    never materialized anywhere.
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    mat = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    matn = mat / norms[:, None]
-    dim = matn.shape[1]
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    codes = (matn @ planes.T > 0).astype(np.uint32)
-    keys = np.zeros(len(ids), dtype=np.uint32)
-    for p in range(n_planes):
-        keys |= codes[:, p] << p
+    Candidate set == the serial definition: vectors whose bucket key is
+    within hamming distance 1 of the query's key. Fully value-checked
+    against the DuckDB oracle (md5-derived plane literals)."""
+    import ray
 
-    buckets: dict[int, np.ndarray] = {}
-    for k in np.unique(keys):
-        buckets[int(k)] = np.flatnonzero(keys == k)
+    qids, qmat = _load_queries(sf_dir, n_queries)
+    planes = lsh_planes(n_planes, qmat.shape[1])
+    qcodes = lsh_codes(qmat, planes)
+    probe: dict[int, list[int]] = {}
+    for qi, k in enumerate(qcodes.tolist()):
+        for key in [k] + [k ^ (1 << p) for p in range(n_planes)]:
+            probe.setdefault(key, []).append(qi)
+    qref = ray.put((qids, qmat, probe, planes))
 
-    out_q, out_r, out_v, out_c = [], [], [], []
-    n_cand_total = 0
-    for qi in np.flatnonzero(ids < n_queries):
-        key = int(keys[qi])
-        cand_keys = [key] + [key ^ (1 << p) for p in range(n_planes)]
-        cand = np.concatenate([buckets.get(k, np.empty(0, np.int64)) for k in cand_keys])
-        cand = cand[ids[cand.astype(np.int64)] != ids[qi]].astype(np.int64)
-        n_cand_total += int(cand.size)
-        if cand.size == 0:
-            continue
-        sims = matn[cand] @ matn[qi]
-        r = np.round(sims, RANK_DECIMALS)
-        order = np.lexsort((ids[cand], -r))[:top_k]
-        take = len(order)
-        out_q.extend([int(ids[qi])] * take)
-        out_r.extend(range(1, take + 1))
-        out_v.extend(ids[cand[order]].tolist())
-        out_c.extend(np.round(sims[order], OUT_DECIMALS).tolist())
-    tbl = pa.table(
-        {
-            "query_vec_id": pa.array(out_q, pa.int64()),
-            "rank": pa.array(out_r, pa.int32()),
-            "vec_id": pa.array(out_v, pa.int64()),
-            "cos": pa.array(out_c, pa.float64()),
-        }
+    def partial(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        q_ids, q_mat, q_probe, pl = _ray.get(qref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        matn = mat / n[:, None]
+        keys = lsh_codes(matn, pl)
+        out_q, out_v, out_c = [], [], []
+        for key in np.unique(keys):
+            qlist = q_probe.get(int(key))
+            if not qlist:
+                continue
+            rows = np.flatnonzero(keys == key)
+            cand_ids = ids[rows]
+            cand_mat = matn[rows]
+            for qi in qlist:
+                mask = cand_ids != q_ids[qi]
+                c_ids = cand_ids[mask]
+                if c_ids.size == 0:
+                    continue
+                cos = cand_mat[mask] @ q_mat[qi]
+                # tie-preserving partial cut (same rule as the merge)
+                if cos.size > top_k:
+                    r = np.round(cos, RANK_DECIMALS)
+                    kth = np.partition(r, r.size - top_k)[r.size - top_k]
+                    keep = r >= kth
+                    c_ids, cos = c_ids[keep], cos[keep]
+                out_q.extend([int(q_ids[qi])] * c_ids.size)
+                out_v.extend(c_ids.tolist())
+                out_c.extend(cos.tolist())
+        return pa.table(
+            {
+                "query_vec_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["r"] = np.round(g["cos"].to_numpy(), RANK_DECIMALS)
+        g = g.sort_values(["r", "vec_id"], ascending=[False, True]).head(top_k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        g["cos"] = np.round(g["cos"].to_numpy(), OUT_DECIMALS)
+        return g[["query_vec_id", "rank", "vec_id", "cos"]]
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("query_vec_id")
+        .map_groups(merge, batch_format="pandas")
+        .sort(["query_vec_id", "rank"])
     )
-    if return_stats:
-        n_q = int((ids < n_queries).sum())
-        return tbl, {
-            "mean_candidates": n_cand_total / max(n_q, 1),
-            "corpus_size": int(len(ids)) - 1,
-        }
-    return tbl

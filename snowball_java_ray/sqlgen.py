@@ -699,6 +699,63 @@ ORDER BY query_id, rank
 """
 
 
+def lsh_ann_sql() -> str:
+    """Sign-LSH ANN oracle: the md5-derived hyperplanes are embedded as
+    double literals (identical floats to ops/ann.lsh_planes — repr
+    round-trips), bucket keys via list_inner_product sign bits, the
+    1-bit multiprobe candidate rule is bit_count(xor(codes)) <= 1, and
+    verification/ranking mirror ann_topk_sql."""
+    import pyarrow.parquet as pq  # noqa: F401  (dim known from constants)
+
+    from snowball_java_ray.constants import (
+        ANN_LSH_PLANES,
+        ANN_N_QUERIES,
+        ANN_TOP_K,
+    )
+    from snowball_java_ray.ops.ann import lsh_planes
+
+    dim = 64  # embeddings.parquet fixed dim (TESTDATA.md)
+    planes = lsh_planes(ANN_LSH_PLANES, dim)
+    code_terms = []
+    for p in range(ANN_LSH_PLANES):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]"
+        code_terms.append(
+            f"(CASE WHEN list_inner_product(e, {lit}) > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+        )
+    code_expr = "\n       + ".join(code_terms)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+coded AS (
+  SELECT vec_id, e,
+         {code_expr} AS code
+  FROM emb
+),
+q AS (SELECT * FROM coded WHERE vec_id < {ANN_N_QUERIES}),
+cand AS (
+  SELECT q.vec_id AS query_vec_id, c.vec_id,
+         list_cosine_similarity(q.e, c.e) AS cos
+  FROM q JOIN coded c
+    ON c.vec_id <> q.vec_id
+   AND bit_count(xor(CAST(q.code AS BIGINT), CAST(c.code AS BIGINT))) <= 1
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, cos,
+         row_number() OVER (
+           PARTITION BY query_vec_id
+           ORDER BY round(cos, 9) DESC, vec_id ASC
+         ) AS rank
+  FROM cand
+)
+SELECT query_vec_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cos
+FROM ranked WHERE rank <= {ANN_TOP_K}
+ORDER BY query_vec_id, rank
+"""
+
+
 # --- Snowball workload oracles (serial-twin parquet, not pure SQL) ----
 # The Snowball layer's input is the synthesized tagged corpus, not a
 # DuckDB-registered view, and M1-M7 extraction needs positional regex

@@ -1,17 +1,49 @@
 """ANN: the LSH variant must beat random candidate sampling — recall
-greater than the fraction of the corpus it examines (LSH gain > 1)."""
+greater than the fraction of the corpus it examines (LSH gain > 1) —
+and the distributed pipeline must equal the serial candidate-rule
+definition exactly (it is also SQL-oracled in the driver gate)."""
 
 import numpy as np
+import pyarrow.parquet as pq
 
-from snowball_java_ray.ops.ann import ann_topk, lsh_ann_topk
+from snowball_java_ray.constants import ANN_LSH_PLANES, ANN_N_QUERIES
+from snowball_java_ray.ops.ann import ann_topk, lsh_ann_topk, lsh_codes, lsh_planes
+from snowball_java_ray.ops.dedup import popcount64
 from tests.conftest import SF_TINY
+
+
+def _codes_and_ids():
+    tbl = pq.read_table(
+        f"{SF_TINY}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(
+        np.float64
+    )
+    n = np.linalg.norm(mat, axis=1)
+    n[n == 0] = 1.0
+    planes = lsh_planes(ANN_LSH_PLANES, mat.shape[1])
+    return ids, lsh_codes(mat / n[:, None], planes)
 
 
 def test_lsh_gain_over_random_sampling(ray_session):
     brute = ann_topk(SF_TINY).to_pandas()
-    approx_tbl, stats = lsh_ann_topk(SF_TINY, n_planes=6, return_stats=True)
-    approx = approx_tbl.to_pandas()
-    coverage = stats["mean_candidates"] / stats["corpus_size"]
+    approx = lsh_ann_topk(SF_TINY).to_pandas()
+
+    # candidate coverage under the hamming<=1 probe rule, computed from
+    # the same deterministic codes the pipeline uses
+    ids, codes = _codes_and_ids()
+    qsel = ids < ANN_N_QUERIES
+    n_corpus = len(ids) - 1
+    cover = [
+        int(
+            (popcount64(codes.astype(np.uint64) ^ np.uint64(codes[qi])) <= 1).sum()
+            - 1
+        )
+        for qi in np.flatnonzero(qsel)
+    ]
+    coverage = float(np.mean(cover)) / n_corpus
+
     recalls = []
     for qid, g in brute.groupby("query_vec_id"):
         truth = set(g["vec_id"])
@@ -27,3 +59,14 @@ def test_lsh_deterministic(ray_session):
     a = lsh_ann_topk(SF_TINY).to_pandas()
     b = lsh_ann_topk(SF_TINY).to_pandas()
     assert a.equals(b)
+
+
+def test_lsh_candidates_match_probe_rule(ray_session):
+    """Every returned neighbor is within hamming 1 of the query's code
+    (the serial candidate definition the distributed scan implements)."""
+    approx = lsh_ann_topk(SF_TINY).to_pandas()
+    ids, codes = _codes_and_ids()
+    code_of = dict(zip(ids.tolist(), codes.tolist()))
+    for qid, vid in zip(approx["query_vec_id"], approx["vec_id"]):
+        d = bin(code_of[qid] ^ code_of[vid]).count("1")
+        assert d <= 1, (qid, vid, d)

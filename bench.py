@@ -210,10 +210,32 @@ def run_bench() -> dict:
     n_results = qds.count()
     timings["bm25_batch_1000q"] = time.perf_counter() - t0
 
+    # doc-sharded serving (ST5 scale path): same 1000-query batch
+    # through the per-doc-range shard fleet (index build to disk is
+    # untimed/cached — serving latency is what this entry measures)
+    from snowball_java_ray.pipelines.api import ensure_index_dir
+    from snowball_java_ray.stages.serve import BM25ShardedService
+
+    idx_dir = ensure_index_dir(SF_DIR, n_partitions=8)
+    svc = BM25ShardedService(idx_dir)
+    t0 = time.perf_counter()
+    n_sharded = svc.topk_dataset(
+        rd.from_items(q_items),
+        concurrency=max(2, NUM_CPUS // 4),
+        batch_size=32,
+    ).count()
+    timings["bm25_sharded_1000q"] = time.perf_counter() - t0
+    svc.shutdown()
+
     # training-data ops over the raw sf tables (un-replicated: these
     # measure the op pipelines at the driver-gate scale)
-    from snowball_java_ray.ops.ann import ann_topk
-    from snowball_java_ray.ops.dedup import minhash_lsh_candidates, simhash_docs
+    from snowball_java_ray.ops.ann import ann_topk, lsh_ann_topk
+    from snowball_java_ray.ops.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+        simhash_docs,
+        simhash_pairs,
+    )
 
     t0 = time.perf_counter()
     n_mh = minhash_lsh_candidates(SF_DIR).count()
@@ -222,8 +244,17 @@ def run_bench() -> dict:
     n_sh = simhash_docs(SF_DIR).count()
     timings["dedup_simhash"] = time.perf_counter() - t0
     t0 = time.perf_counter()
+    simhash_pairs(SF_DIR).count()
+    timings["dedup_simhash_pairs"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ngram_jaccard_pairs(SF_DIR).count()
+    timings["dedup_jaccard"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
     n_ann = ann_topk(SF_DIR).count()
     timings["ann_topk"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    lsh_ann_topk(SF_DIR).count()
+    timings["lsh_ann_topk"] = time.perf_counter() - t0
 
     # latency percentiles: single-query scoring against the loaded index
     from snowball_java_ray.stages.score import score_query
@@ -250,6 +281,10 @@ def run_bench() -> dict:
             CORPUS_BYTES / 1e6 / timings["index_build"], 1
         ),
         "bm25_queries_per_sec": round(1000 / timings["bm25_batch_1000q"], 1),
+        "bm25_sharded_queries_per_sec": round(
+            1000 / timings["bm25_sharded_1000q"], 1
+        ),
+        "n_sharded_results": int(n_sharded),
         "bm25_p50_ms": round(float(np.percentile(lat_ms, 50)), 3),
         "bm25_p99_ms": round(float(np.percentile(lat_ms, 99)), 3),
         "n_results": int(n_results),

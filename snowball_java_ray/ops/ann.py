@@ -68,13 +68,21 @@ def ann_topk(
             mask = ids != q_ids[qi]
             cand_ids = ids[mask]
             cand = sims[qi][mask]
-            take = min(top_k, cand.size)
-            if take == 0:
+            if cand.size == 0:
                 continue
-            part = np.argpartition(-cand, take - 1)[:take]
-            out_q.extend([int(q_ids[qi])] * take)
-            out_v.extend(cand_ids[part].tolist())
-            out_c.extend(cand[part].tolist())
+            if cand.size > top_k:
+                # tie-preserving cut: keep EVERY candidate at or above
+                # the k-th ROUNDED score, so the deterministic winner
+                # under (round(cos,9) DESC, vec_id ASC) can never be
+                # dropped before the merge (same rule as
+                # stages/score._topk_select)
+                r = np.round(cand, RANK_DECIMALS)
+                kth = np.partition(r, r.size - top_k)[r.size - top_k]
+                keep = r >= kth
+                cand_ids, cand = cand_ids[keep], cand[keep]
+            out_q.extend([int(q_ids[qi])] * cand_ids.size)
+            out_v.extend(cand_ids.tolist())
+            out_c.extend(cand.tolist())
         return pa.table(
             {
                 "query_vec_id": pa.array(out_q, pa.int64()),

@@ -117,11 +117,26 @@ def _shingle_rows(t: pa.Table) -> pa.Table:
     )
 
 
+def join_partitions(cap: int = 16) -> int:
+    """Hash-join partition count bounded by cluster CPUs: each join
+    partition is backed by an aggregator actor, and requesting more
+    aggregators than cores stalls a DAG that also runs map operators
+    (observed as a deadlock in 4-CPU test sessions). On a real cluster
+    the cap scales with total cores."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, min(cap, cpus))
+
+
 def candidate_pairs(
     ds: ray.data.Dataset,
     keys: list[str],
     carry: list[str],
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """The shared candidate-pair generator for every blocking-based
     dedup family: a distributed SELF-JOIN of the (key, doc_id, carry...)
@@ -147,7 +162,7 @@ def candidate_pairs(
     joined = ds.join(
         ds,
         join_type="inner",
-        num_partitions=num_partitions,
+        num_partitions=num_partitions or join_partitions(),
         on=tuple(keys),
         left_suffix="_a",
         right_suffix="_b",
@@ -246,31 +261,32 @@ def minhash_signature(text: str, n_seeds: int = MINHASH_SEEDS) -> list[int]:
     return [int(v) for v in mixed.min(axis=0)]
 
 
-def minhash_lsh_candidates(sf_dir: str) -> ray.data.Dataset:
-    """LSH candidate pairs: docs sharing at least one band of
-    MINHASH_BAND_ROWS consecutive minhash values. Signature computation
-    is a stateless map; bucketing is a groupby on (band, key)."""
+def _band_rows(t: pa.Table) -> pa.Table:
+    out_band, out_key, out_doc = [], [], []
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        sig = minhash_signature(text or "")
+        if not sig:
+            continue
+        for b in range(MINHASH_SEEDS // MINHASH_BAND_ROWS):
+            vals = sig[b * MINHASH_BAND_ROWS : (b + 1) * MINHASH_BAND_ROWS]
+            out_band.append(b)
+            out_key.append(",".join(str(v) for v in vals))
+            out_doc.append(doc_id)
+    return pa.table(
+        {
+            "band": pa.array(out_band, pa.int32()),
+            "band_key": pa.array(out_key),
+            "doc_id": pa.array(out_doc, pa.int64()),
+        }
+    )
 
-    def bands(t: pa.Table) -> pa.Table:
-        out_band, out_key, out_doc = [], [], []
-        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sig = minhash_signature(text or "")
-            if not sig:
-                continue
-            for b in range(MINHASH_SEEDS // MINHASH_BAND_ROWS):
-                vals = sig[b * MINHASH_BAND_ROWS : (b + 1) * MINHASH_BAND_ROWS]
-                out_band.append(b)
-                out_key.append(",".join(str(v) for v in vals))
-                out_doc.append(doc_id)
-        return pa.table(
-            {
-                "band": pa.array(out_band, pa.int32()),
-                "band_key": pa.array(out_key),
-                "doc_id": pa.array(out_doc, pa.int64()),
-            }
-        )
 
-    bands_ds = _read_docs(sf_dir).map_batches(bands, batch_format="pyarrow")
+def minhash_lsh_pairs_ds(docs_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """LSH candidate pairs over an arbitrary (doc_id, text) Dataset —
+    used directly by minhash_lsh_candidates and by the curation
+    pipeline (which feeds only its quality/exact survivors, saving a
+    full-corpus scan)."""
+    bands_ds = docs_ds.map_batches(_band_rows, batch_format="pyarrow")
     pairs = candidate_pairs(bands_ds, ["band", "band_key"], [])
 
     def rename(t: pa.Table) -> pa.Table:
@@ -284,6 +300,14 @@ def minhash_lsh_candidates(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Count(alias_name="n_bands"))
         .sort(["doc_a", "doc_b"])
     )
+
+
+def minhash_lsh_candidates(sf_dir: str) -> ray.data.Dataset:
+    """LSH candidate pairs: docs sharing at least one band of
+    MINHASH_BAND_ROWS consecutive minhash values. Signature computation
+    is a stateless map; bucketing is the candidate_pairs self-join on
+    (band, band_key)."""
+    return minhash_lsh_pairs_ds(_read_docs(sf_dir))
 
 
 # --- SimHash -----------------------------------------------------------

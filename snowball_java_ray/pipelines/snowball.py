@@ -104,6 +104,92 @@ def extract_tuples(corpus_ds, cfg: EngineConfig):
     return corpus_ds.map_batches(make_extractor(cfg), batch_format="pyarrow")
 
 
+def extract_tuples_checkpointed(
+    corpus_source,
+    out_dir: str,
+    n_docs: int,
+    cfg: EngineConfig,
+    n_partitions: int = 4,
+    max_partitions: int | None = None,
+) -> dict:
+    """Checkpoint-resumable extraction (S8 parity with the reference's
+    tuple checkpoint, bin/Snowball.java:45-71, re-expressed as the same
+    per-partition parquet + manifest machinery as the index build):
+    each doc-range partition's extracted tuples are written as one
+    immutable parquet file, sorted on the full tuple key so output
+    bytes are independent of block arrival order; a killed run resumes
+    by skipping partitions the manifest marks done (byte-identity
+    tested in tests/test_resume.py)."""
+    import pyarrow.parquet as pq
+
+    from snowball_java_ray.pipelines.index_pipeline import _partition_bounds
+    from snowball_java_ray.state.checkpoint import Manifest
+
+    import os
+    import time
+
+    man = Manifest(out_dir)
+    done_now = 0
+    for lo, hi in _partition_bounds(n_docs, n_partitions):
+        pid = f"docs_{lo}_{hi}"
+        out_file = os.path.join(out_dir, f"tuples_{pid}.parquet")
+        if man.is_done(pid, out_file):
+            continue
+        if max_partitions is not None and done_now >= max_partitions:
+            break
+        t0 = time.perf_counter()
+        batches = list(
+            extract_tuples(corpus_source(lo, hi), cfg).iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+        )
+        tbl = (
+            pa.concat_tables(batches, promote_options="default")
+            if batches
+            else TUPLE_SCHEMA.empty_table()
+        )
+        tbl = tbl.sort_by([(c, "ascending") for c in TUPLE_SCHEMA.names])
+        tmp = out_file + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, out_file)
+        man.mark_done(
+            pid,
+            doc_lo=lo,
+            doc_hi=hi,
+            n_tuples=tbl.num_rows,
+            bytes=os.path.getsize(out_file),
+            seconds=round(time.perf_counter() - t0, 3),
+        )
+        done_now += 1
+    return man.entries
+
+
+def load_tuples(out_dir: str) -> pa.Table:
+    """Union of the per-partition tuple files, in numeric doc_lo order
+    (partitions are disjoint doc ranges, so this is globally
+    doc-range-ordered)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    def doc_lo(path: str) -> tuple[int, str]:
+        name = os.path.basename(path)
+        try:
+            return (int(name.split("_")[2]), name)
+        except (IndexError, ValueError):
+            return (1 << 62, name)
+
+    files = sorted(
+        glob.glob(os.path.join(out_dir, "tuples_*.parquet")), key=doc_lo
+    )
+    if not files:
+        return TUPLE_SCHEMA.empty_table()
+    return pa.concat_tables(
+        [pq.read_table(f) for f in files], promote_options="default"
+    )
+
+
 def _row_to_cluster_tuple(row: dict, df: dict, n_docs: int) -> ClusterTuple:
     return ClusterTuple(
         e1=row["e1"],
@@ -261,13 +347,19 @@ def snowball_bootstrap(
     cfg: EngineConfig,
     df: dict[str, int],
     n_docs: int,
+    tuples_ds=None,
 ) -> SnowballResult:
     """Run the full bootstrap loop. ``df``/``n_docs`` come from the
-    inverted-index dictionary over the same corpus."""
+    inverted-index dictionary over the same corpus. ``tuples_ds``
+    optionally injects a pre-extracted tuple Dataset (e.g. loaded from
+    an extract_tuples_checkpointed run) instead of re-scanning."""
     import ray
     from ray.data.aggregate import Sum
 
-    tuples_ds = extract_tuples(corpus_ds, cfg).materialize()
+    if tuples_ds is None:
+        tuples_ds = extract_tuples(corpus_ds, cfg).materialize()
+    else:
+        tuples_ds = tuples_ds.materialize()
     seeds = {(a.lower(), b.lower()) for a, b in seeds}
     prev_conf: dict[tuple, float] = {}
     patterns: list[Pattern] = []

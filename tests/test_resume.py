@@ -111,3 +111,66 @@ def test_manifest_metrics(ray_session, tmp_path):
         assert e["n_chunks"] > 0 and e["bytes"] > 0 and e["seconds"] >= 0
     man = json.load(open(os.path.join(d, "manifest.json")))
     assert len(man) == 2
+
+
+def test_extraction_checkpoint_resumes_identically(ray_session, tmp_path):
+    """S8 parity: killed extraction + resume => byte-identical tuple
+    partitions, and the bootstrap over loaded tuples equals the
+    one-shot bootstrap (reference: bin/Snowball.java:45-71)."""
+    import ray.data
+
+    from snowball_java_ray.config import EngineConfig
+    from snowball_java_ray.pipelines.snowball import (
+        extract_tuples_checkpointed,
+        load_tuples,
+        snowball_bootstrap,
+    )
+    from snowball_java_ray.pipelines.api import build_index
+    from snowball_java_ray.sources.corpus import DEFAULT_SEEDS, gen_corpus_table
+
+    cfg = EngineConfig()
+    n_docs = 300
+    tbl = gen_corpus_table(n_docs, seed=7, tagged_fraction=0.6)
+
+    def corpus_source(lo, hi):
+        return ray.data.from_arrow(tbl.slice(lo, hi - lo))
+
+    full_dir = str(tmp_path / "full")
+    resumed_dir = str(tmp_path / "resumed")
+    extract_tuples_checkpointed(corpus_source, full_dir, n_docs, cfg,
+                                n_partitions=4)
+    entries = extract_tuples_checkpointed(
+        corpus_source, resumed_dir, n_docs, cfg, n_partitions=4,
+        max_partitions=2,
+    )
+    assert sum(1 for e in entries.values() if e["state"] == "done") == 2
+    entries = extract_tuples_checkpointed(
+        corpus_source, resumed_dir, n_docs, cfg, n_partitions=4
+    )
+    assert sum(1 for e in entries.values() if e["state"] == "done") == 4
+
+    for f in sorted(os.listdir(full_dir)):
+        if f.endswith(".parquet"):
+            a = open(os.path.join(full_dir, f), "rb").read()
+            b = open(os.path.join(resumed_dir, f), "rb").read()
+            assert a == b, f
+
+    # bootstrap over checkpoint-loaded tuples == one-shot bootstrap
+    loaded = load_tuples(resumed_dir)
+    index = build_index(ray.data.from_arrow(tbl), n_docs=n_docs, shard_size=256)
+    r1 = snowball_bootstrap(
+        ray.data.from_arrow(tbl), DEFAULT_SEEDS, EngineConfig(), index.df,
+        index.n_docs,
+    )
+    r2 = snowball_bootstrap(
+        None, DEFAULT_SEEDS, EngineConfig(), index.df, index.n_docs,
+        tuples_ds=ray.data.from_arrow(loaded),
+    )
+    import pandas as pd
+
+    key = ["e1", "e2", "doc_id", "sentence"]
+    pd.testing.assert_frame_equal(
+        r1.tuples.sort_values(key, ignore_index=True),
+        r2.tuples.sort_values(key, ignore_index=True),
+    )
+    pd.testing.assert_frame_equal(r1.patterns, r2.patterns)

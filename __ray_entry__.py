@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # doc-sharded serving (ST5 scale path): per-doc-range shard
         # actors + scatter/gather — rank-identical, same oracles
         "bm25_topk_sharded": api.bm25_topk_sharded_pipeline,
+        "bm25_topk_sharded_wand": api.bm25_topk_sharded_wand_pipeline,
         "boolean_and_sharded": api.boolean_and_sharded_pipeline,
         # --- Snowball workload layer (serial-twin value oracles) ---
         "snowball_extract": api.snowball_extract_pipeline,
@@ -116,6 +117,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": sqlgen.bm25_topk_sql(),
         "boolean_and": sqlgen.boolean_and_sql(),
         "bm25_topk_sharded": sqlgen.bm25_topk_sql(),
+        "bm25_topk_sharded_wand": sqlgen.bm25_topk_sql(),
         "boolean_and_sharded": sqlgen.boolean_and_sql(),
         # Snowball layer: value-level oracles via the serial twin
         # (oracle_snowball.py) — generating these SQL strings runs the

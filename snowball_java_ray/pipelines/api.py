@@ -205,19 +205,28 @@ def bm25_topk_sharded_pipeline(
     top_k: int = TOP_K,
     concurrency: int = 2,
     n_partitions: int = 4,
+    algo: str = "exact",
 ) -> ray.data.Dataset:
     """Doc-sharded serving (SURVEY §2.3 ST5 scale path): per-doc-range
     shard actors each load only their chunk parquet; queries scatter
     through the gather stage and merge via merge_topk. Rank-identical
-    to bm25_topk_pipeline (tested) and to the same DuckDB oracle."""
+    to bm25_topk_pipeline (tested) and to the same DuckDB oracle.
+    algo='wand' runs block-max WAND inside every shard actor."""
     from snowball_java_ray.stages.serve import BM25ShardedService
 
     index_dir = ensure_index_dir(sf_dir, n_partitions=n_partitions)
     svc = BM25ShardedService(index_dir)
     return svc.topk_dataset(
         reference_queries_ds(), k1=k1, b=b, top_k=top_k,
-        concurrency=concurrency,
+        concurrency=concurrency, algo=algo,
     ).sort(["query_id", "rank"])
+
+
+def bm25_topk_sharded_wand_pipeline(sf_dir: str) -> ray.data.Dataset:
+    """The north-star serving shape end-to-end: doc-sharded actor fleet
+    running block-max WAND over the compressed chunked postings —
+    rank-identical to the exact scorer and the DuckDB oracle."""
+    return bm25_topk_sharded_pipeline(sf_dir, algo="wand")
 
 
 def boolean_and_sharded_pipeline(

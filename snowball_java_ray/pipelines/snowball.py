@@ -348,11 +348,22 @@ def snowball_bootstrap(
     df: dict[str, int],
     n_docs: int,
     tuples_ds=None,
+    index=None,
 ) -> SnowballResult:
     """Run the full bootstrap loop. ``df``/``n_docs`` come from the
     inverted-index dictionary over the same corpus. ``tuples_ds``
     optionally injects a pre-extracted tuple Dataset (e.g. loaded from
-    an extract_tuples_checkpointed run) instead of re-scanning."""
+    an extract_tuples_checkpointed run) instead of re-scanning.
+
+    ``index`` (an InvertedIndex) enables retrieval-accelerated seed
+    matching: each iteration first prunes the tuple set to doc_ids the
+    index proves can contain a seed pair (conjunctive postings lookup,
+    ``retrieve_seed_candidate_docs`` — a guaranteed superset of true
+    matches, so results are IDENTICAL, tested), replacing the per-
+    iteration full-tuple scan of Snowball.java:371-404 with an index
+    probe + a slice filter. At 10^12 docs this is the difference
+    between a full pass per iteration and touching only candidate
+    postings."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -369,7 +380,24 @@ def snowball_bootstrap(
         # --- J1: broadcast semi-join against seeds ---
         seed_set = set(seeds)
 
-        def is_seed(t: pa.Table, _s=seed_set) -> pa.Table:
+        cand_ref = None
+        if index is not None and all(
+            tokenize(f"{a} {b}") for a, b in seeds
+        ):
+            # superset guarantee needs every seed to contribute terms; a
+            # stopword-only seed would retrieve nothing and break it —
+            # fall back to the full filter in that (degenerate) case
+            cand_ref = ray.put(retrieve_seed_candidate_docs(index, seeds))
+
+        def is_seed(t: pa.Table, _s=seed_set, _cref=cand_ref) -> pa.Table:
+            if _cref is not None:
+                import pyarrow.compute as pc
+                import ray as _ray
+
+                cand = _ray.get(_cref)
+                t = t.filter(pc.is_in(t["doc_id"], pa.array(cand)))
+                if len(t) == 0:
+                    return t
             keep = [
                 (a.lower(), b.lower()) in _s
                 for a, b in zip(t["e1"].to_pylist(), t["e2"].to_pylist())

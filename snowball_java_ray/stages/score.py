@@ -292,13 +292,28 @@ def score_query_wand(
     tie-breaking, so rank identity with the exact scorer is exact, not
     probabilistic."""
     terms = sorted(set(tokenize(qtext)))
+    return score_terms_wand(index, [(t, None) for t in terms], k1, b, top_k)
+
+
+def score_terms_wand(
+    index: InvertedIndex,
+    terms_idf: list[tuple[str, float | None]],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = TOP_K,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Core of ``score_query_wand`` over pre-tokenized (term, idf)
+    pairs in sorted term order; idf=None derives from the index's own
+    dictionary. The doc-sharded serving path calls this directly with
+    gather-stage global idfs — block-max skipping then happens
+    per-shard against that shard's own running threshold."""
     per_term: list[tuple[float, list[_Chunk]]] = []
     shard_ub: dict[int, float] = {}
-    for t in terms:
+    for t, idf_in in terms_idf:
         parts = index.chunks.get(t)
         if not parts:
             continue
-        idf = index.idf(t)
+        idf = index.idf(t) if idf_in is None else idf_in
         per_term.append((idf, parts))
         for c in parts:
             tf = float(c.max_tf)

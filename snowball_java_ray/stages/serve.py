@@ -62,6 +62,7 @@ from snowball_java_ray.stages.score import (
     bm25_idf,
     merge_topk,
     score_terms,
+    score_terms_wand,
     topk_rows,
 )
 
@@ -86,11 +87,16 @@ class _ShardScorer:
         k1: float,
         b: float,
         top_k: int,
+        algo: str = "exact",
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         """queries: [(query_id, [(term, global_idf), ...] sorted)] ->
-        per-query local top-k (doc_ids, scores)."""
+        per-query local top-k (doc_ids, scores). algo='wand' runs
+        block-max WAND against this shard's chunks (rank-identical to
+        exact, decodes only chunks that can beat the local
+        threshold)."""
+        scorer = score_terms_wand if algo == "wand" else score_terms
         return [
-            score_terms(self.index, terms_idf, k1, b, top_k)
+            scorer(self.index, terms_idf, k1, b, top_k)
             for _, terms_idf in queries
         ]
 
@@ -167,10 +173,12 @@ class BM25ShardedService:
         top_k: int = TOP_K,
         concurrency: int = 2,
         batch_size: int = 8,
+        algo: str = "exact",
     ):
         """queries(query_id, qtext) -> TOPK_SCHEMA rows via scatter/
-        gather. The returned Dataset's plan holds the actor handles, so
-        the fleet lives as long as the Dataset does."""
+        gather; algo='wand' makes every shard run block-max WAND
+        (rank-identical, tested). The returned Dataset's plan holds the
+        actor handles, so the fleet lives as long as the Dataset does."""
         return queries_ds.map_batches(
             ShardedBM25Scorer,
             fn_constructor_kwargs={
@@ -180,6 +188,7 @@ class BM25ShardedService:
                 "k1": k1,
                 "b": b,
                 "top_k": top_k,
+                "algo": algo,
             },
             batch_format="pyarrow",
             concurrency=concurrency,
@@ -212,7 +221,7 @@ class ShardedBM25Scorer:
     global idfs, scatters to the shard fleet, merges."""
 
     def __init__(self, shard_handles, df_ref, n_docs, k1=BM25_K1, b=BM25_B,
-                 top_k=TOP_K):
+                 top_k=TOP_K, algo="exact"):
         import ray
 
         self.handles = shard_handles
@@ -221,6 +230,7 @@ class ShardedBM25Scorer:
         )
         self.n_docs = n_docs
         self.k1, self.b, self.top_k = k1, b, top_k
+        self.algo = algo
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import ray
@@ -235,7 +245,8 @@ class ShardedBM25Scorer:
                  [(t, bm25_idf(self.df.get(t, 0), self.n_docs)) for t in terms])
             )
         per_shard = ray.get(
-            [h.score_batch.remote(queries, self.k1, self.b, self.top_k)
+            [h.score_batch.remote(queries, self.k1, self.b, self.top_k,
+                                  self.algo)
              for h in self.handles]
         )
         out_q, out_r, out_d, out_s = [], [], [], []

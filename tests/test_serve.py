@@ -53,3 +53,12 @@ def test_sharded_service_direct(ray_session, tmp_path):
             assert np.all(np.diff(ids) > 0)
     finally:
         svc.shutdown()
+
+
+def test_sharded_wand_identical(ray_session):
+    """Block-max WAND inside every shard actor == exact sharded path
+    (the north-star serving shape, rank identity preserved end-to-end)."""
+    a = collect_arrow(bm25_topk_sharded_pipeline(SF_TINY))
+    b = collect_arrow(bm25_topk_sharded_pipeline(SF_TINY, algo="wand"))
+    assert a.schema == b.schema
+    assert _sorted_pandas(a).equals(_sorted_pandas(b))

@@ -156,3 +156,31 @@ def test_serial_twin_matches_distributed(ray_session):
                                ignore_index=True),
     )
     pd.testing.assert_frame_equal(res.patterns, ser_patterns)
+
+
+def test_retrieval_accelerated_bootstrap_identical(ray_session):
+    """Index-retrieval-pruned seed matching (north-star integration)
+    produces byte-identical bootstrap results to the full-scan filter —
+    the retrieved doc set is a proven superset of true matches."""
+    import ray.data
+
+    from snowball_java_ray.pipelines.api import build_index
+    from snowball_java_ray.pipelines.snowball import snowball_bootstrap
+
+    tbl = gen_corpus_table(300, seed=7, tagged_fraction=0.6)
+    index = build_index(ray.data.from_arrow(tbl), n_docs=300, shard_size=256)
+    cfg = EngineConfig()
+    r_scan = snowball_bootstrap(
+        ray.data.from_arrow(tbl), DEFAULT_SEEDS, cfg, index.df, index.n_docs
+    )
+    r_retr = snowball_bootstrap(
+        ray.data.from_arrow(tbl), DEFAULT_SEEDS, cfg, index.df, index.n_docs,
+        index=index,
+    )
+    key = ["e1", "e2", "doc_id", "sentence"]
+    pd.testing.assert_frame_equal(
+        r_scan.tuples.sort_values(key, ignore_index=True),
+        r_retr.tuples.sort_values(key, ignore_index=True),
+    )
+    pd.testing.assert_frame_equal(r_scan.patterns, r_retr.patterns)
+    assert r_scan.seeds == r_retr.seeds

@@ -33,7 +33,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Min
 
 from snowball_java_ray.constants import (
     EMBED_COS_THRESHOLD,
@@ -79,19 +78,18 @@ def _read_docs(sf_dir: str) -> ray.data.Dataset:
 def dedup_exact(sf_dir: str) -> ray.data.Dataset:
     """Exact dedup: group on md5(text), keep the smallest doc_id.
     The hash column is computed vectorized per batch; the groupby is a
-    hash exchange on the digest (uniform keys — no skew)."""
+    hash exchange on the digest (uniform keys — no skew, one group per
+    distinct document, so the vectorized hash_grouped_aggregate path)."""
 
     def h(t: pa.Table) -> pa.Table:
         digests = [hashlib.md5((x or "").encode()).hexdigest() for x in t["text"].to_pylist()]
         return pa.table({"content_md5": pa.array(digests), "doc_id": t["doc_id"]})
 
-    return (
-        _read_docs(sf_dir)
-        .map_batches(h, batch_format="pyarrow")
-        .groupby("content_md5")
-        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dups"))
-        .sort("content_md5")
-    )
+    return hash_grouped_aggregate(
+        _read_docs(sf_dir).map_batches(h, batch_format="pyarrow"),
+        ["content_md5"],
+        [("doc_id", "min", "keep_doc_id"), ("", "count_all", "n_dups")],
+    ).sort("content_md5")
 
 
 # --- n-gram Jaccard ----------------------------------------------------
@@ -130,6 +128,59 @@ def join_partitions(cap: int = 16) -> int:
     except Exception:
         cpus = 8
     return max(2, min(cap, cpus))
+
+
+def hash_grouped_aggregate(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """High-cardinality grouped aggregation without per-group Python.
+
+    Ray's ``groupby().aggregate()`` finalizes each group in Python
+    (~25us/group — 1.1M pair groups measured 30s at 32 cpus). Instead:
+    assign each row a partition by FNV-mixing its key columns, shuffle
+    on that LOW-cardinality partition id, and run Arrow's C++ hash
+    aggregation once per partition (same key never spans partitions).
+
+    ``aggs``: (column, arrow_fn, alias) e.g. ("common", "sum",
+    "common"). Works for any per-key-decomposable aggregate."""
+    P = num_parts or join_partitions(64)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = np.zeros(len(t), np.uint64)
+        for k in keys:
+            col = t[k].to_numpy(zero_copy_only=False)
+            if col.dtype.kind in "iu":
+                v = col.astype(np.uint64)
+            else:
+                v = np.array(
+                    [md5int60(str(x)) for x in col], dtype=np.uint64
+                )
+            h = h * np.uint64(1099511628211) ^ v
+        return t.append_column(
+            "__part", pa.array((h % np.uint64(P)).astype(np.int64))
+        )
+
+    def agg_part(t: pa.Table) -> pa.Table:
+        specs = [
+            ([], fn) if fn == "count_all" else (c, fn) for c, fn, _ in aggs
+        ]
+        out = t.drop_columns(["__part"]).group_by(keys).aggregate(specs)
+        renames = {
+            ("count_all" if fn == "count_all" else f"{c}_{fn}"): alias
+            for c, fn, alias in aggs
+        }
+        return out.rename_columns(
+            [renames.get(n, n) for n in out.schema.names]
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(agg_part, batch_format="pyarrow")
+    )
 
 
 def candidate_pairs(
@@ -184,8 +235,6 @@ def ngram_jaccard_pairs(
     groupby(pair) sums the intersection -> threshold filter. No
     driver-side size dict and no size join (VERDICT r1 fix #7): the
     denominator rides the shuffle rows."""
-    from ray.data.aggregate import Sum
-
     shingle_ds = _read_docs(sf_dir).map_batches(
         _shingle_rows, batch_format="pyarrow"
     )
@@ -210,10 +259,10 @@ def ngram_jaccard_pairs(
 
     # n_sh_a/n_sh_b are functionally dependent on the doc ids, so adding
     # them to the pair-count key changes nothing about the grouping
-    with_ab = (
-        pairs.map_batches(partial_count, batch_format="pyarrow")
-        .groupby(["doc_id_a", "doc_id_b", "n_sh_a", "n_sh_b"])
-        .aggregate(Sum("common", alias_name="common"))
+    with_ab = hash_grouped_aggregate(
+        pairs.map_batches(partial_count, batch_format="pyarrow"),
+        ["doc_id_a", "doc_id_b", "n_sh_a", "n_sh_b"],
+        [("common", "sum", "common")],
     )
 
     def jaccard(t: pa.Table) -> pa.Table:
@@ -294,12 +343,11 @@ def minhash_lsh_pairs_ds(docs_ds: ray.data.Dataset) -> ray.data.Dataset:
             {"doc_a": t["doc_id_a"], "doc_b": t["doc_id_b"]}
         )
 
-    return (
-        pairs.map_batches(rename, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_bands"))
-        .sort(["doc_a", "doc_b"])
-    )
+    return hash_grouped_aggregate(
+        pairs.map_batches(rename, batch_format="pyarrow"),
+        ["doc_a", "doc_b"],
+        [("", "count_all", "n_bands")],
+    ).sort(["doc_a", "doc_b"])
 
 
 def minhash_lsh_candidates(sf_dir: str) -> ray.data.Dataset:
@@ -423,13 +471,12 @@ def simhash_pairs(
     chunks_ds = _read_docs(sf_dir).map_batches(
         chunk_rows, batch_format="pyarrow"
     )
-    return (
+    return hash_grouped_aggregate(
         candidate_pairs(chunks_ds, ["chunk_idx", "chunk_val"], ["simhash"])
-        .map_batches(verify, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
-        .sort(["doc_a", "doc_b"])
-    )
+        .map_batches(verify, batch_format="pyarrow"),
+        ["doc_a", "doc_b"],
+        [("hamming", "min", "hamming")],
+    ).sort(["doc_a", "doc_b"])
 
 
 # --- embedding cosine --------------------------------------------------

@@ -66,8 +66,6 @@ def curated_corpus(sf_dir: str) -> ray.data.Dataset:
     chain's tail at most — a deterministic, conservative choice.)"""
     import hashlib
 
-    from ray.data.aggregate import Min
-
     from snowball_java_ray.ops import dedup as dd
 
     n_part = dd.join_partitions()
@@ -85,9 +83,11 @@ def curated_corpus(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"content_md5": pa.array(digests), "doc_id": t["doc_id"]})
 
     keep_ds = (
-        docs.map_batches(h, batch_format="pyarrow")
-        .groupby("content_md5")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
+        dd.hash_grouped_aggregate(
+            docs.map_batches(h, batch_format="pyarrow"),
+            ["content_md5"],
+            [("doc_id", "min", "doc_id")],
+        )
         .map_batches(
             lambda t: t.select(["doc_id"]), batch_format="pyarrow"
         )
@@ -99,7 +99,7 @@ def curated_corpus(sf_dir: str) -> ray.data.Dataset:
     )
 
     pairs = dd.minhash_lsh_pairs_ds(surv_docs)
-    dropped = (
+    dropped = dd.hash_grouped_aggregate(
         pairs.map_batches(
             lambda t: pa.table(
                 {
@@ -108,9 +108,9 @@ def curated_corpus(sf_dir: str) -> ray.data.Dataset:
                 }
             ),
             batch_format="pyarrow",
-        )
-        .groupby("doc_id")
-        .aggregate(Min("__drop", alias_name="__drop"))
+        ),
+        ["doc_id"],
+        [("__drop", "min", "__drop")],
     )
 
     survivors = keep_ds.join(

@@ -78,7 +78,8 @@ def customer_order_totals(sf_dir: str) -> ray.data.Dataset:
     same result as the broadcast-join top_customers pipeline but with
     the large-large machinery (exact-cents arithmetic for the oracle)."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Sum
+
+    from snowball_java_ray.ops.dedup import hash_grouped_aggregate
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
@@ -98,11 +99,11 @@ def customer_order_totals(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    agg = (
-        joined.map_batches(cents, batch_format="pyarrow")
-        .groupby("c_custkey")
-        .aggregate(Sum("price_c", alias_name="price_c"),
-                   Count(alias_name="n_orders"))
+    # one group per customer — the vectorized aggregate path
+    agg = hash_grouped_aggregate(
+        joined.map_batches(cents, batch_format="pyarrow"),
+        ["c_custkey"],
+        [("price_c", "sum", "price_c"), ("", "count_all", "n_orders")],
     )
 
     def finish(t: pa.Table) -> pa.Table:

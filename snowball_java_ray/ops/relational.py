@@ -162,11 +162,15 @@ def order_revenue_by_priority(sf_dir: str) -> ray.data.Dataset:
             ["l_orderkey", "rev4"]
         )
 
-    per_order = (
+    from snowball_java_ray.ops.dedup import hash_grouped_aggregate
+
+    # one group per order — the vectorized aggregate path (Ray's
+    # aggregate pays ~25us of Python per group)
+    per_order = hash_grouped_aggregate(
         _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-        .map_batches(revenue_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev4", alias_name="rev4"))
+        .map_batches(revenue_partial, batch_format="pyarrow"),
+        ["l_orderkey"],
+        [("rev4", "sum", "rev4")],
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = orders.join(
@@ -208,14 +212,13 @@ def top_customers(sf_dir: str) -> ray.data.Dataset:
         out["price_c"] = (out["o_totalprice"] * 100.0).round().astype("int64")
         return out[["c_custkey", "c_name", "price_c"]]
 
-    agg = (
+    from snowball_java_ray.ops.dedup import hash_grouped_aggregate
+
+    agg = hash_grouped_aggregate(
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(attach, batch_format="pandas")
-        .groupby(["c_custkey", "c_name"])
-        .aggregate(
-            Sum("price_c", alias_name="price_c"),
-            Count(alias_name="n_orders"),
-        )
+        .map_batches(attach, batch_format="pandas"),
+        ["c_custkey", "c_name"],
+        [("price_c", "sum", "price_c"), ("", "count_all", "n_orders")],
     )
 
     def finish(t: pa.Table) -> pa.Table:

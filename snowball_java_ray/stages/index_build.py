@@ -304,11 +304,15 @@ def build_dictionary(postings_ds):
 
     NOTE: the index path does NOT use this (the dictionary is derived
     from the chunk summary rows — see dictionary_from_chunks — avoiding
-    a second full shuffle); it backs the standalone term_df query."""
-    from ray.data.aggregate import Count, Sum
+    a second full shuffle); it backs the standalone term_df query.
+    Vocabulary cardinality is unbounded at scale, so this uses the
+    vectorized hash_grouped_aggregate path (no per-group Python)."""
+    from snowball_java_ray.ops.dedup import hash_grouped_aggregate
 
-    return postings_ds.groupby("term").aggregate(
-        Count(alias_name="df"), Sum("tf", alias_name="cf")
+    return hash_grouped_aggregate(
+        postings_ds,
+        ["term"],
+        [("", "count_all", "df"), ("tf", "sum", "cf")],
     )
 
 

@@ -27,7 +27,6 @@ from snowball_java_ray.constants import (
 )
 from snowball_java_ray.functions.text import sha256_hex
 from snowball_java_ray.stages.index_build import (
-    build_chunks,
     build_dictionary,
     build_postings,
     make_doc_stats,

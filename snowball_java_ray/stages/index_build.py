@@ -116,33 +116,6 @@ def make_doc_stats(text_col: str = "content", id_col: str = "doc_id"):
     return stats
 
 
-def encode_chunk_group(group: pd.DataFrame) -> pd.DataFrame:
-    """map_groups fn for groupby(["term", "shard"]): encode one posting
-    chunk (delta + varbyte) and emit its summary row. Postings are
-    sorted by doc_id inside the chunk (required by the codec and by the
-    deterministic float summation order of scoring)."""
-    g = group.sort_values("doc_id")
-    term = g["term"].iloc[0]
-    shard = int(g["shard"].iloc[0])
-    doc_ids = g["doc_id"].to_numpy(dtype=np.int64)
-    tfs = g["tf"].to_numpy(dtype=np.int32)
-    dls = g["dl"].to_numpy(dtype=np.int32)
-    base = int(doc_ids[0])  # chunk base = first doc (smaller deltas than shard base)
-    data = encode_postings(doc_ids, tfs, dls, base=base)
-    return pd.DataFrame(
-        {
-            "term": [term],
-            "shard": [shard],
-            "base": [base],
-            "df": [len(doc_ids)],
-            "cf": [int(tfs.sum())],
-            "max_tf": [int(tfs.max())],
-            "min_dl": [int(dls.min())],
-            "data": [data],
-        }
-    )
-
-
 def build_postings(corpus_ds, text_col="content", id_col="doc_id",
                    shard_size: int = DEFAULT_SHARD_SIZE):
     """corpus Dataset -> postings Dataset (one row per (term, doc))."""
@@ -227,33 +200,68 @@ def make_partial_chunks(
     return fn
 
 
-def merge_encode_group(group: pd.DataFrame) -> pd.DataFrame:
-    """Reduce: merge a (term, shard)'s packed partials (already
-    doc-sorted within each partial), sort across partials, varbyte
-    encode."""
-    term = group["term"].iloc[0]
-    shard = int(group["shard"].iloc[0])
-    parts = [
-        _unpack_partial(b, int(n)) for b, n in zip(group["blob"], group["n"])
-    ]
-    doc_ids = np.concatenate([p[0] for p in parts])
-    tfs = np.concatenate([p[1] for p in parts])
-    dls = np.concatenate([p[2] for p in parts])
-    order = np.argsort(doc_ids, kind="stable")
-    doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
-    base = int(doc_ids[0])
-    data = encode_postings(doc_ids, tfs, dls, base=base)
-    return pd.DataFrame(
+def merge_encode_partition(t: pa.Table) -> pa.Table:
+    """Encode EVERY (term, shard) group inside one hash partition with
+    a tight loop — replaces per-group ``map_groups`` dispatch, which
+    pays ~25us of Ray bookkeeping plus a 1-row DataFrame construction
+    per group (dominating the reduce once vocab x shards reaches
+    millions of groups). Output rows are (term, shard)-sorted within
+    the partition."""
+    import pyarrow.compute as pc
+
+    if t.num_rows == 0:
+        return CHUNK_SCHEMA.empty_table()
+    if "__part" in t.schema.names:
+        t = t.drop_columns(["__part"])
+    idx = pc.sort_indices(
+        t, sort_keys=[("term", "ascending"), ("shard", "ascending")]
+    )
+    t = t.take(idx)
+    terms = t["term"].to_pylist()
+    shards = t["shard"].to_numpy(zero_copy_only=False)
+    blobs = t["blob"].to_pylist()
+    ns = t["n"].to_numpy(zero_copy_only=False)
+    out_t, out_s, out_base, out_df, out_cf = [], [], [], [], []
+    out_maxtf, out_mindl, out_data = [], [], []
+    i, n_rows = 0, len(terms)
+    while i < n_rows:
+        j = i + 1
+        while j < n_rows and terms[j] == terms[i] and shards[j] == shards[i]:
+            j += 1
+        if j == i + 1:
+            doc_ids, tfs, dls = _unpack_partial(blobs[i], int(ns[i]))
+            # a single partial is already doc-sorted
+        else:
+            parts = [
+                _unpack_partial(blobs[k], int(ns[k])) for k in range(i, j)
+            ]
+            doc_ids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([p[2] for p in parts])
+            order = np.argsort(doc_ids, kind="stable")
+            doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
+        base = int(doc_ids[0])
+        out_t.append(terms[i])
+        out_s.append(int(shards[i]))
+        out_base.append(base)
+        out_df.append(len(doc_ids))
+        out_cf.append(int(tfs.sum()))
+        out_maxtf.append(int(tfs.max()))
+        out_mindl.append(int(dls.min()))
+        out_data.append(encode_postings(doc_ids, tfs, dls, base=base))
+        i = j
+    return pa.table(
         {
-            "term": [term],
-            "shard": [shard],
-            "base": [base],
-            "df": [len(doc_ids)],
-            "cf": [int(tfs.sum())],
-            "max_tf": [int(tfs.max())],
-            "min_dl": [int(dls.min())],
-            "data": [data],
-        }
+            "term": pa.array(out_t),
+            "shard": pa.array(out_s, pa.int64()),
+            "base": pa.array(out_base, pa.int64()),
+            "df": pa.array(out_df, pa.int64()),
+            "cf": pa.array(out_cf, pa.int64()),
+            "max_tf": pa.array(out_maxtf, pa.int32()),
+            "min_dl": pa.array(out_mindl, pa.int32()),
+            "data": pa.array(out_data, pa.binary()),
+        },
+        schema=CHUNK_SCHEMA,
     )
 
 
@@ -262,39 +270,43 @@ def build_chunk_table(
     text_col: str = "content",
     id_col: str = "doc_id",
     shard_size: int = DEFAULT_SHARD_SIZE,
+    num_parts: int | None = None,
 ):
     """corpus Dataset -> chunk Dataset via the combiner path: ONE scan,
-    then a shuffle of packed partial rows only."""
+    then a shuffle of packed partial rows only. The reduce shuffles on
+    a LOW-cardinality hash partition of (term, shard) — stable
+    md5-based so every worker routes a key identically — and encodes
+    all of a partition's groups in one vectorizable task
+    (merge_encode_partition)."""
+    from snowball_java_ray.ops.dedup import md5int60
+
+    if num_parts is None:
+        try:
+            import ray
+
+            num_parts = max(32, 8 * int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            num_parts = 64
+    P = num_parts
+
     partials = corpus_ds.map_batches(
         make_partial_chunks(text_col, id_col, shard_size),
         batch_format="pyarrow",
     )
-    return partials.groupby(["term", "shard"]).map_groups(
-        merge_encode_group, batch_format="pandas"
-    )
 
+    def add_part(t: pa.Table) -> pa.Table:
+        terms = t["term"].to_pylist()
+        shards = t["shard"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        th = np.array([md5int60(x) for x in terms], dtype=np.uint64)
+        h = th * np.uint64(1099511628211) ^ shards
+        return t.append_column(
+            "__part", pa.array((h % np.uint64(P)).astype(np.int64))
+        )
 
-def build_chunks(postings_ds, num_blocks: int | None = None):
-    """postings Dataset -> encoded chunk Dataset. This is the core
-    index-build shuffle: an exchange on (term, shard).
-
-    The groupby is sort-based; its partition count inherits the input
-    block count, so a fragmented upstream (many small map outputs)
-    fans the sort into hundreds of tiny partitions and per-block
-    overhead dominates (measured 100s vs 7s on the same data). We
-    coalesce to ~2 blocks per CPU first — repartition without shuffle
-    is a cheap block merge."""
-    if num_blocks is None:
-        try:
-            import ray
-
-            num_blocks = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
-        except Exception:
-            num_blocks = 16
     return (
-        postings_ds.repartition(num_blocks)
-        .groupby(["term", "shard"])
-        .map_groups(encode_chunk_group, batch_format="pandas")
+        partials.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(merge_encode_partition, batch_format="pyarrow")
     )
 
 

@@ -35,7 +35,14 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
-    from snowball_java_ray.ops import ann, dedup, joins, relational, textstats
+    from snowball_java_ray.ops import (
+        ann,
+        dedup,
+        joins,
+        multimodal,
+        relational,
+        textstats,
+    )
     from snowball_java_ray.pipelines import api, curate
 
     return {
@@ -55,6 +62,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": textstats.fingerprint,
         "langid": textstats.langid,
         "lang_profile": textstats.lang_profile,
+        # --- multimodal (opaque binary payloads; decode stubbed,
+        # --- plumbing + metadata + fake-decode features value-checked) ---
+        "media_meta": multimodal.media_meta,
+        "media_features": multimodal.media_features,
+        "video_frames": multimodal.video_frames,
         # --- index / BM25 core (north rule) ---
         "ingest_corpus": api.ingest_corpus_pipeline,
         "doc_stats": api.doc_stats_pipeline,
@@ -109,6 +121,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": sqlgen.fingerprint_sql(),
         "langid": sqlgen.langid_sql(),
         "lang_profile": sqlgen.lang_profile_sql(),
+        "media_meta": sqlgen.media_meta_sql(),
+        "media_features": sqlgen.media_features_sql(),
+        "video_frames": sqlgen.video_frames_sql(),
         "ingest_corpus": sqlgen.ingest_corpus_sql(),
         "doc_stats": sqlgen.doc_stats_sql(),
         "term_df": sqlgen.term_df_sql(),

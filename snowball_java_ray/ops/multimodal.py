@@ -125,9 +125,128 @@ def frame_sample(batch: pa.Table, every_ms: int = 500) -> pa.Table:
     return pa.table(
         {
             "media_id": pa.array(out["media_id"], pa.int64()),
-            "frame_idx": pa.array(out["frame_idx"], pa.int32()),
-            "ts_ms": pa.array(out["ts_ms"], pa.int32()),
+            "frame_idx": pa.array(out["frame_idx"], pa.int64()),
+            "ts_ms": pa.array(out["ts_ms"], pa.int64()),
         }
+    )
+
+
+def documents_as_media(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic media view over the documents table — the payload
+    IS the utf-8 bytes of ``text`` treated as an opaque blob (the
+    multimodal stance: binary column + typed metadata; the engine never
+    interprets payloads outside decode stages). Every derived field is
+    a pure function of (doc_id, text), mirrored exactly in SQL
+    (sqlgen.media_*_sql), so the family is driver-gate value-checked
+    even though the real codec stays stubbed."""
+    kinds = ["image", "audio", "video"]
+    mimes = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        kind = [kinds[int(i) % 3] for i in ids]
+        dims = np.where(np.array(kind) != "audio", 64, 0).astype(np.int32)
+        dur = np.where(
+            np.array(kind) != "image", 250 * (ids % 17) + 250, 0
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(kind),
+                "mime": pa.array([mimes[k] for k in kind]),
+                "payload": pa.array(
+                    [(x or "").encode("utf-8") for x in texts], pa.binary()
+                ),
+                "width": pa.array(dims, pa.int32()),
+                "height": pa.array(dims, pa.int32()),
+                "duration_ms": pa.array(dur, pa.int32()),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(fn, batch_format="pyarrow")
+
+
+def media_meta(sf_dir: str) -> ray.data.Dataset:
+    """Typed-metadata extraction over the opaque payloads: byte length,
+    payload sha256, and the sampled-frame count for videos
+    ((duration + 499) // 500 at the 500ms default grid)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_pylist()
+        kind = t["kind"].to_pylist()
+        dur = t["duration_ms"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_frames = np.where(
+            np.array(kind) == "video", (dur + 499) // 500, 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "kind": t["kind"],
+                "mime": t["mime"],
+                "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+                "payload_sha256": pa.array(
+                    [hashlib.sha256(p).hexdigest() for p in payloads]
+                ),
+                "n_frames": pa.array(n_frames, pa.int64()),
+            }
+        )
+
+    return documents_as_media(sf_dir).map_batches(
+        fn, batch_format="pyarrow", batch_size=32
+    ).sort("media_id")
+
+
+def media_features(sf_dir: str, concurrency: int = 2) -> ray.data.Dataset:
+    """Actor-pool decode + feature extraction over the documents-derived
+    media view, exploded to (media_id, dim, value) scalar rows so the
+    driver's value hash covers every feature component. The decode is
+    the deterministic sha-derived stand-in (real codec stubbed — see
+    module docstring); the SQL oracle reproduces it byte-for-byte."""
+    feats = documents_as_media(sf_dir).map_batches(
+        DecodeImage,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=concurrency,
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["media_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = t["feature"].to_pylist()
+        n = len(ids)
+        return pa.table(
+            {
+                "media_id": pa.array(np.repeat(ids, FEATURE_DIM), pa.int64()),
+                "dim": pa.array(
+                    np.tile(np.arange(FEATURE_DIM, dtype=np.int64), n),
+                    pa.int64(),
+                ),
+                "value": pa.array(
+                    np.round(np.concatenate(vecs), 6)
+                    if n
+                    else np.empty(0, np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return feats.map_batches(explode, batch_format="pyarrow").sort(
+        ["media_id", "dim"]
+    )
+
+
+def video_frames(sf_dir: str, every_ms: int = 500) -> ray.data.Dataset:
+    """Frame-sampling flat map over the documents-derived media view."""
+    return (
+        documents_as_media(sf_dir)
+        .map_batches(
+            lambda t: frame_sample(t, every_ms=every_ms),
+            batch_format="pyarrow",
+        )
+        .sort(["media_id", "frame_idx"])
     )
 
 

@@ -280,27 +280,37 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
 def events_sessions(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
     """Session windows per user: events sorted by ts within each
     user_id group; a new session starts after a gap > ``gap_minutes``.
-    The classic stream-sessionization op expressed batch-side as
-    groupby(user).map_groups over the ts-sorted group (ray_guide
-    streaming-shaped workloads); the SQL oracle is the standard
-    gaps-and-islands formulation."""
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
+    Expressed as PARTITION-level vectorized gaps-and-islands (not
+    per-user map_groups — user cardinality is unbounded at scale and
+    Ray's per-group dispatch would dominate): users hash into ~CPUs
+    partitions, each partition sorts by (user_id, ts) once and computes
+    session boundaries/aggregates with pandas vector ops over ALL its
+    users at once. The SQL oracle is the standard gaps-and-islands
+    formulation."""
+
+    def sessionize_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
         gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        sid = gap.cumsum().astype("int64")
+        new_session = new_user | gap
+        gsid = new_session.cumsum()
+        # per-user 0-based session index: global id minus the user's first
+        first_of_user = gsid.where(new_user).ffill()
+        g = g.assign(session_id=(gsid - first_of_user).astype("int64"),
+                     __gsid=gsid)
         out = (
-            g.assign(session_id=sid)
-            .groupby("session_id")
+            g.groupby("__gsid", sort=True)
             .agg(
+                user_id=("user_id", "first"),
+                session_id=("session_id", "first"),
                 session_start=("ts", "min"),
                 session_end=("ts", "max"),
                 n_events=("event_type", "size"),
                 sum_value=("value", "sum"),
             )
-            .reset_index()
+            .reset_index(drop=True)
         )
-        out["user_id"] = g["user_id"].iloc[0]
         out["session_start"] = out["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
         out["session_end"] = out["session_end"].dt.strftime("%Y-%m-%d %H:%M:%S")
         out["sum_value"] = out["sum_value"].round(4)
@@ -308,10 +318,20 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
         return out[["user_id", "session_id", "session_start", "session_end",
                     "n_events", "sum_value"]]
 
+    from snowball_java_ray.ops.dedup import join_partitions
+
+    P = join_partitions(64)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        part = (uid * 1099511628211 % P).astype("int64")
+        return t.append_column("__part", pa.array(part))
+
     return (
         _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
-        .groupby("user_id")
-        .map_groups(sessionize, batch_format="pandas")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(sessionize_partition, batch_format="pandas")
         .sort(["user_id", "session_id"])
     )
 

@@ -787,3 +787,63 @@ def snowball_e2e_sql() -> str:
 
 def snowball_patterns_sql() -> str:
     return f"SELECT * FROM '{_snowball_oracle_paths()['snowball_patterns']}'"
+
+
+# --- multimodal family (ops/multimodal.py, documents-derived media) ----
+
+_MEDIA_CTE = """media AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                         ELSE 'video' END AS kind,
+         CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                         ELSE 'video/mp4' END AS mime,
+         text,
+         CASE WHEN doc_id % 3 <> 0 THEN 250 * (doc_id % 17) + 250
+              ELSE 0 END AS duration_ms
+  FROM documents
+)"""
+
+
+def media_meta_sql() -> str:
+    """Opaque-payload metadata: payload = utf-8 bytes of text, so
+    octet_length/sha256 over the encoded blob replicate the engine's
+    byte-level results exactly."""
+    return f"""
+WITH {_MEDIA_CTE}
+SELECT media_id, kind, mime,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS payload_sha256,
+       CASE WHEN kind = 'video'
+            THEN (duration_ms + 499) // 500 ELSE 0 END AS n_frames
+FROM media ORDER BY media_id
+"""
+
+
+def media_features_sql() -> str:
+    """The deterministic sha-derived stand-in decoder, byte-replicated:
+    feature[dim] = byte dim of sha256(payload) / 255.0."""
+    return f"""
+WITH {_MEDIA_CTE},
+dims AS (SELECT unnest(generate_series(0, 15)) AS dim)
+SELECT m.media_id, CAST(d.dim AS BIGINT) AS dim,
+       round(('0x' || substr(sha256(m.text), 2 * d.dim + 1, 2))::BIGINT
+             / 255.0, 6) AS value
+FROM media m CROSS JOIN dims d
+ORDER BY m.media_id, dim
+"""
+
+
+def video_frames_sql(every_ms: int = 500) -> str:
+    return f"""
+WITH {_MEDIA_CTE},
+vids AS (SELECT media_id, duration_ms FROM media WHERE kind = 'video'),
+frames AS (
+  SELECT media_id,
+         unnest(generate_series(0, (duration_ms + {every_ms} - 1)
+                                    // {every_ms} - 1)) AS frame_idx
+  FROM vids
+)
+SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * {every_ms} AS BIGINT) AS ts_ms
+FROM frames ORDER BY media_id, frame_idx
+"""

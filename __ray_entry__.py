@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "lsh_ann": ann.lsh_ann_topk,
+        "ivf_ann": ann.ivf_ann_topk,
         # --- text analysis ---
         "quality_score": textstats.quality_score,
         "token_counts": textstats.token_counts,
@@ -116,6 +117,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_dup_pairs": sqlgen.embed_dup_pairs_sql(),
         "ann_topk": sqlgen.ann_topk_sql(),
         "lsh_ann": sqlgen.lsh_ann_sql(),
+        "ivf_ann": sqlgen.ivf_ann_sql(),
         "quality_score": sqlgen.quality_score_sql(),
         "token_counts": sqlgen.token_counts_sql(),
         "fingerprint": sqlgen.fingerprint_sql(),

@@ -105,6 +105,11 @@ ANN_TOP_K = 10
 # sign-LSH ANN: md5-derived hyperplanes (ops/ann.lsh_planes), 1-bit
 # multiprobe; shared by engine and the generated DuckDB oracle
 ANN_LSH_PLANES = 8
+# IVF ANN: deterministic coarse quantizer — centroids are the corpus
+# vectors with vec_id in [ANN_N_QUERIES, ANN_N_QUERIES + IVF_K); each
+# vector joins its nearest cell, queries probe IVF_NPROBE cells
+IVF_K = 16
+IVF_NPROBE = 4
 
 # --- Snowball workload defaults (FIXTURES.md F4) -----------------------
 # Mirrors /root/reference/snowball/src/bin/SnowballConfig.java:29-45.

@@ -25,6 +25,8 @@ from snowball_java_ray.constants import (
     ANN_LSH_PLANES,
     ANN_N_QUERIES,
     ANN_TOP_K,
+    IVF_K,
+    IVF_NPROBE,
 )
 
 RANK_DECIMALS = 9
@@ -198,6 +200,124 @@ def lsh_ann_topk(
                     continue
                 cos = cand_mat[mask] @ q_mat[qi]
                 # tie-preserving partial cut (same rule as the merge)
+                if cos.size > top_k:
+                    r = np.round(cos, RANK_DECIMALS)
+                    kth = np.partition(r, r.size - top_k)[r.size - top_k]
+                    keep = r >= kth
+                    c_ids, cos = c_ids[keep], cos[keep]
+                out_q.extend([int(q_ids[qi])] * c_ids.size)
+                out_v.extend(c_ids.tolist())
+                out_c.extend(cos.tolist())
+        return pa.table(
+            {
+                "query_vec_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["r"] = np.round(g["cos"].to_numpy(), RANK_DECIMALS)
+        g = g.sort_values(["r", "vec_id"], ascending=[False, True]).head(top_k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        g["cos"] = np.round(g["cos"].to_numpy(), OUT_DECIMALS)
+        return g[["query_vec_id", "rank", "vec_id", "cos"]]
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("query_vec_id")
+        .map_groups(merge, batch_format="pandas")
+        .sort(["query_vec_id", "rank"])
+    )
+
+
+def _load_centroids(sf_dir: str, n_queries: int, k_cells: int):
+    """Deterministic coarse quantizer: the corpus vectors with vec_id in
+    [n_queries, n_queries + k_cells) are the cell centroids — a pure
+    function of the table, so the DuckDB oracle selects the identical
+    centroid set. (Real IVF trains k-means over a sample; any
+    deterministic centroid table slots in here unchanged.)"""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sel = (ids >= n_queries) & (ids < n_queries + k_cells)
+    order = np.argsort(ids[sel])
+    mat = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)[sel]).astype(
+        np.float64
+    )[order]
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+def ivf_cells(matn: np.ndarray, cmatn: np.ndarray) -> np.ndarray:
+    """Nearest-centroid assignment on ROUNDED cosine (9 decimals, ties
+    to the smaller centroid id) — the same keying the SQL oracle uses,
+    so borderline assignments can't diverge between numpy and DuckDB."""
+    r = np.round(matn @ cmatn.T, RANK_DECIMALS)
+    return np.argmax(r, axis=1).astype(np.int64)  # first max = smallest cid
+
+
+def ivf_ann_topk(
+    sf_dir: str,
+    n_queries: int = ANN_N_QUERIES,
+    top_k: int = ANN_TOP_K,
+    k_cells: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+) -> ray.data.Dataset:
+    """IVF approximate top-k: every vector joins its nearest centroid's
+    cell; each query probes its ``nprobe`` nearest cells; candidates
+    are verified exactly. Distributed exactly like lsh_ann_topk: the
+    centroid matrix + probe map broadcast once, ONE streamed corpus
+    scan with tie-preserving partial top-k, exact groupby(query) merge.
+    Fully SQL-oracled (sqlgen.ivf_ann_sql)."""
+    import ray
+
+    qids, qmat = _load_queries(sf_dir, n_queries)
+    cmatn = _load_centroids(sf_dir, n_queries, k_cells)
+    qsims = np.round(qmat @ cmatn.T, RANK_DECIMALS)
+    probe: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        cids = np.lexsort(
+            (np.arange(k_cells), -qsims[qi])
+        )[:nprobe]
+        for c in cids.tolist():
+            probe.setdefault(int(c), []).append(qi)
+    qref = ray.put((qids, qmat, probe, cmatn))
+
+    def partial(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        q_ids, q_mat, q_probe, cm = _ray.get(qref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        matn = mat / n[:, None]
+        cells = ivf_cells(matn, cm)
+        out_q, out_v, out_c = [], [], []
+        for cell in np.unique(cells):
+            qlist = q_probe.get(int(cell))
+            if not qlist:
+                continue
+            rows = np.flatnonzero(cells == cell)
+            cand_ids = ids[rows]
+            cand_mat = matn[rows]
+            for qi in qlist:
+                mask = cand_ids != q_ids[qi]
+                c_ids = cand_ids[mask]
+                if c_ids.size == 0:
+                    continue
+                cos = cand_mat[mask] @ q_mat[qi]
                 if cos.size > top_k:
                     r = np.round(cos, RANK_DECIMALS)
                     kth = np.partition(r, r.size - top_k)[r.size - top_k]

@@ -756,6 +756,64 @@ ORDER BY query_vec_id, rank
 """
 
 
+def ivf_ann_sql() -> str:
+    """IVF ANN oracle: centroids = vec_id in [ANN_N_QUERIES,
+    ANN_N_QUERIES + IVF_K); assignment and probing both rank on
+    (round(cos, 9) DESC, centroid_id ASC) — the identical keying the
+    engine's numpy argmax/lexsort uses, so borderline cells agree."""
+    from snowball_java_ray.constants import (
+        ANN_N_QUERIES,
+        ANN_TOP_K,
+        IVF_K,
+        IVF_NPROBE,
+    )
+
+    q, k = ANN_N_QUERIES, IVF_K
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id - {q} AS cid, e FROM emb
+  WHERE vec_id >= {q} AND vec_id < {q + k}
+),
+assign AS (
+  SELECT v.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY round(list_cosine_similarity(v.e, c.e), 9) DESC,
+                    c.cid ASC
+         ) AS rnk
+  FROM emb v CROSS JOIN cent c
+),
+cells AS (SELECT vec_id, cid FROM assign WHERE rnk = 1),
+qprobe AS (
+  SELECT vec_id AS qid, cid FROM assign
+  WHERE vec_id < {q} AND rnk <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.qid AS query_vec_id, cv.vec_id,
+         list_cosine_similarity(qe.e, ve.e) AS cos
+  FROM qprobe p
+  JOIN cells cv ON cv.cid = p.cid AND cv.vec_id <> p.qid
+  JOIN emb qe ON qe.vec_id = p.qid
+  JOIN emb ve ON ve.vec_id = cv.vec_id
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, cos,
+         row_number() OVER (
+           PARTITION BY query_vec_id
+           ORDER BY round(cos, 9) DESC, vec_id ASC
+         ) AS rank
+  FROM cand
+)
+SELECT query_vec_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cos
+FROM ranked WHERE rank <= {ANN_TOP_K}
+ORDER BY query_vec_id, rank
+"""
+
+
 # --- Snowball workload oracles (serial-twin parquet, not pure SQL) ----
 # The Snowball layer's input is the synthesized tagged corpus, not a
 # DuckDB-registered view, and M1-M7 extraction needs positional regex

@@ -70,3 +70,24 @@ def test_lsh_candidates_match_probe_rule(ray_session):
     for qid, vid in zip(approx["query_vec_id"], approx["vec_id"]):
         d = bin(code_of[qid] ^ code_of[vid]).count("1")
         assert d <= 1, (qid, vid, d)
+
+
+def test_ivf_recall_and_determinism(ray_session):
+    """IVF probe (nprobe of K cells) must beat random sampling of the
+    same fraction, and repeated runs are identical."""
+    from snowball_java_ray.constants import IVF_K, IVF_NPROBE
+    from snowball_java_ray.ops.ann import ivf_ann_topk
+
+    brute = ann_topk(SF_TINY).to_pandas()
+    a = ivf_ann_topk(SF_TINY).to_pandas()
+    b = ivf_ann_topk(SF_TINY).to_pandas()
+    assert a.equals(b)
+    recalls = []
+    for qid, g in brute.groupby("query_vec_id"):
+        truth = set(g["vec_id"])
+        got = set(a[a["query_vec_id"] == qid]["vec_id"])
+        recalls.append(len(truth & got) / len(truth))
+    mean_recall = float(np.mean(recalls))
+    # nprobe/K of the corpus examined on average (cells are uneven, but
+    # the bound holds loosely); recall must beat that fraction
+    assert mean_recall > IVF_NPROBE / IVF_K, mean_recall

@@ -19,11 +19,20 @@ import ray.data
 
 
 def read_tagged_text(path: str) -> ray.data.Dataset:
-    """Plain-text sentence file -> corpus-shaped Dataset: one row per
-    line with a deterministic dense doc_id (line number). Empty lines
-    are kept as empty documents (matching the reference's line==doc
-    identity)."""
-    with open(path, encoding="utf-8") as f:
+    """Plain-text (optionally .gz) sentence file -> corpus-shaped
+    Dataset: one row per line with a deterministic dense doc_id (line
+    number). Empty lines are kept as empty documents (matching the
+    reference's line==doc identity).
+
+    The line-numbered read is driver-side BY DESIGN: line==doc_id needs
+    a global order, and the reference's tagged corpora are the small
+    side of the workload. Big corpora arrive as parquet
+    (documents_as_corpus) or JSONL (read_jsonl_corpus) — both
+    distributed reads."""
+    import gzip
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, mode="rt", encoding="utf-8") as f:
         lines = [ln.rstrip("\n") for ln in f]
     tbl = pa.table(
         {
@@ -36,6 +45,50 @@ def read_tagged_text(path: str) -> ray.data.Dataset:
         }
     )
     return ray.data.from_arrow(tbl)
+
+
+def read_jsonl_corpus(
+    path: str,
+    id_field: str = "doc_id",
+    text_field: str = "content",
+    lang_field: str | None = "lang",
+) -> ray.data.Dataset:
+    """JSON-lines corpus -> input_hint corpus shape, as a DISTRIBUTED
+    read (ray.data.read_json streams files/blocks; nothing touches the
+    driver). Rows must carry their own stable id — line numbers are not
+    well-defined across parallel file splits."""
+    import pyarrow.compute as pc
+
+    from snowball_java_ray.functions.text import sha256_hex
+
+    ds = ray.data.read_json(path)
+
+    def shape(t: pa.Table) -> pa.Table:
+        text = t[text_field]
+        sha = pa.array(sha256_hex(text))
+        n = len(t)
+        lang = (
+            t[lang_field]
+            if lang_field and lang_field in t.schema.names
+            else pa.array(["txt"] * n)
+        )
+        return pa.table(
+            {
+                "doc_id": t[id_field].cast(pa.int64()),
+                "repo": pa.array([path] * n),
+                "path": pc.binary_join_element_wise(
+                    pa.array([path] * n),
+                    pc.cast(t[id_field], pa.string()),
+                    "#",
+                ),
+                "commit": pc.utf8_slice_codeunits(sha, 0, 40),
+                "lang": lang,
+                "content": text,
+                "content_sha256": sha,
+            }
+        )
+
+    return ds.map_batches(shape, batch_format="pyarrow")
 
 
 def write_results(

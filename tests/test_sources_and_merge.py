@@ -138,3 +138,49 @@ def test_property_random_corpus_engine_equals_oracle(ray_session, seed):
         assert got_d.tolist() == [d for d, _ in want], q
         for gs, (_, ws) in zip(got_s.tolist(), want):
             assert gs == pytest.approx(ws, rel=1e-12)
+
+
+def test_read_tagged_text_gzip(ray_session, tmp_path):
+    """.gz corpora read identically to plain text."""
+    import gzip
+
+    from snowball_java_ray.sources.readers import read_tagged_text
+
+    lines = "first line\n\n<ORG>A Corp</ORG> is in <LOC>Lisbon</LOC> .\n"
+    p_txt = tmp_path / "c.txt"
+    p_gz = tmp_path / "c.txt.gz"
+    p_txt.write_text(lines)
+    with gzip.open(p_gz, "wt", encoding="utf-8") as f:
+        f.write(lines)
+    a = read_tagged_text(str(p_txt)).to_pandas()
+    b = read_tagged_text(str(p_gz)).to_pandas()
+    assert a["content"].tolist() == b["content"].tolist()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist() == [0, 1, 2]
+
+
+def test_read_jsonl_corpus(ray_session, tmp_path):
+    """Distributed JSONL source produces the input_hint corpus shape
+    with the sha invariant intact."""
+    import json
+
+    from snowball_java_ray.pipelines.api import verify_sha_batch
+    from snowball_java_ray.sources.readers import read_jsonl_corpus
+
+    p = tmp_path / "corpus.jsonl"
+    rows = [
+        {"doc_id": 7, "content": "hello tokenizer world", "lang": "py"},
+        {"doc_id": 9, "content": "another document body", "lang": "go"},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    ds = read_jsonl_corpus(str(p))
+    out = (
+        ds.map_batches(verify_sha_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out["doc_id"].tolist() == [7, 9]
+    assert out["lang"].tolist() == ["py", "go"]
+    assert set(out.columns) == {
+        "doc_id", "repo", "path", "commit", "lang", "content",
+        "content_sha256",
+    }

@@ -229,7 +229,7 @@ def run_bench() -> dict:
 
     # training-data ops over the raw sf tables (un-replicated: these
     # measure the op pipelines at the driver-gate scale)
-    from snowball_java_ray.ops.ann import ann_topk, lsh_ann_topk
+    from snowball_java_ray.ops.ann import ann_topk, ivf_ann_topk, lsh_ann_topk
     from snowball_java_ray.ops.dedup import (
         minhash_lsh_candidates,
         ngram_jaccard_pairs,
@@ -255,6 +255,9 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     lsh_ann_topk(SF_DIR).count()
     timings["lsh_ann_topk"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ivf_ann_topk(SF_DIR).count()
+    timings["ivf_ann_topk"] = time.perf_counter() - t0
 
     # latency percentiles: single-query scoring against the loaded index
     from snowball_java_ray.stages.score import score_query

@@ -38,24 +38,50 @@ def bucketed_hash_join(
     left_on: str,
     right_on: str,
     n_buckets: int = 16,
+    salt: int = 1,
+    salt_on: str | None = None,
 ) -> ray.data.Dataset:
     """Inner join, hash-partitioned on the key. Both sides are tagged
     with a bucket column and a side marker, unioned, grouped by bucket,
     and merged per bucket with a pandas hash join. One shuffle total
-    (the groupby); no side is broadcast or materialized whole."""
+    (the groupby); no side is broadcast or materialized whole.
 
-    def tag(side: str, key: str):
-        def fn(t: pa.Table) -> pa.Table:
-            keys = t[key].to_numpy(zero_copy_only=False)
-            t = t.append_column(
-                "__bucket", pa.array(_bucket_of(keys, n_buckets), pa.int64())
+    Hot-key salting (``salt`` > 1): the LEFT (probe/fact) side spreads
+    each key's rows across ``salt`` sub-buckets by hashing a second,
+    row-varying column ``salt_on``; the RIGHT (build/dim) side
+    replicates each row into all ``salt`` sub-buckets. Result identity
+    is exact (each probe row still meets every matching build row,
+    exactly once); per-task work for a hot key drops by ~salt."""
+    assert salt == 1 or salt_on is not None, "salting needs a salt_on column"
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        keys = t[left_on].to_numpy(zero_copy_only=False)
+        b = _bucket_of(keys, n_buckets)
+        if salt > 1:
+            sub = _bucket_of(
+                t[salt_on].to_numpy(zero_copy_only=False), salt
             )
-            return t.append_column("__side", pa.array([side] * len(t)))
+            b = b * salt + sub
+        t = t.append_column("__bucket", pa.array(b, pa.int64()))
+        return t.append_column("__side", pa.array(["l"] * len(t)))
 
-        return fn
+    def tag_right(t: pa.Table) -> pa.Table:
+        keys = t[right_on].to_numpy(zero_copy_only=False)
+        b = _bucket_of(keys, n_buckets)
+        if salt > 1:
+            reps = []
+            for s in range(salt):
+                reps.append(
+                    t.append_column(
+                        "__bucket", pa.array(b * salt + s, pa.int64())
+                    ).append_column("__side", pa.array(["r"] * len(t)))
+                )
+            return pa.concat_tables(reps)
+        t = t.append_column("__bucket", pa.array(b, pa.int64()))
+        return t.append_column("__side", pa.array(["r"] * len(t)))
 
-    lt = left.map_batches(tag("l", left_on), batch_format="pyarrow")
-    rt = right.map_batches(tag("r", right_on), batch_format="pyarrow")
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"] == "l"].dropna(axis=1, how="all")

@@ -82,3 +82,49 @@ def test_empty_index_is_valid(ray_session):
     idx2 = InvertedIndex(pa.table({}), 5)
     d, s = score_query(idx2, "spark table")
     assert d.size == 0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),          # int key
+            st.sampled_from(["a", "b", "c", "zz"]),          # str key
+            st.integers(min_value=-1000, max_value=1000),    # value
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=20, deadline=None)
+def test_hash_grouped_aggregate_matches_pandas(ray_session, rows, num_parts):
+    """hash_grouped_aggregate (partitioned Arrow C++ group_by) equals a
+    pandas reference aggregation for arbitrary keys, values and
+    partition counts — including negative int keys and shared string
+    keys across partitions."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from snowball_java_ray.ops.dedup import hash_grouped_aggregate
+
+    df = pd.DataFrame(rows, columns=["k1", "k2", "v"])
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = (
+        hash_grouped_aggregate(
+            ds,
+            ["k1", "k2"],
+            [("v", "sum", "sv"), ("v", "min", "mv"), ("", "count_all", "n")],
+            num_parts=num_parts,
+        )
+        .to_pandas()
+        .sort_values(["k1", "k2"], ignore_index=True)
+    )
+    want = (
+        df.groupby(["k1", "k2"], as_index=False)
+        .agg(sv=("v", "sum"), mv=("v", "min"), n=("v", "size"))
+        .sort_values(["k1", "k2"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["k1", "k2", "sv", "mv", "n"]], want, check_dtype=False
+    )

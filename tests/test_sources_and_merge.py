@@ -184,3 +184,33 @@ def test_read_jsonl_corpus(ray_session, tmp_path):
         "doc_id", "repo", "path", "commit", "lang", "content",
         "content_sha256",
     }
+
+
+def test_salted_bucketed_join_identical(ray_session):
+    """Hot-key salting (probe side split, build side replicated) is
+    result-identical to the unsalted bucketed join."""
+    import ray.data
+
+    from snowball_java_ray.ops.joins import bucketed_hash_join
+    from tests.conftest import SF_TINY
+
+    orders = ray.data.read_parquet(
+        f"{SF_TINY}/orders.parquet", columns=["o_custkey", "o_totalprice", "o_orderkey"]
+    )
+    customer = ray.data.read_parquet(
+        f"{SF_TINY}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    plain = (
+        bucketed_hash_join(orders, customer, "o_custkey", "c_custkey")
+        .to_pandas()
+        .sort_values(["o_orderkey"], ignore_index=True)
+    )
+    salted = (
+        bucketed_hash_join(
+            orders, customer, "o_custkey", "c_custkey",
+            salt=4, salt_on="o_orderkey",
+        )
+        .to_pandas()
+        .sort_values(["o_orderkey"], ignore_index=True)
+    )
+    assert plain[sorted(plain.columns)].equals(salted[sorted(salted.columns)])

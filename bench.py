@@ -85,6 +85,46 @@ def replicated_corpus(sf_dir: str, factor: int):
     return ray.data.read_parquet(files, override_num_blocks=n_blocks), n_total
 
 
+def ensure_bench_index_dir(n_docs: int, n_partitions: int = 8) -> str:
+    """Doc-range-partitioned on-disk index over the replicated bench
+    corpus (the sharded-serving input; cached by the build manifest).
+    Doc-range alignment matters: a doc's postings for EVERY query term
+    must live in the same shard actor for per-doc score sums to be
+    complete."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from snowball_java_ray.pipelines.index_pipeline import (
+        build_index_checkpointed,
+    )
+
+    out_dir, n_total = prepare_bench_corpus(SF_DIR, REPLICATE)
+    assert n_total == n_docs
+    files = sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    idx_dir = f"/tmp/snowball_serve/bench_{n_docs}_{n_partitions}"
+
+    def corpus_source(lo, hi):
+        ds = ray.data.read_parquet(files, columns=["doc_id", "content"])
+        return ds.map_batches(
+            lambda t: t.filter(
+                pc.and_(
+                    pc.greater_equal(t["doc_id"], lo), pc.less(t["doc_id"], hi)
+                )
+            ),
+            batch_format="pyarrow",
+        )
+
+    build_index_checkpointed(
+        corpus_source, idx_dir, n_docs,
+        n_partitions=n_partitions, shard_size=1 << 14,
+    )
+    return idx_dir
+
+
 def run_bench() -> dict:
     import numpy as np
     import ray
@@ -211,12 +251,12 @@ def run_bench() -> dict:
     timings["bm25_batch_1000q"] = time.perf_counter() - t0
 
     # doc-sharded serving (ST5 scale path): same 1000-query batch
-    # through the per-doc-range shard fleet (index build to disk is
-    # untimed/cached — serving latency is what this entry measures)
-    from snowball_java_ray.pipelines.api import ensure_index_dir
+    # through the per-doc-range shard fleet over the FULL replicated
+    # corpus (index build to disk is untimed/cached — serving latency
+    # is what this entry measures)
     from snowball_java_ray.stages.serve import BM25ShardedService
 
-    idx_dir = ensure_index_dir(SF_DIR, n_partitions=8)
+    idx_dir = ensure_bench_index_dir(n_docs, n_partitions=8)
     svc = BM25ShardedService(idx_dir)
     t0 = time.perf_counter()
     n_sharded = svc.topk_dataset(

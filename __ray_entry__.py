@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": dedup.simhash_docs,
         "simhash_pairs": dedup.simhash_pairs,
         "embed_dup_pairs": dedup.embed_dup_pairs,
+        "embed_dup_lsh": dedup.embed_dup_pairs_lsh,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "lsh_ann": ann.lsh_ann_topk,
@@ -115,6 +116,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": sqlgen.simhash_sql(),
         "simhash_pairs": sqlgen.simhash_pairs_sql(),
         "embed_dup_pairs": sqlgen.embed_dup_pairs_sql(),
+        "embed_dup_lsh": sqlgen.embed_dup_lsh_sql(),
         "ann_topk": sqlgen.ann_topk_sql(),
         "lsh_ann": sqlgen.lsh_ann_sql(),
         "ivf_ann": sqlgen.ivf_ann_sql(),

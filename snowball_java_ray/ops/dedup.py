@@ -528,3 +528,110 @@ def embed_dup_pairs(
         .map_batches(pairs, batch_format="pyarrow")
         .sort(["vec_a", "vec_b"])
     )
+
+
+def embed_dup_pairs_lsh(
+    sf_dir: str, threshold: float = EMBED_COS_THRESHOLD
+) -> ray.data.Dataset:
+    """Scale path for embedding near-dup: sign-LSH blocking instead of
+    the all-pairs matmul — vectors whose hyperplane codes are within
+    hamming distance 1 are candidates (the lsh_ann probe rule; at 0.95+
+    cosine, near-dup vectors almost always agree on most sign bits),
+    verified exactly against the cosine threshold. The md5-derived
+    planes make the APPROXIMATE semantics themselves SQL-checkable
+    (sqlgen.embed_dup_lsh_sql) — the oracle defines the same candidate
+    rule, so this is value-exact.
+
+    Recall is similarity-dependent by construction: P(one plane splits
+    a pair) = angle/pi. At the fixture's LOW threshold (0.35 ~= 69
+    degrees) blocking keeps only ~12-15%% of qualifying pairs; at true
+    near-dup similarity (cos >= 0.95, ~18 degrees) the same rule
+    recalls ~80%% (tests/test_hypothesis.py pins >= 0.6 on a synthetic
+    near-dup set). Output is always a subset of embed_dup_pairs
+    (tested)."""
+    from snowball_java_ray.constants import ANN_LSH_PLANES
+    from snowball_java_ray.ops.ann import lsh_codes, lsh_planes
+
+    import pyarrow.parquet as pq
+
+    dim = len(
+        pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+        )["embedding"][0]
+    )
+    planes = lsh_planes(ANN_LSH_PLANES, dim)
+
+    def code_rows(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        matn = mat / n[:, None]
+        codes = lsh_codes(matn, planes).astype(np.int64)
+        # one row per (probe bucket, vec): own code + each 1-bit flip,
+        # so any pair within hamming 1 shares >= one bucket
+        # embeddings ride the join as packed float64 bytes (Ray's hash
+        # join does not carry list columns)
+        out_b, out_v, out_c, out_e = [], [], [], []
+        emb_blobs = [row.astype("<f8").tobytes() for row in matn]
+        for p in range(ANN_LSH_PLANES + 1):
+            keys = codes if p == 0 else codes ^ (1 << (p - 1))
+            out_b.append(keys)
+            out_v.append(ids)
+            out_c.append(codes)
+            out_e.extend(emb_blobs)
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(out_b), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "code": pa.array(np.concatenate(out_c), pa.int64()),
+                "emb": pa.array(out_e, pa.binary()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(code_rows, batch_format="pyarrow")
+
+    pairs = candidate_pairs(ds, ["bucket"], ["code", "emb"])
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        ca = t["code_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        cb = t["code_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = popcount64(ca ^ cb) <= 1
+        t = t.filter(pa.array(keep))
+        ea = np.stack(
+            [np.frombuffer(b, dtype="<f8") for b in t["emb_a"].to_pylist()]
+        ) if t.num_rows else np.empty((0, 1))
+        eb = np.stack(
+            [np.frombuffer(b, dtype="<f8") for b in t["emb_b"].to_pylist()]
+        ) if t.num_rows else np.empty((0, 1))
+        cos = (
+            np.einsum("ij,ij->i", ea, eb)
+            if len(ea)
+            else np.empty(0, np.float64)
+        )
+        hit = cos >= threshold
+        return pa.table(
+            {
+                "vec_a": t["doc_id_a"].filter(pa.array(hit)),
+                "vec_b": t["doc_id_b"].filter(pa.array(hit)),
+                "cos": pa.array(np.round(cos[hit], 6), pa.float64()),
+            }
+        )
+
+    return hash_grouped_aggregate(
+        pairs.map_batches(verify, batch_format="pyarrow"),
+        ["vec_a", "vec_b"],
+        [("cos", "min", "cos")],
+    ).sort(["vec_a", "vec_b"])

@@ -102,6 +102,75 @@ def build_index_checkpointed(
     return man.entries
 
 
+def append_partition(
+    corpus_source,
+    out_dir: str,
+    lo: int,
+    hi: int,
+    shard_size: int | None = None,
+) -> dict:
+    """Incremental ingest: add one new doc-range partition [lo, hi) to
+    an EXISTING index directory and extend meta.json's n_docs. The new
+    chunk file is disjoint in doc_id space from every existing one, so
+    no existing file is rewritten — serving simply picks up the new
+    shard on the next ``BM25ShardedService``/``load_index`` (global df
+    and avgdl are re-derived from chunk summaries at load, so idfs stay
+    consistent with the grown corpus). This is the 10^12-scale
+    continuous-ingest story: one `ray job submit` per arriving doc
+    range."""
+    import json
+
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if shard_size is None:
+        shard_size = int(meta["shard_size"])
+    elif shard_size != meta["shard_size"]:
+        raise ValueError(
+            f"shard_size {shard_size} != index's {meta['shard_size']}"
+        )
+    if lo < meta["n_docs"]:
+        raise ValueError(
+            f"new partition [{lo}, {hi}) overlaps existing docs "
+            f"[0, {meta['n_docs']})"
+        )
+    man = Manifest(out_dir)
+    pid = f"docs_{lo}_{hi}"
+    out_file = os.path.join(out_dir, f"chunks_{pid}.parquet")
+    if not man.is_done(pid, out_file):
+        t0 = time.perf_counter()
+        ds = corpus_source(lo, hi)
+        batches = list(
+            build_chunk_table(ds, "content", "doc_id", shard_size).iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+        )
+        tbl = (
+            pa.concat_tables(batches, promote_options="default")
+            if batches
+            else _empty_chunks_table()
+        )
+        tmp = out_file + ".tmp"
+        pq.write_table(tbl if tbl.num_rows else _empty_chunks_table(), tmp)
+        os.replace(tmp, out_file)
+        man.mark_done(
+            pid,
+            doc_lo=lo,
+            doc_hi=hi,
+            n_chunks=tbl.num_rows,
+            n_postings=int(pa.compute.sum(tbl["df"]).as_py() or 0)
+            if tbl.num_rows
+            else 0,
+            bytes=os.path.getsize(out_file),
+            seconds=round(time.perf_counter() - t0, 3),
+        )
+    meta["n_docs"] = max(int(meta["n_docs"]), hi)
+    meta_path = os.path.join(out_dir, "meta.json")
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(meta_path + ".tmp", meta_path)
+    return man.entries
+
+
 def _empty_chunks_table() -> pa.Table:
     from snowball_java_ray.stages.index_build import CHUNK_SCHEMA
 

@@ -814,6 +814,49 @@ ORDER BY query_vec_id, rank
 """
 
 
+def _lsh_code_expr(dim: int = 64) -> str:
+    """The sign-LSH bucket-code SQL expression over column ``e`` with
+    the md5-derived plane literals (shared by lsh_ann_sql and
+    embed_dup_lsh_sql)."""
+    from snowball_java_ray.constants import ANN_LSH_PLANES
+    from snowball_java_ray.ops.ann import lsh_planes
+
+    planes = lsh_planes(ANN_LSH_PLANES, dim)
+    terms = []
+    for pidx in range(ANN_LSH_PLANES):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[pidx]) + "]"
+        terms.append(
+            f"(CASE WHEN list_inner_product(e, {lit}) > 0"
+            f" THEN {1 << pidx} ELSE 0 END)"
+        )
+    return "\n       + ".join(terms)
+
+
+def embed_dup_lsh_sql() -> str:
+    """LSH-blocked embedding near-dup oracle: candidates are pairs
+    whose sign-LSH codes differ in <= 1 bit (the engine's probe rule,
+    byte-identical plane literals), verified at the cosine threshold.
+    Defines the approximate operator's semantics exactly."""
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+coded AS (
+  SELECT vec_id, e,
+         {_lsh_code_expr()} AS code
+  FROM emb
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.e, b.e), 6) AS cos
+FROM coded a JOIN coded b
+  ON a.vec_id < b.vec_id
+ AND bit_count(xor(CAST(a.code AS BIGINT), CAST(b.code AS BIGINT))) <= 1
+WHERE list_cosine_similarity(a.e, b.e) >= {EMBED_COS_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
 # --- Snowball workload oracles (serial-twin parquet, not pure SQL) ----
 # The Snowball layer's input is the synthesized tagged corpus, not a
 # DuckDB-registered view, and M1-M7 extraction needs positional regex

@@ -128,3 +128,42 @@ def test_hash_grouped_aggregate_matches_pandas(ray_session, rows, num_parts):
     pd.testing.assert_frame_equal(
         got[["k1", "k2", "sv", "mv", "n"]], want, check_dtype=False
     )
+
+
+def test_embed_lsh_subset_and_high_cos_recall(ray_session, tmp_path):
+    """embed_dup_pairs_lsh is a strict subset of brute force, and at
+    TRUE near-dup similarity (cos >= 0.95) the hamming<=1 probe rule
+    recalls most pairs (sign-LSH power grows as angle shrinks)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from snowball_java_ray.ops.dedup import embed_dup_pairs, embed_dup_pairs_lsh
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 64))
+    rows_id, rows_e = [], []
+    vid = 0
+    truth = 0
+    for i in range(40):
+        rows_id.append(vid); rows_e.append(base[i]); vid += 1
+        # one near-duplicate per vector: tiny perturbation -> cos ~0.99
+        rows_id.append(vid); rows_e.append(base[i] + 0.05 * rng.standard_normal(64)); vid += 1
+        truth += 1
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(rows_id, pa.int64()),
+            "embedding": pa.array([list(map(float, e)) for e in rows_e],
+                                  pa.list_(pa.float32())),
+        }),
+        d / "embeddings.parquet",
+    )
+    brute = embed_dup_pairs(str(d), threshold=0.95).to_pandas()
+    lsh = embed_dup_pairs_lsh(str(d), threshold=0.95).to_pandas()
+    bset = set(zip(brute.vec_a, brute.vec_b))
+    lset = set(zip(lsh.vec_a, lsh.vec_b))
+    assert lset <= bset
+    assert len(bset) >= 30  # the synthetic near-dups qualify
+    recall = len(lset & bset) / len(bset)
+    assert recall >= 0.6, recall

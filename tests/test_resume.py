@@ -174,3 +174,40 @@ def test_extraction_checkpoint_resumes_identically(ray_session, tmp_path):
         r2.tuples.sort_values(key, ignore_index=True),
     )
     pd.testing.assert_frame_equal(r1.patterns, r2.patterns)
+
+
+def test_incremental_append_equals_full_build(ray_session, tmp_path):
+    """Continuous ingest: build over docs [0, 250), append [250, 500) as
+    a new partition — queries through both load_index and the sharded
+    service equal a from-scratch full build (idf/avgdl re-derived from
+    the grown chunk summaries)."""
+    from snowball_java_ray.pipelines.index_pipeline import append_partition
+    from snowball_java_ray.stages.serve import BM25ShardedService
+
+    grown_dir = str(tmp_path / "grown")
+    full_dir = str(tmp_path / "full2")
+
+    build_index_checkpointed(corpus_source, grown_dir, 250, n_partitions=2,
+                             shard_size=64)
+    append_partition(corpus_source, grown_dir, 250, 500)
+    build_index_checkpointed(corpus_source, full_dir, N_DOCS, n_partitions=4,
+                             shard_size=64)
+
+    idx_grown = load_index(grown_dir)
+    idx_full = load_index(full_dir)
+    assert idx_grown.n_docs == idx_full.n_docs == N_DOCS
+    assert idx_grown.df == idx_full.df
+    for q in REFERENCE_QUERIES[:8]:
+        d1, s1 = score_query(idx_grown, q)
+        d2, s2 = score_query(idx_full, q)
+        assert d1.tolist() == d2.tolist(), q
+        assert np.array_equal(s1, s2), q
+
+    svc_g = BM25ShardedService(grown_dir)
+    svc_f = BM25ShardedService(full_dir)
+    try:
+        for q in REFERENCE_QUERIES[:4]:
+            assert svc_g.boolean_and(q).tolist() == svc_f.boolean_and(q).tolist()
+    finally:
+        svc_g.shutdown()
+        svc_f.shutdown()

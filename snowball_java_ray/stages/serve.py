@@ -120,11 +120,19 @@ SHARD_ACTOR_NUM_CPUS = 0
 
 
 def make_shard_actor(chunk_files: list[str], n_docs: int, avgdl: float):
+    """Shard actors are stateless-recoverable: their whole state rebuilds
+    in __init__ from immutable on-disk chunk files, so Ray can restart a
+    crashed actor and retry its in-flight scatter calls transparently
+    (tested by killing an actor mid-service)."""
     import ray
 
     return (
         ray.remote(_ShardScorer)
-        .options(num_cpus=SHARD_ACTOR_NUM_CPUS)
+        .options(
+            num_cpus=SHARD_ACTOR_NUM_CPUS,
+            max_restarts=3,
+            max_task_retries=3,
+        )
         .remote(chunk_files, n_docs, avgdl)
     )
 

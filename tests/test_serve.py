@@ -62,3 +62,28 @@ def test_sharded_wand_identical(ray_session):
     b = collect_arrow(bm25_topk_sharded_pipeline(SF_TINY, algo="wand"))
     assert a.schema == b.schema
     assert _sorted_pandas(a).equals(_sorted_pandas(b))
+
+
+def test_shard_actor_crash_recovery(ray_session):
+    """Killing a shard actor mid-service must not lose queries: state
+    rebuilds from the immutable chunk files and the retried scatter
+    returns identical results."""
+    import ray
+
+    index_dir = ensure_index_dir(SF_TINY)
+    svc = BM25ShardedService(index_dir)
+    try:
+        before = svc.boolean_and(REFERENCE_QUERIES[0])
+        # simulate a node/actor failure (no_restart=False -> Ray restarts)
+        ray.kill(svc.handles[1], no_restart=False)
+        after = svc.boolean_and(REFERENCE_QUERIES[0])
+        assert before.tolist() == after.tolist()
+        # scoring path too
+        out = ray.get(
+            svc.handles[1].score_batch.remote(
+                [(0, [("data", 1.0)])], 1.2, 0.75, 5, "exact"
+            )
+        )
+        assert len(out) == 1
+    finally:
+        svc.shutdown()

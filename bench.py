@@ -265,6 +265,15 @@ def run_bench() -> dict:
         batch_size=32,
     ).count()
     timings["bm25_sharded_1000q"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_wand = svc.topk_dataset(
+        rd.from_items(q_items),
+        concurrency=max(2, NUM_CPUS // 4),
+        batch_size=32,
+        algo="wand",
+    ).count()
+    timings["bm25_sharded_wand_1000q"] = time.perf_counter() - t0
+    assert n_wand == n_sharded
     svc.shutdown()
 
     # training-data ops over the raw sf tables (un-replicated: these

@@ -307,14 +307,14 @@ def score_terms_wand(
     dictionary. The doc-sharded serving path calls this directly with
     gather-stage global idfs — block-max skipping then happens
     per-shard against that shard's own running threshold."""
-    per_term: list[tuple[float, list[_Chunk]]] = []
+    per_term: list[tuple[str, float, list[_Chunk]]] = []
     shard_ub: dict[int, float] = {}
     for t, idf_in in terms_idf:
         parts = index.chunks.get(t)
         if not parts:
             continue
         idf = index.idf(t) if idf_in is None else idf_in
-        per_term.append((idf, parts))
+        per_term.append((t, idf, parts))
         for c in parts:
             tf = float(c.max_tf)
             ub = idf * tf * (k1 + 1.0) / (
@@ -325,10 +325,18 @@ def score_terms_wand(
         return np.empty(0, np.int64), np.empty(0, np.float64)
 
     # chunks by (shard, term) for selective decode
-    by_shard: dict[int, list[tuple[float, _Chunk]]] = {}
-    for idf, parts in per_term:
+    by_shard: dict[int, list[tuple[str, float, _Chunk]]] = {}
+    for t, idf, parts in per_term:
         for c in parts:
-            by_shard.setdefault(c.shard, []).append((idf, c))
+            by_shard.setdefault(c.shard, []).append((t, idf, c))
+
+    # per-chunk contribution memoization: WAND's selective decode would
+    # otherwise pay full decode+math per repeated query term, while the
+    # exact path amortizes through its impact cache. Keyed by chunk
+    # identity + BM25 params; bounded FIFO like the other caches.
+    wcache = getattr(index, "_wand_cache", None)
+    if wcache is None:
+        wcache = index._wand_cache = {}
 
     order = sorted(shard_ub, key=lambda s: (-shard_ub[s], s))
     cand_docs: list[np.ndarray] = []
@@ -339,13 +347,20 @@ def score_terms_wand(
         if n_kept >= top_k and shard_ub[s] < kth - 2e-9:
             continue  # no doc in this shard can enter the top-k
         doc_parts, contrib_parts = [], []
-        for idf, c in by_shard[s]:
-            doc_ids, tfs, dls = decode_postings(c.data, base=c.base)
-            tf = tfs.astype(np.float64)
-            dl = dls.astype(np.float64)
-            contrib = idf * tf * (k1 + 1.0) / (
-                tf + k1 * (1.0 - b + b * dl / index.avgdl)
-            )
+        for t, idf, c in by_shard[s]:
+            key = (t, c.shard, c.base, k1, b, idf)
+            hit = wcache.get(key)
+            if hit is None:
+                doc_ids, tfs, dls = decode_postings(c.data, base=c.base)
+                tf = tfs.astype(np.float64)
+                dl = dls.astype(np.float64)
+                contrib = idf * tf * (k1 + 1.0) / (
+                    tf + k1 * (1.0 - b + b * dl / index.avgdl)
+                )
+                if len(wcache) >= 4096:
+                    wcache.pop(next(iter(wcache)))
+                wcache[key] = hit = (doc_ids, contrib)
+            doc_ids, contrib = hit
             doc_parts.append(doc_ids)
             contrib_parts.append(contrib)
         all_docs = np.concatenate(doc_parts)

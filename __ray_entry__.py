@@ -24,13 +24,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry() -> Any:
-    """Flagship pipeline: build the inverted index over the sf0.001
-    corpus (documents mapped to the input_hint corpus schema) and serve
-    BM25 top-k for the reference query set through the actor-pool
-    scorer. Returns the top-k result Dataset."""
-    from snowball_java_ray.pipelines.api import bm25_topk_pipeline
+    """Flagship pipeline — the north-star serving shape end-to-end:
+    checkpointed doc-range-partitioned index build over the sf0.001
+    corpus (documents mapped to the input_hint corpus schema), then
+    BM25 top-k for the reference query set through the doc-sharded
+    scatter/gather fleet running block-max WAND over the compressed
+    postings. Returns the top-k result Dataset."""
+    from snowball_java_ray.pipelines.api import bm25_topk_sharded_wand_pipeline
 
-    return bm25_topk_pipeline("/root/testdata/sf0.001")
+    return bm25_topk_sharded_wand_pipeline("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -74,13 +76,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": api.doc_stats_pipeline,
         "term_df": api.term_df_pipeline,
         "index_meta": api.index_meta_pipeline,
-        "bm25_topk": api.bm25_topk_pipeline,
-        "boolean_and": api.boolean_and_pipeline,
-        # doc-sharded serving (ST5 scale path): per-doc-range shard
-        # actors + scatter/gather — rank-identical, same oracles
-        "bm25_topk_sharded": api.bm25_topk_sharded_pipeline,
+        # DEFAULT serving = the doc-sharded scatter/gather fleet (ST5
+        # scale path); the broadcast-index variants remain as oracled
+        # small-scale baselines
+        "bm25_topk": api.bm25_topk_sharded_pipeline,
         "bm25_topk_sharded_wand": api.bm25_topk_sharded_wand_pipeline,
-        "boolean_and_sharded": api.boolean_and_sharded_pipeline,
+        "bm25_topk_broadcast": api.bm25_topk_pipeline,
+        "boolean_and": api.boolean_and_sharded_pipeline,
+        "boolean_and_local": api.boolean_and_pipeline,
         # --- Snowball workload layer (serial-twin value oracles) ---
         "snowball_extract": api.snowball_extract_pipeline,
         "snowball_e2e": api.snowball_e2e_pipeline,
@@ -134,10 +137,10 @@ def oracle_sql() -> dict[str, str]:
         "term_topk_df": sqlgen.term_topk_df_sql(),
         "index_meta": sqlgen.index_meta_sql(),
         "bm25_topk": sqlgen.bm25_topk_sql(),
-        "boolean_and": sqlgen.boolean_and_sql(),
-        "bm25_topk_sharded": sqlgen.bm25_topk_sql(),
         "bm25_topk_sharded_wand": sqlgen.bm25_topk_sql(),
-        "boolean_and_sharded": sqlgen.boolean_and_sql(),
+        "bm25_topk_broadcast": sqlgen.bm25_topk_sql(),
+        "boolean_and": sqlgen.boolean_and_sql(),
+        "boolean_and_local": sqlgen.boolean_and_sql(),
         # Snowball layer: value-level oracles via the serial twin
         # (oracle_snowball.py) — generating these SQL strings runs the
         # Ray-free twin and writes its parquet; the SQL reads it back,

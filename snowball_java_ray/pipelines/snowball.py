@@ -333,6 +333,22 @@ def retrieve_seed_candidate_docs(index, seeds: set[tuple[str, str]]) -> "np.ndar
     return np.unique(np.concatenate(out))
 
 
+def retrieve_seed_candidate_docs_sharded(service, seeds) -> "np.ndarray":
+    """The same conjunctive seed retrieval served by the doc-sharded
+    fleet (stages/serve.BM25ShardedService.boolean_and tokenizes the
+    seed surface forms with the identical analyzer): at 10^12 docs the
+    per-iteration seed match becomes a scatter to the shard actors
+    instead of a driver-index lookup. Equal to the driver-index variant
+    (tested)."""
+    import numpy as np
+
+    out = [service.boolean_and(f"{e1} {e2}") for e1, e2 in seeds]
+    out = [a for a in out if a.size]
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(out))
+
+
 @dataclass
 class SnowballResult:
     tuples: pd.DataFrame

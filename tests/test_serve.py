@@ -87,3 +87,25 @@ def test_shard_actor_crash_recovery(ray_session):
         assert len(out) == 1
     finally:
         svc.shutdown()
+
+
+def test_sharded_seed_retrieval_equals_driver_index(ray_session):
+    """Fleet-served conjunctive seed retrieval == driver-index lookup
+    (the Snowball match-phase integration at serving scale)."""
+    from snowball_java_ray.pipelines.api import build_index, documents_as_corpus
+    from snowball_java_ray.pipelines.snowball import (
+        retrieve_seed_candidate_docs,
+        retrieve_seed_candidate_docs_sharded,
+    )
+
+    seeds = {("table stream", "hash sort"), ("query", "merge")}
+    index = build_index(documents_as_corpus(SF_TINY), n_docs=500, shard_size=64)
+    index_dir = ensure_index_dir(SF_TINY)
+    svc = BM25ShardedService(index_dir)
+    try:
+        a = retrieve_seed_candidate_docs(index, seeds)
+        b = retrieve_seed_candidate_docs_sharded(svc, seeds)
+        assert a.tolist() == b.tolist()
+        assert a.size > 0
+    finally:
+        svc.shutdown()

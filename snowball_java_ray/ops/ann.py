@@ -6,12 +6,12 @@ per batch, exact merge via groupby(query). This is the verification
 oracle for any approximate variant and the pattern for "small query
 set x huge corpus" retrieval.
 
-Scale path: random-hyperplane LSH bucketing (``lsh_ann_topk``): each
-vector keyed by sign-pattern buckets from P deterministic hyperplanes;
-queries probe their own bucket (+ multiprobe neighbors); candidates
-verified exactly. Bucket assignment is a stateless vectorized map;
-bucket lookup a groupby — same shuffle shape as MinHash-LSH dedup.
-Tested for recall against the brute-force baseline, not for equality.
+Scale paths (both value-checked against full DuckDB oracles AND
+recall-tested vs brute force):
+- ``lsh_ann_topk``: sign-pattern buckets from md5-derived hyperplanes,
+  1-bit multiprobe, broadcast probe map, ONE streamed corpus scan.
+- ``ivf_ann_topk``: deterministic coarse quantizer (nearest-centroid
+  cells), nprobe probing, same single-scan shape.
 """
 
 from __future__ import annotations

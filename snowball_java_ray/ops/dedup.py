@@ -2,10 +2,11 @@
 
 Five families, each expressed Ray-Data-first:
 - exact dedup           hash-partition on content hash, min doc_id per group
-- n-gram Jaccard        shingle explode -> groupby(shingle) -> pair counts
-- MinHash + LSH         per-doc signatures -> (band, key) explode -> bucket groupby
-- SimHash               vectorized 60-bit weighted fingerprint (+ hamming pairs)
-- embedding cosine      blocked matmul against a broadcast normalized matrix
+- n-gram Jaccard        shingle explode -> blocking self-join -> pair counts
+- MinHash + LSH         per-doc signatures -> (band, key) explode -> self-join
+- SimHash               vectorized 60-bit weighted fingerprint + pigeonhole
+                        bit-chunk-blocked hamming pairs
+- embedding cosine      brute-force baseline + sign-LSH blocked scale path
 
 Determinism contract: every hash is md5-derived (md5int60 = first 15
 hex digits as int), reproducible bit-for-bit in DuckDB

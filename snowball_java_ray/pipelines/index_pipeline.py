@@ -224,6 +224,73 @@ def compact_chunks(chunks: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(out, schema=CHUNK_SCHEMA, preserve_index=False)
 
 
+def compact_chunks_ds(chunks_ds):
+    """Distributed segment merge: the Dataset expression of
+    ``compact_chunks`` for when the chunk table no longer fits one
+    process. Each encoded chunk row decodes back to a packed partial
+    (the build's shuffle format), then the exact same
+    hash-partition -> merge_encode_partition reduce as the build
+    re-merges every (term, shard)'s chunks in doc order — one shuffle,
+    no per-group Python, no driver materialization. Tested equal to the
+    driver-side compactor and to a single-shot build."""
+    import numpy as np
+    import pyarrow as pa
+
+    from snowball_java_ray.functions.codec import decode_postings
+    from snowball_java_ray.ops.dedup import md5int60
+    from snowball_java_ray.stages.index_build import (
+        PARTIAL_SCHEMA,
+        _pack_partial,
+        merge_encode_partition,
+    )
+
+    def to_partials(t: pa.Table) -> pa.Table:
+        out_t, out_s, out_b, out_n = [], [], [], []
+        for term, shard, base, data in zip(
+            t["term"].to_pylist(),
+            t["shard"].to_pylist(),
+            t["base"].to_pylist(),
+            t["data"].to_pylist(),
+        ):
+            doc_ids, tfs, dls = decode_postings(bytes(data), base=int(base))
+            out_t.append(term)
+            out_s.append(int(shard))
+            out_b.append(_pack_partial(doc_ids, tfs, dls))
+            out_n.append(len(doc_ids))
+        return pa.table(
+            {
+                "term": pa.array(out_t),
+                "shard": pa.array(out_s, pa.int64()),
+                "blob": pa.array(out_b, pa.binary()),
+                "n": pa.array(out_n, pa.int32()),
+            },
+            schema=PARTIAL_SCHEMA,
+        )
+
+    import ray
+
+    try:
+        P = max(32, 8 * int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        P = 64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        terms = t["term"].to_pylist()
+        shards = t["shard"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        th = np.array([md5int60(x) for x in terms], dtype=np.uint64)
+        h = th * np.uint64(1099511628211) ^ shards
+        return t.append_column(
+            "__part", pa.array((h % np.uint64(P)).astype(np.int64))
+        )
+
+    return (
+        chunks_ds.map_batches(to_partials, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(merge_encode_partition, batch_format="pyarrow")
+    )
+
+
 def load_index(out_dir: str):
     """Assemble the InvertedIndex from all per-partition chunk files."""
     import glob

@@ -214,3 +214,59 @@ def test_salted_bucketed_join_identical(ray_session):
         .sort_values(["o_orderkey"], ignore_index=True)
     )
     assert plain[sorted(plain.columns)].equals(salted[sorted(salted.columns)])
+
+
+def test_compact_chunks_ds_equals_driver_compactor(ray_session, tmp_path):
+    """The distributed segment merge == the driver-side compactor ==
+    scoring-identical to a single-shot build."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from snowball_java_ray.constants import REFERENCE_QUERIES
+    from snowball_java_ray.pipelines.api import build_index, documents_as_corpus
+    from snowball_java_ray.pipelines.index_pipeline import (
+        build_index_checkpointed,
+        compact_chunks,
+        compact_chunks_ds,
+    )
+    from snowball_java_ray.stages.score import InvertedIndex, score_query
+    from tests.conftest import SF_TINY
+    from tests.test_resume import corpus_source
+
+    d = str(tmp_path / "multi")
+    # step=63 bounds + shard-splitting boundaries -> multi-chunk groups
+    build_index_checkpointed(corpus_source, d, 500, n_partitions=8,
+                             shard_size=64)
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{d}/chunks_*.parquet"))
+    raw = pa.concat_tables([pq.read_table(f) for f in files],
+                           promote_options="default")
+    driver_side = compact_chunks(raw)
+    dist = pa.concat_tables(
+        compact_chunks_ds(ray.data.from_arrow(raw)).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ),
+        promote_options="default",
+    )
+    a = driver_side.sort_by([("term", "ascending"), ("shard", "ascending")])
+    b = dist.sort_by([("term", "ascending"), ("shard", "ascending")])
+    assert a.equals(b.cast(a.schema))
+
+    # one chunk per (term, shard) after compaction
+    import collections
+
+    keys = list(zip(b["term"].to_pylist(), b["shard"].to_pylist()))
+    assert max(collections.Counter(keys).values()) == 1
+
+    idx = InvertedIndex(b, 500)
+    idx_mem = build_index(documents_as_corpus(SF_TINY), n_docs=500,
+                          shard_size=64)
+    for q in REFERENCE_QUERIES[:6]:
+        d1, s1 = score_query(idx, q)
+        d2, s2 = score_query(idx_mem, q)
+        assert d1.tolist() == d2.tolist(), q
+        assert np.array_equal(s1, s2), q

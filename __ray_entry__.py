@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         joins,
         multimodal,
         relational,
+        sampling,
         textstats,
     )
     from snowball_java_ray.pipelines import api, curate
@@ -66,6 +67,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": textstats.fingerprint,
         "langid": textstats.langid,
         "lang_profile": textstats.lang_profile,
+        # --- sampling / splitting ---
+        "train_val_test_split": sampling.train_val_test_split,
+        "split_counts": sampling.split_counts,
+        "stratified_sample": sampling.stratified_sample,
         # --- multimodal (opaque binary payloads; decode stubbed,
         # --- plumbing + metadata + fake-decode features value-checked) ---
         "media_meta": multimodal.media_meta,
@@ -128,6 +133,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": sqlgen.fingerprint_sql(),
         "langid": sqlgen.langid_sql(),
         "lang_profile": sqlgen.lang_profile_sql(),
+        "train_val_test_split": sqlgen.train_val_test_split_sql(),
+        "split_counts": sqlgen.split_counts_sql(),
+        "stratified_sample": sqlgen.stratified_sample_sql(),
         "media_meta": sqlgen.media_meta_sql(),
         "media_features": sqlgen.media_features_sql(),
         "video_frames": sqlgen.video_frames_sql(),

@@ -857,6 +857,62 @@ ORDER BY vec_a, vec_b
 """
 
 
+# --- sampling / splitting (ops/sampling.py) ---------------------------
+
+_HASH_UNIT = ("(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT"
+              " / 1152921504606846976.0)")
+
+
+def train_val_test_split_sql() -> str:
+    from snowball_java_ray.ops.sampling import TRAIN_FRAC, VAL_FRAC
+
+    u = _HASH_UNIT.format(col="doc_id")
+    return f"""
+SELECT doc_id,
+       CASE WHEN {u} < {TRAIN_FRAC} THEN 'train'
+            WHEN {u} < {TRAIN_FRAC + VAL_FRAC} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
+def split_counts_sql() -> str:
+    from snowball_java_ray.ops.sampling import TRAIN_FRAC, VAL_FRAC
+
+    u = _HASH_UNIT.format(col="d.doc_id")
+    return f"""
+WITH {tokenize_cte()},
+tok AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
+labeled AS (
+  SELECT d.doc_id, coalesce(tok.n_tokens, 0) AS n_tokens,
+         CASE WHEN {u} < {TRAIN_FRAC} THEN 'train'
+              WHEN {u} < {TRAIN_FRAC + VAL_FRAC} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents d LEFT JOIN tok ON d.doc_id = tok.doc_id
+)
+SELECT split, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM labeled GROUP BY split ORDER BY split
+"""
+
+
+def stratified_sample_sql() -> str:
+    from snowball_java_ray.ops.sampling import STRATA_K
+
+    u = _HASH_UNIT.format(col="doc_id")
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY {u} ASC, doc_id ASC
+         ) AS rnk
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rnk <= {STRATA_K}
+ORDER BY lang, doc_id
+"""
+
+
 # --- Snowball workload oracles (serial-twin parquet, not pure SQL) ----
 # The Snowball layer's input is the synthesized tagged corpus, not a
 # DuckDB-registered view, and M1-M7 extraction needs positional regex

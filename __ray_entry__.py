@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_test_split": sampling.train_val_test_split,
         "split_counts": sampling.split_counts,
         "stratified_sample": sampling.stratified_sample,
+        "pack_sequences": sampling.pack_sequences,
         # --- multimodal (opaque binary payloads; decode stubbed,
         # --- plumbing + metadata + fake-decode features value-checked) ---
         "media_meta": multimodal.media_meta,
@@ -136,6 +137,7 @@ def oracle_sql() -> dict[str, str]:
         "train_val_test_split": sqlgen.train_val_test_split_sql(),
         "split_counts": sqlgen.split_counts_sql(),
         "stratified_sample": sqlgen.stratified_sample_sql(),
+        "pack_sequences": sqlgen.pack_sequences_sql(),
         "media_meta": sqlgen.media_meta_sql(),
         "media_features": sqlgen.media_features_sql(),
         "video_frames": sqlgen.video_frames_sql(),

@@ -106,3 +106,87 @@ def stratified_sample(sf_dir: str, k: int = STRATA_K) -> ray.data.Dataset:
         .map_groups(pick, batch_format="pandas")
         .sort(["lang", "doc_id"])
     )
+
+
+SEQ_LEN = 2048  # tokens per packed training sequence
+
+
+def pack_sequences(sf_dir: str, seq_len: int = SEQ_LEN) -> ray.data.Dataset:
+    """Pretraining sequence packing (concatenation style): documents
+    concatenate in doc_id order into a single token stream cut into
+    fixed seq_len windows; each doc reports its global token offset and
+    the sequence its first token lands in.
+
+    The global offset is a DISTRIBUTED PREFIX SUM — the canonical
+    two-pass pattern: (1) per-partition token totals (tiny table) come
+    back to the driver, (2) each partition adds its predecessor offset
+    and cumsums locally. Partitions are contiguous doc_id ranges via a
+    range sort, so the result is identical to a serial scan at any
+    partition count (and to the SQL window-sum oracle)."""
+    from snowball_java_ray.functions.text import tokenize_arrow
+
+    def stats(t: pa.Table) -> pa.Table:
+        row_idx, _ = tokenize_arrow(t["text"])
+        n_tokens = np.bincount(row_idx, minlength=len(t)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+            }
+        )
+
+    ds = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(stats, batch_format="pyarrow")
+        .sort("doc_id")  # range partitioning: contiguous doc_id blocks
+        .materialize()
+    )
+
+    # pass 1: per-block totals + first doc_id (driver sees one row per
+    # block — O(partitions), never O(docs))
+    blocks = []
+    for i, batch in enumerate(
+        ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    ):
+        if len(batch):
+            blocks.append(
+                (int(batch["doc_id"][0].as_py()),
+                 int(np.sum(batch["n_tokens"].to_numpy())))
+            )
+    blocks.sort()
+    offsets: dict[int, int] = {}
+    run = 0
+    for first_doc, total in blocks:
+        offsets[first_doc] = run
+        run += total
+
+    # pass 2: local cumsum + predecessor offset (vectorized per block)
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "token_offset": pa.array([], pa.int64()),
+                    "seq_id": pa.array([], pa.int64()),
+                }
+            )
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        base = offsets[int(t["doc_id"][0].as_py())]
+        before = base + np.concatenate([[0], np.cumsum(n)[:-1]])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "token_offset": pa.array(before, pa.int64()),
+                "seq_id": pa.array(before // seq_len, pa.int64()),
+            }
+        )
+
+    # batch_size=None => one batch per BLOCK, matching the pass-1
+    # boundaries the offsets were computed for
+    return ds.map_batches(
+        assign, batch_format="pyarrow", batch_size=None
+    ).sort("doc_id")

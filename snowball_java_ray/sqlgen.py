@@ -913,6 +913,25 @@ ORDER BY lang, doc_id
 """
 
 
+def pack_sequences_sql() -> str:
+    from snowball_java_ray.ops.sampling import SEQ_LEN
+
+    return f"""
+WITH {tokenize_cte()},
+tok AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
+stream AS (
+  SELECT d.doc_id, coalesce(tok.n_tokens, 0) AS n_tokens,
+         CAST(coalesce(sum(coalesce(tok.n_tokens, 0)) OVER (
+           ORDER BY d.doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+  FROM documents d LEFT JOIN tok ON d.doc_id = tok.doc_id
+)
+SELECT doc_id, n_tokens, token_offset,
+       token_offset // {SEQ_LEN} AS seq_id
+FROM stream ORDER BY doc_id
+"""
+
+
 # --- Snowball workload oracles (serial-twin parquet, not pure SQL) ----
 # The Snowball layer's input is the synthesized tagged corpus, not a
 # DuckDB-registered view, and M1-M7 extraction needs positional regex

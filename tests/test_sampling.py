@@ -1,0 +1,42 @@
+"""Deterministic sampling/splitting/packing (ops/sampling.py)."""
+
+import numpy as np
+import pytest
+
+from snowball_java_ray.ops.sampling import (
+    TRAIN_FRAC,
+    VAL_FRAC,
+    pack_sequences,
+    split_counts,
+    stratified_sample,
+    train_val_test_split,
+)
+from tests.conftest import SF_TINY
+
+
+def test_split_fractions_and_determinism(ray_session):
+    a = train_val_test_split(SF_TINY).to_pandas()
+    b = train_val_test_split(SF_TINY).to_pandas()
+    assert a.equals(b)
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac.get("train", 0) - TRAIN_FRAC) < 0.08
+    assert abs(frac.get("val", 0) - VAL_FRAC) < 0.05
+
+
+def test_stratified_sample_balanced(ray_session):
+    s = stratified_sample(SF_TINY, k=7).to_pandas()
+    per = s.groupby("lang").size()
+    assert (per == 7).all()
+    # deterministic rerun
+    assert s.equals(stratified_sample(SF_TINY, k=7).to_pandas())
+
+
+def test_pack_sequences_partition_invariant(ray_session):
+    """The distributed prefix sum is exact: offsets are contiguous and
+    identical to a serial cumsum regardless of partitioning."""
+    out = pack_sequences(SF_TINY, seq_len=512).to_pandas()
+    assert (out["doc_id"].values == np.arange(len(out))).all()
+    n = out["n_tokens"].to_numpy()
+    expect = np.concatenate([[0], np.cumsum(n)[:-1]])
+    assert (out["token_offset"].to_numpy() == expect).all()
+    assert (out["seq_id"].to_numpy() == expect // 512).all()

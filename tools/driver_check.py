@@ -1,5 +1,5 @@
-"""Simulate the driver's CORRECTNESS gate at sf0.01."""
-import sys, time
+"""Simulate the driver's CORRECTNESS gate (default sf0.01; override dir via GRAFT_CHECK_SF)."""
+import os, sys, time
 import duckdb, pandas as pd, pyarrow as pa
 import ray
 ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
@@ -7,7 +7,7 @@ from ray.data import DataContext
 DataContext.get_current().enable_progress_bars = False
 import __ray_entry__ as em
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("GRAFT_CHECK_SF", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 con = duckdb.connect()
 for t in TABLES:

@@ -96,6 +96,7 @@ def ensure_bench_index_dir(n_docs: int, n_partitions: int = 8) -> str:
 
     from snowball_java_ray.pipelines.index_pipeline import (
         build_index_checkpointed,
+        index_format_fingerprint,
     )
 
     out_dir, n_total = prepare_bench_corpus(SF_DIR, REPLICATE)
@@ -105,7 +106,10 @@ def ensure_bench_index_dir(n_docs: int, n_partitions: int = 8) -> str:
         for f in os.listdir(out_dir)
         if f.endswith(".parquet")
     )
-    idx_dir = f"/tmp/snowball_serve/bench_{n_docs}_{n_partitions}"
+    idx_dir = (
+        f"/tmp/snowball_serve/bench_{n_docs}_{n_partitions}"
+        f"_{index_format_fingerprint()}"
+    )
 
     def corpus_source(lo, hi):
         ds = ray.data.read_parquet(files, columns=["doc_id", "content"])

@@ -20,9 +20,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault(
-    "PYTHONPATH", os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# PREPEND (never setdefault): Ray workers inherit PYTHONPATH, and a
+# pre-existing value would leave the repo unimportable in workers
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
 def main() -> None:

@@ -59,6 +59,11 @@ def decode_varbyte(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
     return vals
 
 
+# Bump when the on-disk chunk encoding changes — feeds the index cache
+# fingerprint (pipelines.index_pipeline.index_format_fingerprint)
+CODEC_VERSION = 1
+
+
 def encode_postings(
     doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray | None = None,
     base: int = 0,

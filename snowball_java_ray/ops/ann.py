@@ -33,6 +33,100 @@ RANK_DECIMALS = 9
 OUT_DECIMALS = 6
 
 
+def tie_preserving_cut(ids: np.ndarray, scores: np.ndarray, top_k: int):
+    """Partial top-k that keeps EVERY candidate at or above the k-th
+    ROUNDED score, so the deterministic winner under (round(cos,
+    RANK_DECIMALS) DESC, vec_id ASC) can never be dropped before the
+    exact merge — the ONE cut rule shared by every ANN path (same rule
+    as stages/score._topk_select)."""
+    if scores.size <= top_k:
+        return ids, scores
+    r = np.round(scores, RANK_DECIMALS)
+    kth = np.partition(r, r.size - top_k)[r.size - top_k]
+    keep = r >= kth
+    return ids[keep], scores[keep]
+
+
+def _make_rank_merge(top_k: int):
+    """groupby(query) merge with the shared deterministic ranking key."""
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["r"] = np.round(g["cos"].to_numpy(), RANK_DECIMALS)
+        g = g.sort_values(["r", "vec_id"], ascending=[False, True]).head(top_k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        g["cos"] = np.round(g["cos"].to_numpy(), OUT_DECIMALS)
+        return g[["query_vec_id", "rank", "vec_id", "cos"]]
+
+    return merge
+
+
+def _probe_scan(
+    sf_dir: str,
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    probe: dict[int, list[int]],
+    key_fn,
+    top_k: int,
+) -> ray.data.Dataset:
+    """The shared approximate-ANN scan (lsh + ivf): broadcast the probe
+    map + key function once, ONE streamed corpus pass scores each batch
+    row only against the queries probing its bucket key (tie-preserving
+    partial cut), then the exact groupby(query) merge. No shuffle; the
+    corpus is never materialized anywhere."""
+    import ray
+
+    qref = ray.put((qids, qmat, probe, key_fn))
+
+    def partial(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        q_ids, q_mat, q_probe, kf = _ray.get(qref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        matn = mat / n[:, None]
+        keys = kf(matn)
+        out_q, out_v, out_c = [], [], []
+        for key in np.unique(keys):
+            qlist = q_probe.get(int(key))
+            if not qlist:
+                continue
+            rows = np.flatnonzero(keys == key)
+            cand_ids = ids[rows]
+            cand_mat = matn[rows]
+            for qi in qlist:
+                mask = cand_ids != q_ids[qi]
+                c_ids = cand_ids[mask]
+                if c_ids.size == 0:
+                    continue
+                cos = cand_mat[mask] @ q_mat[qi]
+                c_ids, cos = tie_preserving_cut(c_ids, cos, top_k)
+                out_q.extend([int(q_ids[qi])] * c_ids.size)
+                out_v.extend(c_ids.tolist())
+                out_c.extend(cos.tolist())
+        return pa.table(
+            {
+                "query_vec_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("query_vec_id")
+        .map_groups(_make_rank_merge(top_k), batch_format="pandas")
+        .sort(["query_vec_id", "rank"])
+    )
+
+
 def _load_queries(sf_dir: str, n_queries: int):
     import pyarrow.parquet as pq
 
@@ -72,16 +166,7 @@ def ann_topk(
             cand = sims[qi][mask]
             if cand.size == 0:
                 continue
-            if cand.size > top_k:
-                # tie-preserving cut: keep EVERY candidate at or above
-                # the k-th ROUNDED score, so the deterministic winner
-                # under (round(cos,9) DESC, vec_id ASC) can never be
-                # dropped before the merge (same rule as
-                # stages/score._topk_select)
-                r = np.round(cand, RANK_DECIMALS)
-                kth = np.partition(r, r.size - top_k)[r.size - top_k]
-                keep = r >= kth
-                cand_ids, cand = cand_ids[keep], cand[keep]
+            cand_ids, cand = tie_preserving_cut(cand_ids, cand, top_k)
             out_q.extend([int(q_ids[qi])] * cand_ids.size)
             out_v.extend(cand_ids.tolist())
             out_c.extend(cand.tolist())
@@ -93,21 +178,13 @@ def ann_topk(
             }
         )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["r"] = np.round(g["cos"].to_numpy(), RANK_DECIMALS)
-        g = g.sort_values(["r", "vec_id"], ascending=[False, True]).head(top_k)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        g["cos"] = np.round(g["cos"].to_numpy(), OUT_DECIMALS)
-        return g[["query_vec_id", "rank", "vec_id", "cos"]]
-
     return (
         ray.data.read_parquet(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
         .map_batches(partial, batch_format="pyarrow")
         .groupby("query_vec_id")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(_make_rank_merge(top_k), batch_format="pandas")
         .sort(["query_vec_id", "rank"])
     )
 
@@ -162,8 +239,6 @@ def lsh_ann_topk(
     Candidate set == the serial definition: vectors whose bucket key is
     within hamming distance 1 of the query's key. Fully value-checked
     against the DuckDB oracle (md5-derived plane literals)."""
-    import ray
-
     qids, qmat = _load_queries(sf_dir, n_queries)
     planes = lsh_planes(n_planes, qmat.shape[1])
     qcodes = lsh_codes(qmat, planes)
@@ -171,67 +246,10 @@ def lsh_ann_topk(
     for qi, k in enumerate(qcodes.tolist()):
         for key in [k] + [k ^ (1 << p) for p in range(n_planes)]:
             probe.setdefault(key, []).append(qi)
-    qref = ray.put((qids, qmat, probe, planes))
-
-    def partial(t: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        q_ids, q_mat, q_probe, pl = _ray.get(qref)
-        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
-            np.float64
-        )
-        n = np.linalg.norm(mat, axis=1)
-        n[n == 0] = 1.0
-        matn = mat / n[:, None]
-        keys = lsh_codes(matn, pl)
-        out_q, out_v, out_c = [], [], []
-        for key in np.unique(keys):
-            qlist = q_probe.get(int(key))
-            if not qlist:
-                continue
-            rows = np.flatnonzero(keys == key)
-            cand_ids = ids[rows]
-            cand_mat = matn[rows]
-            for qi in qlist:
-                mask = cand_ids != q_ids[qi]
-                c_ids = cand_ids[mask]
-                if c_ids.size == 0:
-                    continue
-                cos = cand_mat[mask] @ q_mat[qi]
-                # tie-preserving partial cut (same rule as the merge)
-                if cos.size > top_k:
-                    r = np.round(cos, RANK_DECIMALS)
-                    kth = np.partition(r, r.size - top_k)[r.size - top_k]
-                    keep = r >= kth
-                    c_ids, cos = c_ids[keep], cos[keep]
-                out_q.extend([int(q_ids[qi])] * c_ids.size)
-                out_v.extend(c_ids.tolist())
-                out_c.extend(cos.tolist())
-        return pa.table(
-            {
-                "query_vec_id": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_v, pa.int64()),
-                "cos": pa.array(out_c, pa.float64()),
-            }
-        )
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["r"] = np.round(g["cos"].to_numpy(), RANK_DECIMALS)
-        g = g.sort_values(["r", "vec_id"], ascending=[False, True]).head(top_k)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        g["cos"] = np.round(g["cos"].to_numpy(), OUT_DECIMALS)
-        return g[["query_vec_id", "rank", "vec_id", "cos"]]
-
-    return (
-        ray.data.read_parquet(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-        )
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("query_vec_id")
-        .map_groups(merge, batch_format="pandas")
-        .sort(["query_vec_id", "rank"])
+    return _probe_scan(
+        sf_dir, qids, qmat, probe,
+        lambda matn: lsh_codes(matn, planes),
+        top_k,
     )
 
 
@@ -278,8 +296,6 @@ def ivf_ann_topk(
     centroid matrix + probe map broadcast once, ONE streamed corpus
     scan with tie-preserving partial top-k, exact groupby(query) merge.
     Fully SQL-oracled (sqlgen.ivf_ann_sql)."""
-    import ray
-
     qids, qmat = _load_queries(sf_dir, n_queries)
     cmatn = _load_centroids(sf_dir, n_queries, k_cells)
     qsims = np.round(qmat @ cmatn.T, RANK_DECIMALS)
@@ -290,64 +306,8 @@ def ivf_ann_topk(
         )[:nprobe]
         for c in cids.tolist():
             probe.setdefault(int(c), []).append(qi)
-    qref = ray.put((qids, qmat, probe, cmatn))
-
-    def partial(t: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        q_ids, q_mat, q_probe, cm = _ray.get(qref)
-        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
-            np.float64
-        )
-        n = np.linalg.norm(mat, axis=1)
-        n[n == 0] = 1.0
-        matn = mat / n[:, None]
-        cells = ivf_cells(matn, cm)
-        out_q, out_v, out_c = [], [], []
-        for cell in np.unique(cells):
-            qlist = q_probe.get(int(cell))
-            if not qlist:
-                continue
-            rows = np.flatnonzero(cells == cell)
-            cand_ids = ids[rows]
-            cand_mat = matn[rows]
-            for qi in qlist:
-                mask = cand_ids != q_ids[qi]
-                c_ids = cand_ids[mask]
-                if c_ids.size == 0:
-                    continue
-                cos = cand_mat[mask] @ q_mat[qi]
-                if cos.size > top_k:
-                    r = np.round(cos, RANK_DECIMALS)
-                    kth = np.partition(r, r.size - top_k)[r.size - top_k]
-                    keep = r >= kth
-                    c_ids, cos = c_ids[keep], cos[keep]
-                out_q.extend([int(q_ids[qi])] * c_ids.size)
-                out_v.extend(c_ids.tolist())
-                out_c.extend(cos.tolist())
-        return pa.table(
-            {
-                "query_vec_id": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_v, pa.int64()),
-                "cos": pa.array(out_c, pa.float64()),
-            }
-        )
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["r"] = np.round(g["cos"].to_numpy(), RANK_DECIMALS)
-        g = g.sort_values(["r", "vec_id"], ascending=[False, True]).head(top_k)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        g["cos"] = np.round(g["cos"].to_numpy(), OUT_DECIMALS)
-        return g[["query_vec_id", "rank", "vec_id", "cos"]]
-
-    return (
-        ray.data.read_parquet(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-        )
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("query_vec_id")
-        .map_groups(merge, batch_format="pandas")
-        .sort(["query_vec_id", "rank"])
+    return _probe_scan(
+        sf_dir, qids, qmat, probe,
+        lambda matn: ivf_cells(matn, cmatn),
+        top_k,
     )

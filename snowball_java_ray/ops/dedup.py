@@ -571,11 +571,11 @@ def embed_dup_pairs_lsh(
 
     import pyarrow.parquet as pq
 
-    dim = len(
-        pq.read_table(
-            f"{sf_dir}/embeddings.parquet", columns=["embedding"]
-        )["embedding"][0]
-    )
+    # vector dim from ONE row (iter_batches streams a single batch) —
+    # never the whole embedding column on the driver
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(first["embedding"][0])
     planes = lsh_planes(ANN_LSH_PLANES, dim)
 
     def code_rows(t: pa.Table) -> pa.Table:

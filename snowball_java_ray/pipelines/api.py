@@ -163,6 +163,7 @@ def ensure_index_dir(
 
     from snowball_java_ray.pipelines.index_pipeline import (
         build_index_checkpointed,
+        index_format_fingerprint,
     )
 
     src = f"{sf_dir}/documents.parquet"
@@ -170,6 +171,7 @@ def ensure_index_dir(
     key = (
         f"{os.path.basename(os.path.normpath(sf_dir))}_{n_docs}"
         f"_{shard_size}_{n_partitions}_{int(os.path.getmtime(src))}"
+        f"_{index_format_fingerprint()}"
     )
     out_dir = os.path.join("/tmp/snowball_serve", key)
     os.makedirs(out_dir, exist_ok=True)
@@ -215,10 +217,16 @@ def bm25_topk_sharded_pipeline(
 
     index_dir = ensure_index_dir(sf_dir, n_partitions=n_partitions)
     svc = BM25ShardedService(index_dir)
-    return svc.topk_dataset(
-        reference_queries_ds(), k1=k1, b=b, top_k=top_k,
-        concurrency=concurrency, algo=algo,
-    ).sort(["query_id", "rank"])
+    try:
+        # the result is tiny by construction (|queries| x top_k rows):
+        # materialize it so the shard fleet can be torn down HERE
+        # instead of living as long as the caller keeps the Dataset
+        return svc.topk_dataset(
+            reference_queries_ds(), k1=k1, b=b, top_k=top_k,
+            concurrency=concurrency, algo=algo,
+        ).sort(["query_id", "rank"]).materialize()
+    finally:
+        svc.shutdown()
 
 
 def bm25_topk_sharded_wand_pipeline(sf_dir: str) -> ray.data.Dataset:

@@ -27,6 +27,28 @@ from snowball_java_ray.stages.index_build import build_chunk_table
 from snowball_java_ray.state.checkpoint import Manifest
 
 
+def index_format_fingerprint() -> str:
+    """Short digest of everything that determines chunk-file CONTENT:
+    analyzer constants + codec version. Embedded in on-disk index
+    cache keys (pipelines.api.ensure_index_dir, bench) so an index
+    built by older code can never be silently served after an
+    analyzer/codec change."""
+    import hashlib
+
+    from snowball_java_ray.constants import (
+        NUMERIC_TOKEN_PATTERN,
+        STOPWORDS,
+        TOKEN_SPLIT_PATTERN,
+    )
+    from snowball_java_ray.functions.codec import CODEC_VERSION
+
+    basis = "|".join(
+        [TOKEN_SPLIT_PATTERN, NUMERIC_TOKEN_PATTERN,
+         ",".join(sorted(STOPWORDS)), f"codec{CODEC_VERSION}"]
+    )
+    return hashlib.md5(basis.encode()).hexdigest()[:10]
+
+
 def _partition_bounds(n_docs: int, n_partitions: int) -> list[tuple[int, int]]:
     step = (n_docs + n_partitions - 1) // n_partitions
     return [(lo, min(lo + step, n_docs)) for lo in range(0, n_docs, step)]
@@ -128,14 +150,18 @@ def append_partition(
         raise ValueError(
             f"shard_size {shard_size} != index's {meta['shard_size']}"
         )
-    if lo < meta["n_docs"]:
+    man = Manifest(out_dir)
+    pid = f"docs_{lo}_{hi}"
+    out_file = os.path.join(out_dir, f"chunks_{pid}.parquet")
+    # at-least-once delivery: a re-submitted append of an ALREADY-DONE
+    # range is a manifest no-op (same idempotence as the build's
+    # resume), so the overlap guard only rejects genuinely new ranges
+    # that collide with existing docs
+    if lo < meta["n_docs"] and not man.is_done(pid, out_file):
         raise ValueError(
             f"new partition [{lo}, {hi}) overlaps existing docs "
             f"[0, {meta['n_docs']})"
         )
-    man = Manifest(out_dir)
-    pid = f"docs_{lo}_{hi}"
-    out_file = os.path.join(out_dir, f"chunks_{pid}.parquet")
     if not man.is_done(pid, out_file):
         t0 = time.perf_counter()
         ds = corpus_source(lo, hi)
@@ -233,14 +259,14 @@ def compact_chunks_ds(chunks_ds):
     re-merges every (term, shard)'s chunks in doc order — one shuffle,
     no per-group Python, no driver materialization. Tested equal to the
     driver-side compactor and to a single-shot build."""
-    import numpy as np
     import pyarrow as pa
 
     from snowball_java_ray.functions.codec import decode_postings
-    from snowball_java_ray.ops.dedup import md5int60
     from snowball_java_ray.stages.index_build import (
         PARTIAL_SCHEMA,
         _pack_partial,
+        add_term_shard_partition,
+        default_reduce_partitions,
         merge_encode_partition,
     )
 
@@ -267,28 +293,31 @@ def compact_chunks_ds(chunks_ds):
             schema=PARTIAL_SCHEMA,
         )
 
-    import ray
-
-    try:
-        P = max(32, 8 * int(ray.cluster_resources().get("CPU", 8)))
-    except Exception:
-        P = 64
-
-    def add_part(t: pa.Table) -> pa.Table:
-        terms = t["term"].to_pylist()
-        shards = t["shard"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        th = np.array([md5int60(x) for x in terms], dtype=np.uint64)
-        h = th * np.uint64(1099511628211) ^ shards
-        return t.append_column(
-            "__part", pa.array((h % np.uint64(P)).astype(np.int64))
-        )
-
+    P = default_reduce_partitions()
     return (
         chunks_ds.map_batches(to_partials, batch_format="pyarrow")
-        .map_batches(add_part, batch_format="pyarrow")
+        .map_batches(
+            lambda t: add_term_shard_partition(t, P),
+            batch_format="pyarrow",
+        )
         .groupby("__part")
         .map_groups(merge_encode_partition, batch_format="pyarrow")
     )
+
+
+def doc_lo_sort_key(path: str) -> tuple[int, str]:
+    """Sort key for {prefix}_docs_{lo}_{hi}.parquet partition files by
+    NUMERIC doc_lo, not lexicographically ("docs_1250_..." <
+    "docs_625_..." as strings) — out-of-order concat breaks the
+    doc_id-sorted postings invariant score_query's dense path relies
+    on. The ONE parser for every consumer (load_index, stages/serve,
+    pipelines/snowball.load_tuples)."""
+    name = os.path.basename(path)
+    parts = name.split("_")
+    try:
+        return (int(parts[2]), name)
+    except (IndexError, ValueError):
+        return (1 << 62, name)
 
 
 def load_index(out_dir: str):
@@ -300,19 +329,8 @@ def load_index(out_dir: str):
 
     with open(os.path.join(out_dir, "meta.json")) as f:
         meta = json.load(f)
-    def _doc_lo(path: str) -> tuple[int, str]:
-        # chunks_docs_{lo}_{hi}.parquet — order by numeric doc_lo, NOT
-        # lexicographically: "docs_1250_1875" < "docs_625_1250" as strings,
-        # and out-of-order concat breaks the doc_id-sorted postings
-        # invariant score_query's dense path relies on.
-        name = os.path.basename(path)
-        parts = name.split("_")
-        try:
-            return (int(parts[2]), name)
-        except (IndexError, ValueError):
-            return (1 << 62, name)
-
-    files = sorted(glob.glob(os.path.join(out_dir, "chunks_*.parquet")), key=_doc_lo)
+    files = sorted(glob.glob(os.path.join(out_dir, "chunks_*.parquet")),
+                   key=doc_lo_sort_key)
     tbl = pa.concat_tables(
         [pq.read_table(f) for f in files], promote_options="default"
     )

@@ -173,15 +173,11 @@ def load_tuples(out_dir: str) -> pa.Table:
 
     import pyarrow.parquet as pq
 
-    def doc_lo(path: str) -> tuple[int, str]:
-        name = os.path.basename(path)
-        try:
-            return (int(name.split("_")[2]), name)
-        except (IndexError, ValueError):
-            return (1 << 62, name)
+    from snowball_java_ray.pipelines.index_pipeline import doc_lo_sort_key
 
     files = sorted(
-        glob.glob(os.path.join(out_dir, "tuples_*.parquet")), key=doc_lo
+        glob.glob(os.path.join(out_dir, "tuples_*.parquet")),
+        key=doc_lo_sort_key,
     )
     if not files:
         return TUPLE_SCHEMA.empty_table()

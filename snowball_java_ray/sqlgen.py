@@ -705,25 +705,12 @@ def lsh_ann_sql() -> str:
     round-trips), bucket keys via list_inner_product sign bits, the
     1-bit multiprobe candidate rule is bit_count(xor(codes)) <= 1, and
     verification/ranking mirror ann_topk_sql."""
-    import pyarrow.parquet as pq  # noqa: F401  (dim known from constants)
-
     from snowball_java_ray.constants import (
-        ANN_LSH_PLANES,
         ANN_N_QUERIES,
         ANN_TOP_K,
     )
-    from snowball_java_ray.ops.ann import lsh_planes
 
-    dim = 64  # embeddings.parquet fixed dim (TESTDATA.md)
-    planes = lsh_planes(ANN_LSH_PLANES, dim)
-    code_terms = []
-    for p in range(ANN_LSH_PLANES):
-        lit = "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]"
-        code_terms.append(
-            f"(CASE WHEN list_inner_product(e, {lit}) > 0"
-            f" THEN {1 << p} ELSE 0 END)"
-        )
-    code_expr = "\n       + ".join(code_terms)
+    code_expr = _lsh_code_expr()
     return f"""
 WITH emb AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

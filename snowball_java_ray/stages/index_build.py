@@ -6,8 +6,10 @@ keeps only the df aggregate and discards postings, with a real
 inverted-index build per the north rule:
 
   read_parquet(corpus)
-    -> map_batches(explode_postings_batch)        # stateless, vectorized
-    -> groupby(["term", "shard"]).map_groups(encode_chunk_group)
+    -> map_batches(make_partial_chunks)   # tokenize + pack per-(term,shard)
+    -> groupby(hash(term, shard) % P)     # low-cardinality partition id
+    -> map_groups(merge_encode_partition) # all of a partition's groups in
+                                          # one tight Arrow-sorted loop
     -> chunk rows (term, shard, base, df, cf, max_tf, min_dl, data)
 
 Skew handling (explicit, north-rule item): the shuffle key is
@@ -200,6 +202,33 @@ def make_partial_chunks(
     return fn
 
 
+def default_reduce_partitions() -> int:
+    """Partition count for the encode reduce: ~8 tasks per CPU so the
+    per-partition group loops stay load-balanced (one task per
+    partition)."""
+    try:
+        import ray
+
+        return max(32, 8 * int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 64
+
+
+def add_term_shard_partition(t: pa.Table, num_parts: int) -> pa.Table:
+    """Stable (term, shard) -> partition routing (md5-based so every
+    worker routes a key identically) — the determinism-critical piece
+    of the reduce, shared by the build and the compactor."""
+    from snowball_java_ray.ops.dedup import md5int60
+
+    terms = t["term"].to_pylist()
+    shards = t["shard"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    th = np.array([md5int60(x) for x in terms], dtype=np.uint64)
+    h = th * np.uint64(1099511628211) ^ shards
+    return t.append_column(
+        "__part", pa.array((h % np.uint64(num_parts)).astype(np.int64))
+    )
+
+
 def merge_encode_partition(t: pa.Table) -> pa.Table:
     """Encode EVERY (term, shard) group inside one hash partition with
     a tight loop — replaces per-group ``map_groups`` dispatch, which
@@ -278,33 +307,18 @@ def build_chunk_table(
     md5-based so every worker routes a key identically — and encodes
     all of a partition's groups in one vectorizable task
     (merge_encode_partition)."""
-    from snowball_java_ray.ops.dedup import md5int60
-
-    if num_parts is None:
-        try:
-            import ray
-
-            num_parts = max(32, 8 * int(ray.cluster_resources().get("CPU", 8)))
-        except Exception:
-            num_parts = 64
-    P = num_parts
+    P = num_parts or default_reduce_partitions()
 
     partials = corpus_ds.map_batches(
         make_partial_chunks(text_col, id_col, shard_size),
         batch_format="pyarrow",
     )
 
-    def add_part(t: pa.Table) -> pa.Table:
-        terms = t["term"].to_pylist()
-        shards = t["shard"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        th = np.array([md5int60(x) for x in terms], dtype=np.uint64)
-        h = th * np.uint64(1099511628211) ^ shards
-        return t.append_column(
-            "__part", pa.array((h % np.uint64(P)).astype(np.int64))
-        )
-
     return (
-        partials.map_batches(add_part, batch_format="pyarrow")
+        partials.map_batches(
+            lambda t: add_term_shard_partition(t, P),
+            batch_format="pyarrow",
+        )
         .groupby("__part")
         .map_groups(merge_encode_partition, batch_format="pyarrow")
     )

@@ -150,9 +150,13 @@ class BM25ShardedService:
         with open(os.path.join(index_dir, "meta.json")) as f:
             meta = json.load(f)
         self.n_docs = int(meta["n_docs"])
+        from snowball_java_ray.pipelines.index_pipeline import (
+            doc_lo_sort_key,
+        )
+
         files = sorted(
             glob.glob(os.path.join(index_dir, "chunks_*.parquet")),
-            key=_doc_lo_key,
+            key=doc_lo_sort_key,
         )
         if not files:
             raise FileNotFoundError(f"no chunk files in {index_dir}")
@@ -273,11 +277,3 @@ class ShardedBM25Scorer:
             schema=TOPK_SCHEMA,
         )
 
-
-def _doc_lo_key(path: str) -> tuple[int, str]:
-    name = os.path.basename(path)
-    parts = name.split("_")
-    try:
-        return (int(parts[2]), name)
-    except (IndexError, ValueError):
-        return (1 << 62, name)

@@ -136,6 +136,7 @@ def hash_grouped_aggregate(
     keys: list[str],
     aggs: list[tuple[str, str, str]],
     num_parts: int | None = None,
+    hash_keys: list[str] | None = None,
 ) -> ray.data.Dataset:
     """High-cardinality grouped aggregation without per-group Python.
 
@@ -146,12 +147,18 @@ def hash_grouped_aggregate(
     aggregation once per partition (same key never spans partitions).
 
     ``aggs``: (column, arrow_fn, alias) e.g. ("common", "sum",
-    "common"). Works for any per-key-decomposable aggregate."""
+    "common"). Works for any per-key-decomposable aggregate.
+
+    ``hash_keys``: optional SUBSET of ``keys`` used only for partition
+    assignment — co-location just needs equal full keys on one
+    partition, which any key subset guarantees. Lets callers route by a
+    cheap numeric column (e.g. doc_id) instead of md5-hashing long
+    string keys per row; grouping itself always uses the full key."""
     P = num_parts or join_partitions(64)
 
     def add_part(t: pa.Table) -> pa.Table:
         h = np.zeros(len(t), np.uint64)
-        for k in keys:
+        for k in hash_keys or keys:
             col = t[k].to_numpy(zero_copy_only=False)
             if col.dtype.kind in "iu":
                 v = col.astype(np.uint64)

@@ -19,9 +19,12 @@ driver-orchestrated chain of Dataset jobs per iteration:
                pure parallel score pass + aggregates (SURVEY.md §7 #3).
   selectivity  groupby(pattern_id) over pos/neg flags (A5/A6/A7) with
                the per-pass RlogF max-normalization fixed point.
-  confidence   noisy-or per tuple key via groupby().map_groups (A9),
-               then wUpdt smoothing against the previous iteration (A8)
-               and seed promotion (Snowball.java:146-158).
+  confidence   noisy-or per tuple key as a vectorized per-row factor +
+               Arrow C++ hash-product (A9, hash_grouped_aggregate —
+               no per-group Python, no driver table), wUpdt smoothing
+               as a left-outer join against the previous iteration's
+               confidence Dataset (A8), and seed promotion as a
+               filtered distinct aggregate (Snowball.java:146-158).
 
 TF-IDF context vectors (M11) are computed on the fly from token
 contexts + the corpus DF dictionary (from the inverted-index build) —
@@ -384,9 +387,9 @@ def snowball_bootstrap(
     else:
         tuples_ds = tuples_ds.materialize()
     seeds = {(a.lower(), b.lower()) for a, b in seeds}
-    prev_conf: dict[tuple, float] = {}
+    prev_ds = None  # previous iteration's (key4, prev_confidence) Dataset
     patterns: list[Pattern] = []
-    conf_df = pd.DataFrame()
+    conf_ds = None
 
     for it in range(cfg.number_iterations):
         # --- J1: broadcast semi-join against seeds ---
@@ -465,56 +468,132 @@ def snowball_bootstrap(
             for p in patterns:
                 p.confidence = rlogf[p.pattern_id] / mx if mx > 0 else 0.0
 
-        # --- A9: noisy-or tuple confidence (distributed groupby) ---
-        pconf = {p.pattern_id: p.confidence for p in patterns}
+        # --- A9: noisy-or tuple confidence, fully distributed ---
+        # 1 - prod(1 - conf_p * sim) per tuple key. The product is
+        # order-free, so instead of per-group Python
+        # (groupby().map_groups — ~25us/group on an UNBOUNDED key) each
+        # row contributes a vectorized factor and Arrow's C++
+        # hash-product reduces per key inside hash_grouped_aggregate;
+        # rows route by the cheap numeric doc_id (hash_keys), never
+        # md5-ing sentence strings. Semantics identical to the serial
+        # twin's sorted sequential product (oracle_snowball.py:177-187);
+        # float64 product reorder noise is ~1e-16, far below the 6-dp
+        # output rounding.
+        from snowball_java_ray.ops.dedup import (
+            hash_grouped_aggregate,
+            join_partitions,
+        )
 
-        def noisy_or(g: pd.DataFrame, _pc=pconf) -> pd.DataFrame:
-            prod = 1.0
-            g2 = g.sort_values("pattern_id")
-            for pid, sim in zip(g2["pattern_id"], g2["sim"]):
-                prod *= 1.0 - _pc[int(pid)] * float(sim)
-            return pd.DataFrame(
+        pconf_np = np.zeros(len(patterns), dtype=np.float64)
+        for p in patterns:
+            pconf_np[p.pattern_id] = p.confidence
+
+        def add_factor(t: pa.Table, _pc=pconf_np) -> pa.Table:
+            pid = t["pattern_id"].to_numpy(zero_copy_only=False)
+            sim = t["sim"].to_numpy(zero_copy_only=False)
+            return pa.table(
                 {
-                    "e1": [g2["e1"].iloc[0]],
-                    "e2": [g2["e2"].iloc[0]],
-                    "doc_id": [g2["doc_id"].iloc[0]],
-                    "sentence": [g2["sentence"].iloc[0]],
-                    "confidence": [1.0 - prod],
+                    "e1": t["e1"], "e2": t["e2"],
+                    "doc_id": t["doc_id"], "sentence": t["sentence"],
+                    "factor": pa.array(1.0 - _pc[pid] * sim, pa.float64()),
                 }
             )
 
-        conf_df = (
-            scored.groupby(["e1", "e2", "doc_id", "sentence"])
-            .map_groups(noisy_or, batch_format="pandas")
-            .to_pandas()
+        key4 = ["e1", "e2", "doc_id", "sentence"]
+        conf_ds = hash_grouped_aggregate(
+            scored.map_batches(add_factor, batch_format="pyarrow"),
+            key4,
+            [("factor", "product", "not_conf")],
+            hash_keys=["doc_id"],
+        ).map_batches(
+            lambda t: t.drop_columns(["not_conf"]).append_column(
+                "confidence",
+                pa.array(
+                    1.0 - t["not_conf"].to_numpy(zero_copy_only=False),
+                    pa.float64(),
+                ),
+            ),
+            batch_format="pyarrow",
         )
 
         # --- A8: wUpdt smoothing vs previous iteration ---
         # Reference semantics (Snowball.java:260-276, SnowballTuple
         # confidence_old = 0 at construction): in iterations > 0 EVERY
         # tuple smooths, first-seen ones against old = 0.0 (halving
-        # their confidence at wUpdt = 0.5).
-        def smooth(row):
-            key = (row["e1"], row["e2"], row["doc_id"], row["sentence"])
-            old = prev_conf.get(key, 0.0)
-            return row["confidence"] * cfg.wUpdt + old * (1 - cfg.wUpdt)
+        # their confidence at wUpdt = 0.5). Expressed as a distributed
+        # left-outer hash join against the previous iteration's
+        # confidence Dataset — no driver dict keyed by sentence strings.
+        if it > 0 and prev_ds is not None:
+            joined = conf_ds.join(
+                prev_ds,
+                join_type="left_outer",
+                num_partitions=join_partitions(),
+                on=tuple(key4),
+            )
 
-        if it > 0:
-            conf_df["confidence"] = conf_df.apply(smooth, axis=1)
-        prev_conf = {
-            (r.e1, r.e2, r.doc_id, r.sentence): r.confidence
-            for r in conf_df.itertuples()
-        }
+            def smooth_batch(t: pa.Table, _w=cfg.wUpdt) -> pa.Table:
+                import pyarrow.compute as pc
 
-        # --- seed promotion ---
-        promoted = conf_df[conf_df["confidence"] >= cfg.min_tuple_confidence]
-        seeds |= {
-            (a.lower(), b.lower())
-            for a, b in zip(promoted["e1"], promoted["e2"])
-        }
+                old = pc.fill_null(t["prev_confidence"], 0.0).to_numpy(
+                    zero_copy_only=False
+                )
+                cur = t["confidence"].to_numpy(zero_copy_only=False)
+                return pa.table(
+                    {
+                        "e1": t["e1"], "e2": t["e2"],
+                        "doc_id": t["doc_id"], "sentence": t["sentence"],
+                        "confidence": pa.array(
+                            cur * _w + old * (1.0 - _w), pa.float64()
+                        ),
+                    }
+                )
 
-    if len(conf_df):
-        tuples_out = conf_df.sort_values(
+            conf_ds = joined.map_batches(smooth_batch, batch_format="pyarrow")
+
+        conf_ds = conf_ds.materialize()
+        prev_ds = conf_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "e1": t["e1"], "e2": t["e2"],
+                    "doc_id": t["doc_id"], "sentence": t["sentence"],
+                    "prev_confidence": t["confidence"],
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+        # --- seed promotion (filtered distinct aggregate; only the
+        # --- small distinct promoted-pair set reaches the driver) ---
+        def promoted_pairs(t: pa.Table, _thr=cfg.min_tuple_confidence) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.greater_equal(t["confidence"], _thr))
+            pairs = pa.table(
+                {
+                    "e1_l": pc.utf8_lower(t["e1"]),
+                    "e2_l": pc.utf8_lower(t["e2"]),
+                }
+            )
+            return pairs.group_by(["e1_l", "e2_l"]).aggregate([])
+
+        from snowball_java_ray.pipelines.api import collect_arrow
+
+        promo = collect_arrow(
+            conf_ds.map_batches(promoted_pairs, batch_format="pyarrow")
+        )
+        if promo.num_rows:
+            seeds |= set(
+                zip(promo["e1_l"].to_pylist(), promo["e2_l"].to_pylist())
+            )
+
+    if conf_ds is not None:
+        from snowball_java_ray.pipelines.api import collect_arrow
+
+        conf_tbl = collect_arrow(conf_ds)
+    else:
+        conf_tbl = pa.table({})
+    if conf_tbl.num_rows:
+        tuples_out = conf_tbl.to_pandas().sort_values(
             ["confidence", "e1", "e2", "doc_id"],
             ascending=[False, True, True, True],
             ignore_index=True,

@@ -112,14 +112,10 @@ def ensure_bench_index_dir(n_docs: int, n_partitions: int = 8) -> str:
     )
 
     def corpus_source(lo, hi):
-        ds = ray.data.read_parquet(files, columns=["doc_id", "content"])
-        return ds.map_batches(
-            lambda t: t.filter(
-                pc.and_(
-                    pc.greater_equal(t["doc_id"], lo), pc.less(t["doc_id"], hi)
-                )
-            ),
-            batch_format="pyarrow",
+        from snowball_java_ray.sources.readers import read_parquet_doc_range
+
+        return read_parquet_doc_range(
+            files, lo, hi, columns=["doc_id", "content"]
         )
 
     build_index_checkpointed(

@@ -53,18 +53,10 @@ def main() -> None:
     n_docs = pads.dataset(args.corpus).count_rows()
 
     def corpus_source(lo: int, hi: int):
-        import pyarrow.compute as pc
-        import ray.data
+        from snowball_java_ray.sources.readers import read_parquet_doc_range
 
-        ds = ray.data.read_parquet(args.corpus)
-        return ds.map_batches(
-            lambda t: t.filter(
-                pc.and_(
-                    pc.greater_equal(t[args.id_col], lo),
-                    pc.less(t[args.id_col], hi),
-                )
-            ),
-            batch_format="pyarrow",
+        return read_parquet_doc_range(
+            args.corpus, lo, hi, id_col=args.id_col
         )
 
     from snowball_java_ray.pipelines.index_pipeline import build_index_checkpointed

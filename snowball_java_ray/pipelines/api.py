@@ -177,18 +177,10 @@ def ensure_index_dir(
     os.makedirs(out_dir, exist_ok=True)
 
     def corpus_source(lo, hi):
-        ds = ray.data.read_parquet(
-            src, columns=["doc_id", "text", "lang", "source"]
-        )
-        # doc-range predicate; in production a parquet row filter
-        # (row-group pushdown keeps the read partition-local)
-        ds = ds.map_batches(
-            lambda t: t.filter(
-                pc.and_(
-                    pc.greater_equal(t["doc_id"], lo), pc.less(t["doc_id"], hi)
-                )
-            ),
-            batch_format="pyarrow",
+        from snowball_java_ray.sources.readers import read_parquet_doc_range
+
+        ds = read_parquet_doc_range(
+            src, lo, hi, columns=["doc_id", "text", "lang", "source"]
         )
         return ds.map_batches(_corpus_batch, batch_format="pyarrow")
 

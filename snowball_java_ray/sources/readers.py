@@ -18,6 +18,33 @@ import pyarrow as pa
 import ray.data
 
 
+def read_parquet_doc_range(
+    paths,
+    lo: int,
+    hi: int,
+    columns: list[str] | None = None,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Doc-range-pruned parquet read — the ONE reader behind every
+    per-partition build scan (pipelines.api.ensure_index_dir, bench,
+    scripts/build_index).
+
+    The [lo, hi) predicate is pushed into the parquet scan itself
+    (pyarrow dataset filter → row-group statistics pruning), so each of
+    the P build partitions reads only the row groups overlapping its
+    doc range instead of full-scanning the corpus P times. The pyarrow
+    filter is exact at row level, so no post-read trim is needed; with
+    doc_id-sorted production layout each partition touches ~1/P of the
+    input bytes (tests/test_pushdown.py pins the row-group pruning)."""
+    import pyarrow.compute as pc
+
+    return ray.data.read_parquet(
+        paths,
+        columns=columns,
+        filter=(pc.field(id_col) >= lo) & (pc.field(id_col) < hi),
+    )
+
+
 def read_tagged_text(path: str) -> ray.data.Dataset:
     """Plain-text (optionally .gz) sentence file -> corpus-shaped
     Dataset: one row per line with a deterministic dense doc_id (line

@@ -240,12 +240,29 @@ def ensure_oracle_files() -> dict[str, str]:
     """Run the twin over the driver-gate fixture corpus and write its
     three outputs as parquet. Called at oracle_sql() generation time so
     the files exist before the driver executes any SQL; regenerated
-    every call (never stale)."""
+    every call (never stale).
+
+    The corpus is SCALED exactly like the engine side
+    (pipelines.api.snowball_gate_rows): 2x the checked sf_dir's
+    documents row count. oracle_sql() carries no sf argument, so the
+    twin reads the check dir from GRAFT_CHECK_SF (the driver checks at
+    sf0.01 — the default here; tools/driver_check.py exports the
+    override for sweeps at other scales)."""
+    from snowball_java_ray.pipelines.api import (
+        SNOWBALL_SEED,
+        SNOWBALL_TAGGED_FRACTION,
+        snowball_gate_rows,
+    )
     from snowball_java_ray.sources.corpus import DEFAULT_SEEDS, gen_corpus_table
 
     os.makedirs(ORACLE_DIR, exist_ok=True)
     cfg = EngineConfig()
-    tbl = gen_corpus_table(800, seed=42, tagged_fraction=0.6)
+    sf_dir = os.environ.get("GRAFT_CHECK_SF", "/root/testdata/sf0.01")
+    tbl = gen_corpus_table(
+        snowball_gate_rows(sf_dir),
+        seed=SNOWBALL_SEED,
+        tagged_fraction=SNOWBALL_TAGGED_FRACTION,
+    )
 
     paths = {
         "snowball_extract": os.path.join(ORACLE_DIR, "extract.parquet"),

@@ -273,20 +273,9 @@ def term_topk_df_pipeline(sf_dir: str, k: int = 10) -> ray.data.Dataset:
 
 
 def snowball_patterns_pipeline(sf_dir: str):
-    """Pattern table of the bootstrap run (rows-only check)."""
-    from snowball_java_ray.config import EngineConfig
-    from snowball_java_ray.pipelines.snowball import snowball_bootstrap
-    from snowball_java_ray.sources.corpus import DEFAULT_SEEDS
-
-    tbl, corpus = _snowball_inputs()
-    index = build_index(corpus, n_docs=_SNOWBALL_CORPUS_ROWS, shard_size=256)
-    import ray.data
-
-    res = snowball_bootstrap(
-        ray.data.from_arrow(tbl), DEFAULT_SEEDS, EngineConfig(), index.df,
-        index.n_docs,
-    )
-    return res.patterns
+    """Pattern table of the sf-scaled bootstrap run (value-checked
+    against the serial twin)."""
+    return _snowball_bootstrap_result(sf_dir).patterns
 
 
 def doc_stats_pipeline(sf_dir: str) -> ray.data.Dataset:
@@ -357,45 +346,104 @@ def boolean_and_pipeline(sf_dir: str) -> pa.Table:
     )
 
 
-# --- Snowball workload layer (rows-only driver checks; conformance is
-# --- pytest-oracled on the deterministic synthetic corpus) -------------
+# --- Snowball workload layer (sf-SCALED deterministic tagged corpus,
+# --- value-checked against the serial twin oracle_snowball.py) ---------
 
-_SNOWBALL_CORPUS_ROWS = 800
+# The gate corpus is synthesized (the testdata documents carry no
+# entity tags) but SCALED to the sf under check: rows = 2x the sf_dir's
+# documents row count (>= 800), so the driver gate exercises the
+# DISTRIBUTED checkpointed extraction path at testdata scale, not a
+# fixed toy table (VERDICT r2 next-step #3). The serial twin derives
+# the identical row count from GRAFT_CHECK_SF (default sf0.01 — the
+# driver's check scale).
+SNOWBALL_SEED = 42
+SNOWBALL_TAGGED_FRACTION = 0.6
+_SNOWBALL_MIN_ROWS = 800
 
 
-def _snowball_inputs():
+def snowball_gate_rows(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return max(_SNOWBALL_MIN_ROWS, 2 * n)
+
+
+def _snowball_cfg_key() -> str:
+    import hashlib
+    import json
+
+    from snowball_java_ray.constants import SNOWBALL_DEFAULTS
+
+    basis = json.dumps(SNOWBALL_DEFAULTS, sort_keys=True, default=str)
+    return hashlib.md5(basis.encode()).hexdigest()[:8]
+
+
+def ensure_snowball_tuples(sf_dir: str, n_partitions: int = 8):
+    """Distributed checkpoint-resumable extraction (S8) over the scaled
+    tagged corpus; cached under /tmp keyed by (rows, seed, fraction,
+    config) so the three gate entries share ONE extraction run.
+    Returns (rows, tuples Arrow table)."""
+    from snowball_java_ray.config import EngineConfig
+    from snowball_java_ray.pipelines.snowball import (
+        extract_tuples_checkpointed,
+        load_tuples,
+    )
+    from snowball_java_ray.sources.corpus import gen_corpus_dataset_range
+
+    rows = snowball_gate_rows(sf_dir)
+    out_dir = (
+        f"/tmp/snowball_extract/{rows}_{SNOWBALL_SEED}"
+        f"_{SNOWBALL_TAGGED_FRACTION}_{_snowball_cfg_key()}"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    def corpus_source(lo, hi):
+        return gen_corpus_dataset_range(
+            lo, hi, seed=SNOWBALL_SEED,
+            tagged_fraction=SNOWBALL_TAGGED_FRACTION,
+        )
+
+    extract_tuples_checkpointed(
+        corpus_source, out_dir, rows, EngineConfig(),
+        n_partitions=n_partitions,
+    )
+    return rows, load_tuples(out_dir)
+
+
+def _snowball_bootstrap_result(sf_dir: str):
     import ray.data
 
-    from snowball_java_ray.sources.corpus import gen_corpus_table
+    from snowball_java_ray.config import EngineConfig
+    from snowball_java_ray.pipelines.snowball import snowball_bootstrap
+    from snowball_java_ray.sources.corpus import (
+        DEFAULT_SEEDS,
+        gen_corpus_dataset,
+    )
 
-    tbl = gen_corpus_table(_SNOWBALL_CORPUS_ROWS, seed=42, tagged_fraction=0.6)
-    return tbl, ray.data.from_arrow(tbl)
+    rows, tuples_tbl = ensure_snowball_tuples(sf_dir)
+    corpus = gen_corpus_dataset(
+        rows, seed=SNOWBALL_SEED, tagged_fraction=SNOWBALL_TAGGED_FRACTION
+    )
+    index = build_index(corpus, n_docs=rows, shard_size=256)
+    return snowball_bootstrap(
+        None, DEFAULT_SEEDS, EngineConfig(), index.df, index.n_docs,
+        tuples_ds=ray.data.from_arrow(tuples_tbl),
+    )
 
 
 def snowball_extract_pipeline(sf_dir: str) -> ray.data.Dataset:
-    """M1-M7 extraction over the deterministic tagged corpus (sf_dir is
-    unused — the corpus is synthesized per FIXTURES.md F1/F2)."""
-    from snowball_java_ray.config import EngineConfig
-    from snowball_java_ray.pipelines.snowball import extract_tuples
+    """M1-M7 extraction at sf scale through the DISTRIBUTED
+    checkpointed path (extract_tuples_checkpointed); value-checked
+    against the serial twin's extraction."""
+    import ray.data
 
-    _, corpus = _snowball_inputs()
-    return extract_tuples(corpus, EngineConfig()).sort(
+    _, tuples_tbl = ensure_snowball_tuples(sf_dir)
+    return ray.data.from_arrow(tuples_tbl).sort(
         ["e1", "e2", "doc_id", "sentence"]
     )
 
 
 def snowball_e2e_pipeline(sf_dir: str):
-    """Full bootstrap loop (2 iterations) over the synthetic corpus."""
-    from snowball_java_ray.config import EngineConfig
-    from snowball_java_ray.pipelines.snowball import snowball_bootstrap
-    from snowball_java_ray.sources.corpus import DEFAULT_SEEDS
-
-    tbl, corpus = _snowball_inputs()
-    index = build_index(corpus, n_docs=_SNOWBALL_CORPUS_ROWS, shard_size=256)
-    import ray.data
-
-    res = snowball_bootstrap(
-        ray.data.from_arrow(tbl), DEFAULT_SEEDS, EngineConfig(), index.df,
-        index.n_docs,
-    )
-    return res.tuples
+    """Full bootstrap loop (2 iterations) over the sf-scaled corpus,
+    fed from the distributed extraction checkpoint."""
+    return _snowball_bootstrap_result(sf_dir).tuples

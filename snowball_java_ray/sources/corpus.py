@@ -106,10 +106,21 @@ def gen_corpus_dataset(n_rows: int, seed: int = 42, tagged_fraction: float = 0.5
     Each batch generates its rows independently from (seed, index) —
     the write-side of a 10^12-row corpus would shard exactly like
     this."""
+    return gen_corpus_dataset_range(0, n_rows, seed, tagged_fraction)
+
+
+def gen_corpus_dataset_range(
+    lo: int, hi: int, seed: int = 42, tagged_fraction: float = 0.5
+):
+    """Doc-range slice [lo, hi) of the same deterministic corpus —
+    rows depend only on (seed, doc index), so a ranged source is the
+    synthetic equivalent of a doc-range-pruned parquet read (used as
+    the ``corpus_source`` of the checkpointed extraction/build over
+    generated corpora)."""
     import ray.data
 
     def gen(batch: pa.Table) -> pa.Table:
-        ids = batch["id"].to_pylist()
+        ids = [i + lo for i in batch["id"].to_pylist()]
         rows = [gen_row(seed, i, tagged_fraction) for i in ids]
         return pa.table(
             {
@@ -122,7 +133,7 @@ def gen_corpus_dataset(n_rows: int, seed: int = 42, tagged_fraction: float = 0.5
             }
         )
 
-    return ray.data.range(n_rows).map_batches(gen, batch_format="pyarrow")
+    return ray.data.range(hi - lo).map_batches(gen, batch_format="pyarrow")
 
 
 DEFAULT_SEEDS: set[tuple[str, str]] = {

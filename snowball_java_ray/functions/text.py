@@ -115,6 +115,29 @@ def tokenize_arrow(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, pa.Ar
     return row_idx[mask], flat.filter(keep)
 
 
+def raw_tokens_arrow(
+    texts: pa.Array | pa.ChunkedArray,
+) -> tuple[np.ndarray, pa.Array]:
+    """Vectorized SURFACE tokenization — the Arrow twin of
+    ``ops.dedup.raw_tokens`` (lowercase split on non-[a-z0-9], empties
+    dropped, stopwords and numbers KEPT). Same (row_idx, flat tokens)
+    contract as ``tokenize_arrow``; used by the textstats full-corpus
+    scans so they pay the C++ tokenizer cost, not a per-row Python
+    loop."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lower = pc.utf8_lower(texts)
+    tok_list = pc.split_pattern_regex(lower, TOKEN_SPLIT_PATTERN)
+    counts = pc.list_value_length(tok_list).fill_null(0).to_numpy(
+        zero_copy_only=False
+    )
+    row_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    flat = pc.list_flatten(tok_list)
+    keep = pc.not_equal(flat, "")
+    mask = keep.to_numpy(zero_copy_only=False)
+    return row_idx[mask], flat.filter(keep)
+
+
 def term_frequencies(
     row_idx: np.ndarray, tokens: pa.Array, n_rows: int
 ) -> tuple[np.ndarray, pa.Array, np.ndarray, np.ndarray]:

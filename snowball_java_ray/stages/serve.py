@@ -160,19 +160,28 @@ class BM25ShardedService:
         )
         if not files:
             raise FileNotFoundError(f"no chunk files in {index_dir}")
-        df: dict[str, int] = {}
-        total_cf = 0
-        for f in files:
-            summ = pq.read_table(f, columns=["term", "df", "cf"])
-            for t, d in zip(summ["term"].to_pylist(),
-                            summ["df"].to_numpy(zero_copy_only=False)):
-                df[t] = df.get(t, 0) + int(d)
-            s = pa.compute.sum(summ["cf"]).as_py()
-            total_cf += int(s or 0)
+        # dictionary = Arrow C++ group_by over the chunk SUMMARY columns
+        # (stages.index_build.dictionary_from_chunks — the same derive
+        # the local index uses); shipped as a term-sorted Arrow table
+        # (zero-copy plasma reads in every gather actor), never a
+        # per-term Python loop or a vocab-sized Python dict. At extreme
+        # dictionary sizes this table would itself be hash-sharded;
+        # documented, not needed at sandbox scale.
+        from snowball_java_ray.stages.index_build import (
+            dictionary_from_chunks,
+        )
+
+        summ = pa.concat_tables(
+            [pq.read_table(f, columns=["term", "df", "cf"]) for f in files],
+            promote_options="default",
+        )
+        dic = dictionary_from_chunks(summ)
+        dic = dic.take(pa.compute.sort_indices(dic["term"]))
+        total_cf = int(pa.compute.sum(dic["cf"]).as_py() or 0)
         self.avgdl = total_cf / self.n_docs if self.n_docs else 0.0
         import ray
 
-        self.df_ref = ray.put(df)
+        self.df_ref = ray.put(dic.combine_chunks())
         self.handles = [
             make_shard_actor([f], self.n_docs, self.avgdl) for f in files
         ]
@@ -237,25 +246,41 @@ class ShardedBM25Scorer:
         import ray
 
         self.handles = shard_handles
-        self.df = (
+        # dictionary is a term-sorted Arrow table (term, df, cf) —
+        # zero-copy from plasma; df lookups are vectorized index_in
+        # probes per query batch, no Python dict is ever built
+        self.dic = (
             ray.get(df_ref) if isinstance(df_ref, ray.ObjectRef) else df_ref
         )
         self.n_docs = n_docs
         self.k1, self.b, self.top_k = k1, b, top_k
         self.algo = algo
 
+    def _idfs(self, terms: list[str]) -> dict[str, float]:
+        """Batch df lookup: one pc.index_in over the distinct terms of
+        the query batch against the sorted vocab column, absent terms
+        df=0."""
+        import pyarrow.compute as pc
+
+        if not terms:
+            return {}
+        idx = pc.index_in(pa.array(terms, pa.string()), self.dic["term"])
+        dfs = pc.take(self.dic["df"], idx).fill_null(0).to_pylist()
+        return {
+            t: bm25_idf(int(d), self.n_docs) for t, d in zip(terms, dfs)
+        }
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         import ray
 
         qids = batch["query_id"].to_pylist()
         qtexts = batch["qtext"].to_pylist()
-        queries = []
-        for qid, qtext in zip(qids, qtexts):
-            terms = sorted(set(tokenize(qtext)))
-            queries.append(
-                (int(qid),
-                 [(t, bm25_idf(self.df.get(t, 0), self.n_docs)) for t in terms])
-            )
+        per_q_terms = [sorted(set(tokenize(q))) for q in qtexts]
+        idf = self._idfs(sorted({t for ts in per_q_terms for t in ts}))
+        queries = [
+            (int(qid), [(t, idf[t]) for t in terms])
+            for qid, terms in zip(qids, per_q_terms)
+        ]
         per_shard = ray.get(
             [h.score_batch.remote(queries, self.k1, self.b, self.top_k,
                                   self.algo)

@@ -128,15 +128,23 @@ def _probe_scan(
 
 
 def _load_queries(sf_dir: str, n_queries: int):
+    """Query vectors via a FILTERED parquet read (row-group predicate
+    pushdown) — only the vec_id < n_queries rows are decoded, never the
+    whole embedding column on the driver (the right shape at 10^9
+    vectors)."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=pc.field("vec_id") < n_queries,
+    )
     ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    sel = ids < n_queries
-    mat = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)[sel]).astype(np.float64)
+    mat = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
-    return ids[sel], mat / norms[:, None]
+    return ids, mat / norms[:, None]
 
 
 def ann_topk(
@@ -259,15 +267,18 @@ def _load_centroids(sf_dir: str, n_queries: int, k_cells: int):
     function of the table, so the DuckDB oracle selects the identical
     centroid set. (Real IVF trains k-means over a sample; any
     deterministic centroid table slots in here unchanged.)"""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=(pc.field("vec_id") >= n_queries)
+        & (pc.field("vec_id") < n_queries + k_cells),
     )
     ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    sel = (ids >= n_queries) & (ids < n_queries + k_cells)
-    order = np.argsort(ids[sel])
-    mat = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)[sel]).astype(
+    order = np.argsort(ids)
+    mat = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(
         np.float64
     )[order]
     norms = np.linalg.norm(mat, axis=1)

@@ -95,6 +95,14 @@ DEFAULT_SHARD_SIZE = 1 << 20
 # every dedup operator has a bit-identical DuckDB oracle.
 NGRAM_N = 3
 JACCARD_THRESHOLD = 0.02
+# Blocking skew guard (ADVICE r2): a shingle shared by M docs emits
+# M^2 join rows, and raw shingle keys are unbounded — shingles whose
+# global doc count exceeds this cap are excluded from candidate
+# generation AND intersection counting (denominators stay full-size, so
+# capped Jaccard is a lower bound of true Jaccard; boilerplate shingles
+# shared by more docs than this are non-discriminative anyway). The
+# identical rule lives in the SQL oracle (sqlgen.ngram_jaccard_sql).
+JACCARD_MAX_BUCKET = 64
 MINHASH_SEEDS = 16
 MINHASH_BAND_ROWS = 2  # 8 bands x 2 rows
 SIMHASH_BITS = 60

@@ -206,6 +206,12 @@ def lsh_planes(n_planes: int, dim: int) -> np.ndarray:
     sign-LSH; recall vs brute force is pinned by tests/test_ann.py."""
     from snowball_java_ray.ops.dedup import md5int60
 
+    # lsh_codes packs sign bits into uint32 and the SQL oracle casts
+    # codes to BIGINT — more than 32 planes would silently corrupt
+    # bucket keys (ADVICE r2); widen to uint64 + HUGEINT if ever needed
+    if n_planes > 32:
+        raise ValueError(f"sign-LSH supports at most 32 planes, got {n_planes}")
+
     vals = np.array(
         [
             md5int60(f"plane{p}:{d}") / float(1 << 59) - 1.0
@@ -221,6 +227,7 @@ def lsh_codes(matn: np.ndarray, planes: np.ndarray) -> np.ndarray:
     """Sign-pattern bucket key per row (bit p set iff dot(v, plane_p)
     > 0). Sign is normalization-invariant, matching the SQL side's
     unnormalized inner products."""
+    assert planes.shape[0] <= 32, "uint32 bucket keys hold at most 32 planes"
     bits = (matn @ planes.T > 0).astype(np.uint32)
     keys = np.zeros(len(matn), dtype=np.uint32)
     for p in range(planes.shape[0]):

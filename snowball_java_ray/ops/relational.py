@@ -393,7 +393,15 @@ class ParseProps:
     per-row json.loads Python loop — measured ~8x on the sf0.1 props
     column). Each actor opens one in-process DuckDB connection in
     __init__ and runs the SAME json_extract expression as the oracle
-    SQL per batch, so engine and oracle share one parse semantics."""
+    SQL per batch, so engine and oracle share one parse semantics.
+
+    Coercion rule (intentional, ADVICE r2): ``k`` follows DuckDB
+    ``CAST(json_extract(...) AS BIGINT)`` semantics — numeric strings
+    and floats coerce to BIGINT (floats truncate), non-numeric values
+    become NULL. This is the engine's defined behavior for the props
+    schema (the oracle is the same expression by construction); it
+    deliberately differs from a strict isinstance(v, int) reading,
+    which would need TRY_CAST + json_type guards on both sides."""
 
     def __init__(self):
         import duckdb

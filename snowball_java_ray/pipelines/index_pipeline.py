@@ -162,6 +162,15 @@ def append_partition(
             f"new partition [{lo}, {hi}) overlaps existing docs "
             f"[0, {meta['n_docs']})"
         )
+    # a gap (lo > n_docs) would silently count phantom doc_ids into
+    # n_docs, deflating avgdl and shifting every BM25 idf (ADVICE r2) —
+    # contiguous ingest only
+    if lo > meta["n_docs"] and not man.is_done(pid, out_file):
+        raise ValueError(
+            f"new partition [{lo}, {hi}) leaves a doc_id gap after "
+            f"existing docs [0, {meta['n_docs']}) — append must be "
+            f"contiguous (lo == n_docs)"
+        )
     if not man.is_done(pid, out_file):
         t0 = time.perf_counter()
         ds = corpus_source(lo, hi)

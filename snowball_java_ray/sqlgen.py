@@ -321,12 +321,24 @@ FROM documents GROUP BY md5(text) ORDER BY content_md5
 
 
 def ngram_jaccard_sql() -> str:
+    # sh_keep mirrors the engine's blocking skew guard
+    # (ops/dedup.ngram_jaccard_pairs): shingles in more than
+    # JACCARD_MAX_BUCKET docs are excluded from candidate generation
+    # and intersection counting; sizes stay full (lower-bound Jaccard)
+    from snowball_java_ray.constants import JACCARD_MAX_BUCKET
+
     return f"""
 WITH {_SHINGLES_CTE},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+sdf AS (SELECT shingle, count(*) AS sdf FROM sh GROUP BY shingle),
+sh_keep AS (
+  SELECT s.doc_id, s.shingle FROM sh s
+  JOIN sdf d USING (shingle) WHERE d.sdf <= {JACCARD_MAX_BUCKET}
+),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh_keep a JOIN sh_keep b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT p.doc_a, p.doc_b,

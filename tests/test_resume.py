@@ -211,3 +211,25 @@ def test_incremental_append_equals_full_build(ray_session, tmp_path):
     finally:
         svc_g.shutdown()
         svc_f.shutdown()
+
+
+def test_append_rejects_gap_and_overlap(ray_session, tmp_path):
+    """ADVICE r2: a gapped append (lo > n_docs) would silently inflate
+    n_docs with phantom doc_ids and shift every BM25 idf — both gaps
+    and overlaps must raise; the contiguous re-append stays idempotent."""
+    import pytest
+
+    from snowball_java_ray.pipelines.index_pipeline import append_partition
+
+    d = str(tmp_path / "gap")
+    build_index_checkpointed(corpus_source, d, 250, n_partitions=2,
+                             shard_size=64)
+    with pytest.raises(ValueError, match="gap"):
+        append_partition(corpus_source, d, 300, 400)
+    with pytest.raises(ValueError, match="overlaps"):
+        append_partition(corpus_source, d, 100, 400)
+    # contiguous append works, and re-appending the same range is a
+    # no-op (at-least-once delivery)
+    append_partition(corpus_source, d, 250, 500)
+    append_partition(corpus_source, d, 250, 500)
+    assert load_index(d).n_docs == 500

@@ -77,6 +77,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_meta": multimodal.media_meta,
         "media_features": multimodal.media_features,
         "video_frames": multimodal.video_frames,
+        # REAL pure-numpy codecs: encode -> binary column -> actor-pool
+        # container DECODE -> aggregate (P6 PPM / RIFF PCM16 WAV)
+        "media_decode": multimodal.media_decode,
+        "audio_decode": multimodal.audio_decode,
         # --- index / BM25 core (north rule) ---
         "ingest_corpus": api.ingest_corpus_pipeline,
         "doc_stats": api.doc_stats_pipeline,
@@ -141,6 +145,8 @@ def oracle_sql() -> dict[str, str]:
         "media_meta": sqlgen.media_meta_sql(),
         "media_features": sqlgen.media_features_sql(),
         "video_frames": sqlgen.video_frames_sql(),
+        "media_decode": sqlgen.media_decode_sql(),
+        "audio_decode": sqlgen.audio_decode_sql(),
         "ingest_corpus": sqlgen.ingest_corpus_sql(),
         "doc_stats": sqlgen.doc_stats_sql(),
         "term_df": sqlgen.term_df_sql(),

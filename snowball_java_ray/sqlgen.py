@@ -1022,3 +1022,54 @@ SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
        CAST(frame_idx * {every_ms} AS BIGINT) AS ts_ms
 FROM frames ORDER BY media_id, frame_idx
 """
+
+
+def media_decode_sql() -> str:
+    """Oracle for the REAL P6 PPM decode loop: re-derives each pixel
+    from the digest rule (pixel j byte = sha256(text)[j % 32]) and
+    aggregates the same channel means — it never parses the container,
+    so a hash match certifies encode -> ship -> DECODE -> aggregate."""
+    from snowball_java_ray.ops.multimodal import PPM_H, PPM_W
+
+    npx = PPM_W * PPM_H * 3
+    return f"""
+WITH d AS (SELECT doc_id, sha256(coalesce(text, '')) AS hx FROM documents),
+px AS (
+  SELECT doc_id, j,
+         ('0x' || substr(hx, 2 * (j % 32) + 1, 2))::INT AS b
+  FROM d, generate_series(0, {npx - 1}) AS t(j)
+)
+SELECT doc_id AS media_id,
+       {PPM_W} AS width, {PPM_H} AS height,
+       round(avg(CASE WHEN j % 3 = 0 THEN b END), 6) AS mean_r,
+       round(avg(CASE WHEN j % 3 = 1 THEN b END), 6) AS mean_g,
+       round(avg(CASE WHEN j % 3 = 2 THEN b END), 6) AS mean_b
+FROM px GROUP BY doc_id ORDER BY media_id
+"""
+
+
+def audio_decode_sql() -> str:
+    """Oracle for the REAL RIFF/WAVE PCM16 decode loop: re-derives the
+    samples from the digest rule (s[k] = d[2k%32]*256 + d[(2k+1)%32] -
+    32768, n = 64 + doc_id % 64)."""
+    from snowball_java_ray.ops.multimodal import WAV_RATE
+
+    return f"""
+WITH d AS (SELECT doc_id, sha256(coalesce(text, '')) AS hx,
+                  64 + doc_id % 64 AS n FROM documents),
+s AS (
+  SELECT doc_id, n,
+         ('0x' || substr(hx, 2 * ((2 * k) % 32) + 1, 2))::INT * 256
+       + ('0x' || substr(hx, 2 * ((2 * k + 1) % 32) + 1, 2))::INT
+       - 32768 AS v
+  FROM d, generate_series(0, 127) AS t(k)
+  WHERE k < n
+)
+SELECT doc_id AS media_id,
+       {WAV_RATE} AS sample_rate,
+       n AS n_samples,
+       (n * 1000) // {WAV_RATE} AS duration_ms,
+       CAST(max(abs(v)) AS INT) AS max_abs,
+       round(avg(abs(v)), 6) AS mean_abs
+FROM s GROUP BY doc_id, n ORDER BY media_id
+"""

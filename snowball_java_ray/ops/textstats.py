@@ -52,48 +52,51 @@ def _read_docs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def quality_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """The vectorized per-batch quality kernel (module-level so the
+    bench can map it over arbitrary corpora): one Arrow tokenize,
+    stopword voting via ``pc.is_in``, per-row sums via bincount."""
+    from snowball_java_ray.constants import NUMERIC_TOKEN_PATTERN
+
+    texts = pc.fill_null(t[text_col].combine_chunks(), "")
+    n = len(texts)
+    row_idx, flat = raw_tokens_arrow(texts)
+    n_tok = np.bincount(row_idx, minlength=n).astype(np.int64)
+    stop_mask = pc.is_in(flat, value_set=_STOPWORD_ARR).to_numpy(
+        zero_copy_only=False
+    )
+    # canonical terms = raw tokens minus numeric minus stopwords —
+    # derived from the ONE split (no second RE2 pass over the text)
+    num_mask = pc.match_substring_regex(
+        flat, NUMERIC_TOKEN_PATTERN
+    ).to_numpy(zero_copy_only=False)
+    n_terms = np.bincount(
+        row_idx[~num_mask & ~stop_mask], minlength=n
+    ).astype(np.int64)
+    stop_hits = np.bincount(row_idx[stop_mask], minlength=n)
+    tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    len_sums = np.bincount(row_idx, weights=tok_lens, minlength=n)
+    denom = np.maximum(n_tok, 1).astype(np.float64)
+    stop_ratio = np.where(n_tok > 0, np.round(stop_hits / denom, 6), 0.0)
+    mean_len = np.where(n_tok > 0, np.round(len_sums / denom, 6), 0.0)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_chars": pc.utf8_length(texts).cast(pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_terms": pa.array(n_terms, pa.int64()),
+            "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+            "mean_token_len": pa.array(mean_len, pa.float64()),
+        }
+    )
+
+
 def quality_score(sf_dir: str) -> ray.data.Dataset:
     """Per-doc quality features: char count, raw/canonical token
-    counts, stopword ratio, mean raw-token length (6-dp rounded).
-    Fully vectorized: one Arrow tokenize per batch, stopword voting
-    via ``pc.is_in``, per-row sums via bincount."""
-
-    def fn(t: pa.Table) -> pa.Table:
-        from snowball_java_ray.constants import NUMERIC_TOKEN_PATTERN
-
-        texts = pc.fill_null(t["text"].combine_chunks(), "")
-        n = len(texts)
-        row_idx, flat = raw_tokens_arrow(texts)
-        n_tok = np.bincount(row_idx, minlength=n).astype(np.int64)
-        stop_mask = pc.is_in(flat, value_set=_STOPWORD_ARR).to_numpy(
-            zero_copy_only=False
-        )
-        # canonical terms = raw tokens minus numeric minus stopwords —
-        # derived from the ONE split (no second RE2 pass over the text)
-        num_mask = pc.match_substring_regex(
-            flat, NUMERIC_TOKEN_PATTERN
-        ).to_numpy(zero_copy_only=False)
-        n_terms = np.bincount(
-            row_idx[~num_mask & ~stop_mask], minlength=n
-        ).astype(np.int64)
-        stop_hits = np.bincount(row_idx[stop_mask], minlength=n)
-        tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
-        len_sums = np.bincount(row_idx, weights=tok_lens, minlength=n)
-        denom = np.maximum(n_tok, 1).astype(np.float64)
-        stop_ratio = np.where(n_tok > 0, np.round(stop_hits / denom, 6), 0.0)
-        mean_len = np.where(n_tok > 0, np.round(len_sums / denom, 6), 0.0)
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "n_chars": pc.utf8_length(texts).cast(pa.int64()),
-                "n_tokens": pa.array(n_tok, pa.int64()),
-                "n_terms": pa.array(n_terms, pa.int64()),
-                "stopword_ratio": pa.array(stop_ratio, pa.float64()),
-                "mean_token_len": pa.array(mean_len, pa.float64()),
-            }
-        )
-
-    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")
+    counts, stopword ratio, mean raw-token length (6-dp rounded)."""
+    return _read_docs(sf_dir).map_batches(
+        quality_batch, batch_format="pyarrow"
+    ).sort("doc_id")
 
 
 def token_counts(sf_dir: str) -> ray.data.Dataset:

@@ -408,6 +408,46 @@ def run_bench() -> dict:
     assert n_cold_w == n_cold
     svc.shutdown()
 
+    # KERNEL-level cold-stream comparison (single process, one shard's
+    # index, deterministic): the fleet legs above are dominated by the
+    # scatter/gather fabric (~2.5 s for 1000 queries vs ~0.4 s of
+    # kernel work spread over 8 shards), so exact-vs-WAND differences
+    # drown in shared-box scheduling noise there. This leg times the
+    # scoring kernels themselves on the identical cold query stream —
+    # where block-max WAND's selective decode + running-threshold cut
+    # must win or it has no reason to exist.
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from snowball_java_ray.functions.text import tokenize as _tok
+    from snowball_java_ray.stages.score import (
+        InvertedIndex as _Idx,
+        score_terms,
+        score_terms_wand,
+    )
+
+    shard0 = sorted(glob.glob(os.path.join(idx_dir, "chunks_docs_*")))[0]
+    _kidx = _Idx(pq.read_table(shard0), n_docs)
+    _kq = [
+        [(t, _kidx.idf(t)) for t in sorted(set(_tok(q["qtext"])))]
+        for q in cold_query_items(1000, salt="kernel")
+    ]
+    _kwarm = [
+        [(t, _kidx.idf(t)) for t in sorted(set(_tok(q["qtext"])))]
+        for q in cold_query_items(300, salt="kwarm")
+    ]
+    for _name, _fn in (
+        ("bm25_kernel_cold_exact", score_terms),
+        ("bm25_kernel_cold_wand", score_terms_wand),
+    ):
+        for q in _kwarm:
+            _fn(_kidx, q)
+        t0 = time.perf_counter()
+        for q in _kq:
+            _fn(_kidx, q)
+        timings[_name] = time.perf_counter() - t0
+
     # vectorized textstats over the FULL replicated corpus (tracks the
     # Arrow-kernel quality scan at 100k-doc scale)
     from snowball_java_ray.ops.textstats import quality_batch

@@ -341,11 +341,19 @@ def score_terms_wand(
     order = sorted(shard_ub, key=lambda s: (-shard_ub[s], s))
     cand_docs: list[np.ndarray] = []
     cand_scores: list[np.ndarray] = []
+    # Running-threshold state: `topk_buf` holds the best <= top_k scores
+    # among candidates processed so far, so maintaining kth costs
+    # O(block + top_k) per block — NOT a re-partition of every
+    # accumulated candidate (measured: that bookkeeping made WAND lose
+    # to the memoized exact path on cold streams).
+    topk_buf = np.empty(0, np.float64)
     kth = -np.inf
     n_kept = 0
     for s in order:
         if n_kept >= top_k and shard_ub[s] < kth - 2e-9:
-            continue  # no doc in this shard can enter the top-k
+            # blocks are visited in descending upper-bound order, so
+            # every remaining block is bounded lower still: stop.
+            break
         doc_parts, contrib_parts = [], []
         for t, idf, c in by_shard[s]:
             key = (t, c.shard, c.base, k1, b, idf)
@@ -363,18 +371,28 @@ def score_terms_wand(
             doc_ids, contrib = hit
             doc_parts.append(doc_ids)
             contrib_parts.append(contrib)
-        all_docs = np.concatenate(doc_parts)
-        all_contribs = np.concatenate(contrib_parts)
-        uniq, inv = np.unique(all_docs, return_inverse=True)
-        scores = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(scores, inv, all_contribs)
+        if len(doc_parts) == 1:
+            # single-term block: postings are already per-doc unique
+            # (cached arrays are never mutated downstream)
+            uniq, scores = doc_parts[0], contrib_parts[0]
+        else:
+            all_docs = np.concatenate(doc_parts)
+            all_contribs = np.concatenate(contrib_parts)
+            uniq, inv = np.unique(all_docs, return_inverse=True)
+            scores = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(scores, inv, all_contribs)
         cand_docs.append(uniq)
         cand_scores.append(scores)
         n_kept += uniq.size
+        merged = np.concatenate((topk_buf, scores))
+        if merged.size > top_k:
+            merged = np.partition(merged, merged.size - top_k)[
+                merged.size - top_k:
+            ]
+        topk_buf = merged
         if n_kept >= top_k:
-            flat = np.concatenate(cand_scores)
-            if flat.size >= top_k:
-                kth = np.partition(flat, -top_k)[-top_k]
+            # buffer holds exactly the top_k best processed scores
+            kth = topk_buf.min()
     docs = np.concatenate(cand_docs)
     scores = np.concatenate(cand_scores)
     return _topk_select(docs, scores, top_k)

@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_counts": sampling.split_counts,
         "stratified_sample": sampling.stratified_sample,
         "pack_sequences": sampling.pack_sequences,
+        "contamination": sampling.contamination,
         # --- multimodal (opaque binary payloads; decode stubbed,
         # --- plumbing + metadata + fake-decode features value-checked) ---
         "media_meta": multimodal.media_meta,
@@ -94,6 +95,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_broadcast": api.bm25_topk_pipeline,
         "boolean_and": api.boolean_and_sharded_pipeline,
         "boolean_and_local": api.boolean_and_pipeline,
+        "boolean_or": api.boolean_or_pipeline,
+        "boolean_and_not": api.boolean_and_not_pipeline,
+        "phrase_match": api.phrase_match_pipeline,
         # --- Snowball workload layer (serial-twin value oracles) ---
         "snowball_extract": api.snowball_extract_pipeline,
         "snowball_e2e": api.snowball_e2e_pipeline,
@@ -142,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "split_counts": sqlgen.split_counts_sql(),
         "stratified_sample": sqlgen.stratified_sample_sql(),
         "pack_sequences": sqlgen.pack_sequences_sql(),
+        "contamination": sqlgen.contamination_sql(),
         "media_meta": sqlgen.media_meta_sql(),
         "media_features": sqlgen.media_features_sql(),
         "video_frames": sqlgen.video_frames_sql(),
@@ -157,6 +162,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_broadcast": sqlgen.bm25_topk_sql(),
         "boolean_and": sqlgen.boolean_and_sql(),
         "boolean_and_local": sqlgen.boolean_and_sql(),
+        "boolean_or": sqlgen.boolean_or_sql(),
+        "boolean_and_not": sqlgen.boolean_and_not_sql(),
+        "phrase_match": sqlgen.phrase_match_sql(),
         # Snowball layer: value-level oracles via the serial twin
         # (oracle_snowball.py) — generating these SQL strings runs the
         # Ray-free twin and writes its parquet; the SQL reads it back,

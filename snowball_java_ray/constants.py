@@ -95,6 +95,10 @@ DEFAULT_SHARD_SIZE = 1 << 20
 # every dedup operator has a bit-identical DuckDB oracle.
 NGRAM_N = 3
 JACCARD_THRESHOLD = 0.02
+# Train/test contamination check (ops/sampling.contamination): token
+# n-gram length for overlap detection — longer than the dedup shingle
+# so chance collisions on a small vocabulary don't read as leakage.
+CONTAM_NGRAM = 5
 # Blocking skew guard (ADVICE r2): a shingle shared by M docs emits
 # M^2 join rows, and raw shingle keys are unbounded — shingles whose
 # global doc count exceeds this cap are excluded from candidate

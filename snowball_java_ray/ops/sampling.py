@@ -86,6 +86,114 @@ def split_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def contamination(sf_dir: str, n: int | None = None) -> ray.data.Dataset:
+    """Train/test contamination check: for every TEST doc, the fraction
+    of its distinct token ``n``-grams that also occur anywhere in the
+    TRAIN split — the leakage audit an LLM data pipeline runs before
+    the eval set is trusted. Val docs don't participate.
+
+    Scale shape (no driver state, no broadcast of the train set):
+      1. one corpus scan emits (doc_id, h=md5int60(ngram), is_train)
+         rows for train+test docs — distinct n-grams per doc;
+      2. hash-grouped ``max(is_train)`` per h marks which n-grams occur
+         in train ("present");
+      3. the test-side rows hash-join that marker table on h
+         (``bucketed_hash_join`` — both sides hash-partitioned, nothing
+         materialized whole);
+      4. per-doc Arrow aggregation: n_shingles = count, n_contaminated
+         = sum(present).
+    The n-gram rows are materialized once (object-store pinned,
+    spillable) because steps 2 and 3 both consume them and a shared
+    lazy upstream inside a join DAG can deadlock (CLAUDE.md trap).
+
+    Output: (doc_id, n_shingles, n_contaminated, contamination) sorted
+    by doc_id; test docs shorter than ``n`` tokens have no n-grams and
+    are absent. Oracle: ``sqlgen.contamination_sql`` (bit-identical
+    md5 hashes and split rule)."""
+    import pyarrow.compute as pc
+
+    from snowball_java_ray.constants import CONTAM_NGRAM
+    from snowball_java_ray.ops.dedup import (
+        hash_grouped_aggregate,
+        join_partitions,
+        md5int60,
+        shingles,
+    )
+    from snowball_java_ray.ops.joins import bucketed_hash_join
+
+    if n is None:
+        n = CONTAM_NGRAM
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        u = _hash_unit(t["doc_id"].to_numpy(zero_copy_only=False))
+        # 0 = train, 1 = val, 2 = test (same thresholds as assign_split)
+        sp = np.where(u < TRAIN_FRAC, 0, np.where(u < TRAIN_FRAC + VAL_FRAC, 1, 2))
+        ids: list[int] = []
+        hs: list[int] = []
+        fl: list[int] = []
+        for did, s, text in zip(
+            t["doc_id"].to_pylist(), sp.tolist(), t["text"].to_pylist()
+        ):
+            if s == 1:
+                continue
+            flag = 1 if s == 0 else 0
+            for sh in shingles(text or "", n):
+                ids.append(did)
+                hs.append(md5int60(sh))
+                fl.append(flag)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+                "is_train": pa.array(fl, pa.int64()),
+            }
+        )
+
+    rows = docs.map_batches(shingle_rows, batch_format="pyarrow").materialize()
+    present = hash_grouped_aggregate(
+        rows, keys=["h"], aggs=[("is_train", "max", "present")]
+    )
+    test_rows = rows.map_batches(
+        lambda t: t.filter(pc.equal(t["is_train"], 0)).drop_columns(
+            ["is_train"]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_hash_join(
+        test_rows, present, "h", "h", n_buckets=join_partitions()
+    )
+    per_doc = hash_grouped_aggregate(
+        joined,
+        keys=["doc_id"],
+        aggs=[
+            ("present", "count", "n_shingles"),
+            ("present", "sum", "n_contaminated"),
+        ],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ratio = pc.round(
+            pc.divide(
+                pc.cast(t["n_contaminated"], pa.float64()),
+                pc.cast(t["n_shingles"], pa.float64()),
+            ),
+            ndigits=6,
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_shingles": t["n_shingles"].cast(pa.int64()),
+                "n_contaminated": t["n_contaminated"].cast(pa.int64()),
+                "contamination": ratio,
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
 def stratified_sample(sf_dir: str, k: int = STRATA_K) -> ray.data.Dataset:
     """Per-language deterministic k-sample: within each lang keep the k
     docs with the smallest (hash(doc_id), doc_id) — class-balanced,

@@ -228,12 +228,12 @@ def bm25_topk_sharded_wand_pipeline(sf_dir: str) -> ray.data.Dataset:
     return bm25_topk_sharded_pipeline(sf_dir, algo="wand")
 
 
-def boolean_and_sharded_pipeline(
-    sf_dir: str, n_partitions: int = 4
+def _boolean_fleet_pipeline(
+    sf_dir: str, method: str, n_partitions: int = 4
 ) -> pa.Table:
-    """Conjunctive retrieval over the sharded fleet: per-shard posting
-    intersection, concat across ascending doc-range shards (already
-    doc_id-sorted)."""
+    """Shared scatter/concat driver for the fleet boolean retrieval
+    family (AND / OR / AND-NOT): per-shard posting-list set algebra,
+    concat across ascending doc-range shards (already doc_id-sorted)."""
     from snowball_java_ray.stages.serve import BM25ShardedService
 
     index_dir = ensure_index_dir(sf_dir, n_partitions=n_partitions)
@@ -241,7 +241,7 @@ def boolean_and_sharded_pipeline(
     out_q, out_d = [], []
     try:
         for qid, qtext in enumerate(REFERENCE_QUERIES):
-            acc = svc.boolean_and(qtext)
+            acc = getattr(svc, method)(qtext)
             if acc.size == 0:
                 continue
             out_q.extend([qid] * acc.size)
@@ -253,6 +253,117 @@ def boolean_and_sharded_pipeline(
             "query_id": pa.array(out_q, pa.int64()),
             "doc_id": pa.array(out_d, pa.int64()),
         }
+    )
+
+
+def boolean_and_sharded_pipeline(
+    sf_dir: str, n_partitions: int = 4
+) -> pa.Table:
+    """Conjunctive retrieval over the sharded fleet."""
+    return _boolean_fleet_pipeline(sf_dir, "boolean_and", n_partitions)
+
+
+def boolean_or_pipeline(sf_dir: str, n_partitions: int = 4) -> pa.Table:
+    """Disjunctive retrieval: docs containing ANY analyzed query term
+    (per-shard posting union through the same scatter fabric)."""
+    return _boolean_fleet_pipeline(sf_dir, "boolean_or", n_partitions)
+
+
+def boolean_and_not_pipeline(
+    sf_dir: str, n_partitions: int = 4
+) -> pa.Table:
+    """AND-NOT retrieval: ALL of the sorted distinct analyzed terms but
+    the last, EXCLUDING the last (single-term queries: no exclusion —
+    the rule is defined once in ``BM25ShardedService.boolean_and_not``
+    and mirrored by the SQL oracle)."""
+    return _boolean_fleet_pipeline(sf_dir, "boolean_and_not", n_partitions)
+
+
+def phrase_match_pipeline(
+    sf_dir: str, n_partitions: int = 4
+) -> pa.Table:
+    """Exact-phrase retrieval: (query_id, doc_id) for docs whose
+    ANALYZED token stream contains the query's analyzed token sequence
+    contiguously.
+
+    The index stores no positions (reference parity: the DF model at
+    ``VectorSpaceModel.java:29-53`` has none either), so this is the
+    standard candidates→verify recheck: conjunctive AND over the
+    sharded postings fleet prunes the corpus to docs containing every
+    phrase term, then ONE doc_id-filtered columnar re-read verifies
+    adjacency on the analyzed token stream. The verify cost is bounded
+    by the AND-candidate count, not the corpus; the candidate map ships
+    driver→workers once via ray.put (at extreme candidate counts it
+    would ship as an Arrow table through the bucketed join instead —
+    documented, not needed for a fixed query set)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from snowball_java_ray.functions.text import tokenize
+    from snowball_java_ray.stages.serve import BM25ShardedService
+
+    index_dir = ensure_index_dir(sf_dir, n_partitions=n_partitions)
+    svc = BM25ShardedService(index_dir)
+    phrases: dict[int, str] = {}
+    cand_map: dict[int, list[int]] = {}
+    try:
+        for qid, qtext in enumerate(REFERENCE_QUERIES):
+            toks = tokenize(qtext)
+            if not toks:
+                continue
+            phrases[qid] = " ".join(toks)
+            for d in svc.boolean_and(qtext).tolist():
+                cand_map.setdefault(d, []).append(qid)
+    finally:
+        svc.shutdown()
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+        }
+    )
+    if not cand_map:
+        return empty
+    cand_ref = ray.put(cand_map)
+    phr_ref = ray.put(phrases)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(list(cand_map)),
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        cmap = _ray.get(cand_ref)
+        phr = _ray.get(phr_ref)
+        out_q: list[int] = []
+        out_d: list[int] = []
+        # per-row loop is over AND-candidates only (output-bounded),
+        # never the corpus
+        for did, text in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist()
+        ):
+            dstr = " " + " ".join(tokenize(text or "")) + " "
+            for qid in cmap.get(did, ()):
+                if f" {phr[qid]} " in dstr:
+                    out_q.append(qid)
+                    out_d.append(did)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "doc_id": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    tbl = collect_arrow(docs.map_batches(verify, batch_format="pyarrow"))
+    if tbl.num_rows == 0:
+        return empty
+    return tbl.take(
+        pc.sort_indices(
+            tbl,
+            sort_keys=[("query_id", "ascending"), ("doc_id", "ascending")],
+        )
     )
 
 

@@ -297,16 +297,22 @@ _RAW_TOKS = (
     " x -> x <> '')"
 )
 
-# distinct word-NGRAM_N-gram shingles per doc
-_SHINGLE_EXPR = " || ' ' || ".join(f"arr[i + {k}]" for k in range(NGRAM_N))
-_SHINGLES_CTE = f"""
+# distinct word-n-gram shingles per doc (parametrized: the dedup family
+# uses NGRAM_N, the contamination check CONTAM_NGRAM)
+def _shingles_cte(n: int) -> str:
+    expr = " || ' ' || ".join(f"arr[i + {k}]" for k in range(n))
+    return f"""
 docarr AS (SELECT doc_id, {_RAW_TOKS} AS arr FROM documents),
 sh AS (
   SELECT DISTINCT doc_id,
-         unnest(list_transform(generate_series(1, len(arr) - {NGRAM_N - 1}),
-                i -> {_SHINGLE_EXPR})) AS shingle
-  FROM docarr WHERE len(arr) >= {NGRAM_N}
+         unnest(list_transform(generate_series(1, len(arr) - {n - 1}),
+                i -> {expr})) AS shingle
+  FROM docarr WHERE len(arr) >= {n}
 )"""
+
+
+_SHINGLE_EXPR = " || ' ' || ".join(f"arr[i + {k}]" for k in range(NGRAM_N))
+_SHINGLES_CTE = _shingles_cte(NGRAM_N)
 
 _MD5INT60 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
@@ -586,6 +592,142 @@ JOIN dt ON dt.term = q.term
 GROUP BY q.query_id, dt.doc_id
 HAVING count(*) = (SELECT n FROM qn WHERE qn.query_id = q.query_id)
 ORDER BY query_id, doc_id
+"""
+
+
+def boolean_or_sql() -> str:
+    """Disjunctive retrieval oracle: doc contains ANY query term."""
+    return f"""
+WITH {tokenize_cte()},
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+qraw AS (
+  SELECT query_id,
+         unnest(string_split_regex(lower(qtext), '{TOKEN_SPLIT_PATTERN}')) AS term
+  FROM {queries_values_sql()}
+),
+qterms AS (
+  SELECT DISTINCT query_id, term FROM qraw
+  WHERE term <> '' AND NOT regexp_full_match(term, '{_NUM_SQL}')
+    AND term NOT IN ({_STOPLIST_SQL})
+)
+SELECT DISTINCT CAST(q.query_id AS BIGINT) AS query_id, dt.doc_id
+FROM qterms q
+JOIN dt ON dt.term = q.term
+ORDER BY query_id, doc_id
+"""
+
+
+def boolean_and_not_sql() -> str:
+    """AND-NOT oracle: ALL of the sorted distinct analyzed terms but
+    the (lexicographically) last, excluding the last; single-term
+    queries have no exclusion — the
+    ``BM25ShardedService.boolean_and_not`` workload rule."""
+    return f"""
+WITH {tokenize_cte()},
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+qraw AS (
+  SELECT query_id,
+         unnest(string_split_regex(lower(qtext), '{TOKEN_SPLIT_PATTERN}')) AS term
+  FROM {queries_values_sql()}
+),
+qterms AS (
+  SELECT DISTINCT query_id, term FROM qraw
+  WHERE term <> '' AND NOT regexp_full_match(term, '{_NUM_SQL}')
+    AND term NOT IN ({_STOPLIST_SQL})
+),
+qn AS (SELECT query_id, count(*) AS n FROM qterms GROUP BY query_id),
+qmax AS (SELECT query_id, max(term) AS neg FROM qterms GROUP BY query_id),
+qpos AS (
+  SELECT q.query_id, q.term
+  FROM qterms q
+  JOIN qn ON qn.query_id = q.query_id
+  JOIN qmax m ON m.query_id = q.query_id
+  WHERE qn.n = 1 OR q.term <> m.neg
+),
+pn AS (SELECT query_id, count(*) AS n FROM qpos GROUP BY query_id),
+cand AS (
+  SELECT q.query_id, dt.doc_id
+  FROM qpos q
+  JOIN dt ON dt.term = q.term
+  GROUP BY q.query_id, dt.doc_id
+  HAVING count(*) = (SELECT n FROM pn WHERE pn.query_id = q.query_id)
+)
+SELECT CAST(c.query_id AS BIGINT) AS query_id, c.doc_id
+FROM cand c
+JOIN qn ON qn.query_id = c.query_id
+LEFT JOIN qmax m ON m.query_id = c.query_id
+LEFT JOIN dt dneg
+  ON qn.n > 1 AND dneg.doc_id = c.doc_id AND dneg.term = m.neg
+WHERE dneg.doc_id IS NULL
+ORDER BY query_id, c.doc_id
+"""
+
+
+# analyzed token list (order preserved) as a DuckDB lambda filter —
+# the SQL twin of functions.text.tokenize for list-valued contexts
+_STOPLIST_LIST_SQL = "[" + _STOPLIST_SQL + "]"
+_ANALYZED_LIST = (
+    f"list_filter(string_split_regex(lower({{col}}), '{TOKEN_SPLIT_PATTERN}'),"
+    f" x -> x <> '' AND NOT regexp_full_match(x, '{_NUM_SQL}')"
+    f" AND NOT list_contains({_STOPLIST_LIST_SQL}, x))"
+)
+
+
+def phrase_match_sql() -> str:
+    """Exact-phrase oracle: the query's analyzed token sequence occurs
+    contiguously in the doc's analyzed token stream (space-joined
+    strings with sentinel padding — token-boundary exact)."""
+    qtoks = _ANALYZED_LIST.format(col="qtext")
+    dtoks = _ANALYZED_LIST.format(col="text")
+    return f"""
+WITH qtoks AS (
+  SELECT query_id, array_to_string({qtoks}, ' ') AS phrase
+  FROM {queries_values_sql()}
+),
+darr AS (
+  SELECT doc_id,
+         ' ' || array_to_string({dtoks}, ' ') || ' ' AS dstr
+  FROM documents
+)
+SELECT CAST(q.query_id AS BIGINT) AS query_id, d.doc_id
+FROM qtoks q
+JOIN darr d ON position((' ' || q.phrase || ' ') IN d.dstr) > 0
+WHERE q.phrase <> ''
+ORDER BY query_id, doc_id
+"""
+
+
+def contamination_sql() -> str:
+    """Train/test n-gram contamination oracle (CONTAM_NGRAM-grams,
+    same md5 hash and split thresholds as the engine; val excluded)."""
+    from snowball_java_ray.constants import CONTAM_NGRAM
+    from snowball_java_ray.ops.sampling import TRAIN_FRAC, VAL_FRAC
+
+    u = _HASH_UNIT.format(col="s.doc_id")
+    h = _MD5INT60.format(expr="s.shingle")
+    return f"""
+WITH {_shingles_cte(CONTAM_NGRAM).lstrip()},
+shl AS (
+  SELECT s.doc_id, {h} AS h,
+         CASE WHEN {u} < {TRAIN_FRAC} THEN 'train'
+              WHEN {u} < {TRAIN_FRAC + VAL_FRAC} THEN 'val'
+              ELSE 'test' END AS split
+  FROM sh s
+),
+part AS (SELECT * FROM shl WHERE split <> 'val'),
+present AS (
+  SELECT h, max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS present
+  FROM part GROUP BY h
+),
+test_sh AS (SELECT doc_id, h FROM part WHERE split = 'test')
+SELECT t.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(p.present) AS BIGINT) AS n_contaminated,
+       round(sum(p.present) * 1.0 / count(*), 6) AS contamination
+FROM test_sh t
+JOIN present p ON p.h = t.h
+GROUP BY t.doc_id
+ORDER BY doc_id
 """
 
 

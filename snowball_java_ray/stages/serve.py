@@ -128,6 +128,28 @@ class _ShardScorer:
                 break
         return acc if acc is not None else np.empty(0, np.int64)
 
+    def boolean_or(self, terms: list[str]) -> np.ndarray:
+        """Disjunctive union within this shard's doc range."""
+        parts = [p for p in (self.index.postings(t)[0] for t in terms)
+                 if p.size]
+        if not parts:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(parts))
+
+    def boolean_and_not(
+        self, pos: list[str], neg: list[str]
+    ) -> np.ndarray:
+        """Docs containing ALL of ``pos`` and NONE of ``neg`` within
+        this shard's doc range."""
+        acc = self.boolean_and(pos)
+        for t in neg:
+            if acc.size == 0:
+                break
+            ids, _, _ = self.index.postings(t)
+            if ids.size:
+                acc = np.setdiff1d(acc, ids, assume_unique=True)
+        return acc
+
 
 # Logical CPUs reserved per shard actor. 0 = request-driven service
 # actors schedule anywhere and don't starve the Dataset operators that
@@ -286,6 +308,37 @@ class BM25ShardedService:
         if not terms:
             return np.empty(0, np.int64)
         parts = ray.get([h.boolean_and.remote(terms) for h in self.handles])
+        return np.concatenate(parts) if parts else np.empty(0, np.int64)
+
+    def boolean_or(self, qtext: str) -> np.ndarray:
+        """Disjunctive doc_ids across all shards (same scatter shape as
+        ``boolean_and``; shard unions concat into a sorted whole because
+        shard doc ranges are disjoint and ascending)."""
+        import ray
+
+        terms = sorted(set(tokenize(qtext)))
+        if not terms:
+            return np.empty(0, np.int64)
+        parts = ray.get([h.boolean_or.remote(terms) for h in self.handles])
+        return np.concatenate(parts) if parts else np.empty(0, np.int64)
+
+    def boolean_and_not(self, qtext: str) -> np.ndarray:
+        """AND-NOT retrieval with a deterministic derivation from the
+        query text: of the sorted distinct analyzed terms, ALL BUT THE
+        LAST are required and the last is excluded (single-term queries
+        have no exclusion). The rule lives here so the engine and the
+        SQL oracle share one definition of the workload."""
+        import ray
+
+        terms = sorted(set(tokenize(qtext)))
+        if not terms:
+            return np.empty(0, np.int64)
+        pos, neg = (
+            (terms, []) if len(terms) == 1 else (terms[:-1], [terms[-1]])
+        )
+        parts = ray.get(
+            [h.boolean_and_not.remote(pos, neg) for h in self.handles]
+        )
         return np.concatenate(parts) if parts else np.empty(0, np.int64)
 
     def shutdown(self):

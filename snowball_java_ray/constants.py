@@ -99,6 +99,15 @@ JACCARD_THRESHOLD = 0.02
 # n-gram length for overlap detection — longer than the dedup shingle
 # so chance collisions on a small vocabulary don't read as leakage.
 CONTAM_NGRAM = 5
+# Term co-occurrence / PMI (ops/textstats.cooc_pmi): vocabulary pruned
+# to df >= COOC_MIN_DF (bounds the broadcast side), each doc capped to
+# its COOC_DOC_CAP strongest terms (tf DESC, term ASC — bounds the
+# per-doc quadratic pair blowup to cap*(cap-1)/2), pairs kept at
+# co-doc-count >= COOC_MIN_PAIR. The same three rules live in the SQL
+# oracle (sqlgen.cooc_pmi_sql).
+COOC_MIN_DF = 10
+COOC_DOC_CAP = 16
+COOC_MIN_PAIR = 5
 # Blocking skew guard (ADVICE r2): a shingle shared by M docs emits
 # M^2 join rows, and raw shingle keys are unbounded — shingles whose
 # global doc count exceeds this cap are excluded from candidate

@@ -215,3 +215,252 @@ def lang_profile(sf_dir: str) -> ray.data.Dataset:
         )
 
     return agg.map_batches(rnd, batch_format="pyarrow").sort("lang")
+
+
+# --- Term co-occurrence / PMI ------------------------------------------
+
+_TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _triu_pairs(k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Cached upper-triangle index pairs for a k-term doc (i < j)."""
+    hit = _TRIU_CACHE.get(k)
+    if hit is None:
+        hit = _TRIU_CACHE[k] = np.triu_indices(k, 1)
+    return hit
+
+
+class CoocPartials:
+    """Actor-pool stage: per-batch partial co-occurrence counts.
+
+    Holds the broadcast qualifying vocabulary (df >= COOC_MIN_DF,
+    shipped once per actor via ``ray.put``) and emits ONE table of
+    map-side-combined partials per batch: pair rows (a, b, cnt) with
+    a < b, plus kept-term doc-count rows tagged b = '' — so the whole
+    reduce is a single ``hash_grouped_aggregate`` shuffle.
+
+    Per-doc pair generation is vectorized by grouping docs of equal
+    kept-term count k (k <= COOC_DOC_CAP, so <= COOC_DOC_CAP distinct
+    shapes): each group is one (m, k) gather + one cached
+    ``triu_indices`` fan-out — no per-doc Python pair loops."""
+
+    def __init__(self, qual_ref, cap: int):
+        import ray
+
+        self.qual: pa.Array = ray.get(qual_ref)
+        self.cap = cap
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        row_idx, terms = tokenize_arrow(t["text"])
+        if len(terms) == 0:
+            return empty
+        # per-(doc, term) tf, then prune to the qualifying vocabulary
+        tfb = (
+            pa.table({"r": pa.array(row_idx), "t": terms})
+            .group_by(["r", "t"])
+            .aggregate([([], "count_all")])
+        )
+        tfb = tfb.filter(pc.is_in(tfb["t"], value_set=self.qual))
+        if tfb.num_rows == 0:
+            return empty
+        r = tfb["r"].to_numpy(zero_copy_only=False)
+        tf = tfb["count_all"].to_numpy(zero_copy_only=False)
+        t_np = np.asarray(tfb["t"].to_pylist(), dtype=object)
+        # rank within doc: tf DESC, term ASC (np.lexsort: last key is
+        # primary), keep the cap strongest terms per doc
+        order = np.lexsort((t_np, -tf, r))
+        r_s = r[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(r_s)) + 1]
+        run_len = np.diff(np.r_[starts, len(r_s)])
+        rank = np.arange(len(r_s)) - np.repeat(starts, run_len)
+        sel = order[rank < self.cap]
+        r_k, t_k = r[sel], t_np[sel]
+        # kept-term doc counts (each (doc, term) row is distinct)
+        singles = (
+            pa.table({"a": pa.array(t_k, type=pa.string())})
+            .group_by(["a"])
+            .aggregate([([], "count_all")])
+        )
+        # per-doc pair fan-out, one shot per distinct k
+        starts2 = np.r_[0, np.flatnonzero(np.diff(r_k)) + 1]
+        lens2 = np.diff(np.r_[starts2, len(r_k)])
+        lo_parts: list[np.ndarray] = []
+        hi_parts: list[np.ndarray] = []
+        for k in np.unique(lens2):
+            if k < 2:
+                continue
+            s_k = starts2[lens2 == k]
+            iu_i, iu_j = _triu_pairs(int(k))
+            mat = t_k[s_k[:, None] + np.arange(k)[None, :]]
+            t1 = mat[:, iu_i].ravel()
+            t2 = mat[:, iu_j].ravel()
+            swap = t1 > t2  # canonical unordered pair: lexicographic
+            lo_parts.append(np.where(swap, t2, t1))
+            hi_parts.append(np.where(swap, t1, t2))
+        parts = [
+            pa.table(
+                {
+                    "a": singles["a"],
+                    "b": pa.array([""] * singles.num_rows, pa.string()),
+                    "cnt": pc.cast(singles["count_all"], pa.int64()),
+                }
+            )
+        ]
+        if lo_parts:
+            pairs = (
+                pa.table(
+                    {
+                        "a": pa.array(np.concatenate(lo_parts), type=pa.string()),
+                        "b": pa.array(np.concatenate(hi_parts), type=pa.string()),
+                    }
+                )
+                .group_by(["a", "b"])
+                .aggregate([([], "count_all")])
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "a": pairs["a"],
+                        "b": pairs["b"],
+                        "cnt": pc.cast(pairs["count_all"], pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+
+def cooc_pmi(
+    sf_dir: str,
+    min_df: int | None = None,
+    cap: int | None = None,
+    min_pair: int | None = None,
+) -> ray.data.Dataset:
+    """Term co-occurrence with pointwise mutual information — the
+    corpus-level association statistic (collocations, topic drift,
+    boilerplate detection) a training-data pipeline computes.
+
+    pmi(t1, t2) = ln(c12 * n_docs / (c1 * c2)) over per-doc DISTINCT
+    term sets, vocabulary pruned to df >= min_df, each doc capped to
+    its ``cap`` strongest terms, pairs kept at c12 >= min_pair.
+
+    Scale shape: pass 1 computes df partials per batch and reduces via
+    ``hash_grouped_aggregate`` (unbounded term key); the qualifying
+    vocabulary (bounded by min_df — raise it with corpus size) is
+    broadcast once via ``ray.put``; pass 2 emits map-side-combined
+    pair + single partials (per-doc fan-out capped at cap*(cap-1)/2)
+    into ONE hash-grouped shuffle; the c1 side (vocabulary-bounded) is
+    broadcast back for the final PMI map. No driver loops, no
+    all-pairs joins. Oracle: ``sqlgen.cooc_pmi_sql`` (identical prune
+    cap and float expression)."""
+    import math
+
+    import ray
+
+    from snowball_java_ray.constants import (
+        COOC_DOC_CAP,
+        COOC_MIN_DF,
+        COOC_MIN_PAIR,
+        SCORE_ROUND_DECIMALS,
+    )
+    from snowball_java_ray.ops.dedup import hash_grouped_aggregate
+
+    min_df = COOC_MIN_DF if min_df is None else min_df
+    cap = COOC_DOC_CAP if cap is None else cap
+    min_pair = COOC_MIN_PAIR if min_pair is None else min_pair
+
+    docs = _read_docs(sf_dir)
+    n_docs = docs.count()
+
+    # pass 1: document frequency -> qualifying vocabulary (broadcast)
+    def df_partial(t: pa.Table) -> pa.Table:
+        row_idx, terms = tokenize_arrow(t["text"])
+        if len(terms) == 0:
+            return pa.table(
+                {"t": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        distinct = (
+            pa.table({"r": pa.array(row_idx), "t": terms})
+            .group_by(["r", "t"])
+            .aggregate([])
+        )
+        per_term = distinct.group_by(["t"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"t": per_term["t"], "cnt": pc.cast(per_term["count_all"], pa.int64())}
+        )
+
+    # collect the vocabulary-bounded df table driver-side (min_df is
+    # the knob that keeps this bounded at corpus scale)
+    from snowball_java_ray.pipelines.api import collect_arrow
+
+    df_all = collect_arrow(
+        hash_grouped_aggregate(
+            docs.map_batches(df_partial, batch_format="pyarrow"),
+            ["t"],
+            [("cnt", "sum", "df")],
+        )
+    )
+    qual = pa.array(
+        df_all.filter(pc.greater_equal(df_all["df"], min_df))["t"].to_pylist(),
+        type=pa.string(),
+    )
+    qual_ref = ray.put(qual)
+
+    # pass 2: one shuffle of combined pair + single partials
+    agg = hash_grouped_aggregate(
+        docs.map_batches(
+            CoocPartials,
+            fn_constructor_kwargs={"qual_ref": qual_ref, "cap": cap},
+            batch_format="pyarrow",
+            concurrency=(2, 8),
+        ),
+        ["a", "b"],
+        [("cnt", "sum", "cnt")],
+    ).materialize()
+
+    def is_single(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["b"], ""))
+
+    c1_tbl = collect_arrow(agg.map_batches(is_single, batch_format="pyarrow"))
+    # the c1 side is vocabulary-bounded and tiny after the min_df prune
+    # — ship it inside a plain task closure (no actor pool needed)
+    c1_terms = pa.array(c1_tbl["a"].to_pylist(), type=pa.string())
+    c1_counts = c1_tbl["cnt"].to_numpy(zero_copy_only=False)
+    ln_n = float(n_docs)
+
+    def finish_pmi(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.not_equal(t["b"], ""),
+                pc.greater_equal(t["cnt"], min_pair),
+            )
+        )
+        i1 = pc.index_in(t["a"], value_set=c1_terms).to_numpy(zero_copy_only=False)
+        i2 = pc.index_in(t["b"], value_set=c1_terms).to_numpy(zero_copy_only=False)
+        c1 = c1_counts[i1]
+        c2 = c1_counts[i2]
+        c12 = t["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.round(
+            np.log(c12 * ln_n / (c1.astype(np.float64) * c2.astype(np.float64))),
+            SCORE_ROUND_DECIMALS,
+        )
+        return pa.table(
+            {
+                "term1": t["a"],
+                "term2": t["b"],
+                "c12": t["cnt"],
+                "c1": pa.array(c1, pa.int64()),
+                "c2": pa.array(c2, pa.int64()),
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish_pmi, batch_format="pyarrow").sort(
+        ["term1", "term2"]
+    )

@@ -502,6 +502,57 @@ ORDER BY d.doc_id
 """
 
 
+def cooc_pmi_sql(
+    min_df: int | None = None,
+    cap: int | None = None,
+    min_pair: int | None = None,
+) -> str:
+    """Term co-occurrence + PMI (ops/textstats.cooc_pmi): same df
+    prune, per-doc cap rule (tf DESC, term ASC) and float expression
+    (c12*n then / (c1*c2), ln, round) as the engine."""
+    from snowball_java_ray.constants import (
+        COOC_DOC_CAP,
+        COOC_MIN_DF,
+        COOC_MIN_PAIR,
+        SCORE_ROUND_DECIMALS,
+    )
+
+    COOC_MIN_DF = COOC_MIN_DF if min_df is None else min_df
+    COOC_DOC_CAP = COOC_DOC_CAP if cap is None else cap
+    COOC_MIN_PAIR = COOC_MIN_PAIR if min_pair is None else min_pair
+    return f"""
+WITH {tokenize_cte()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qual AS (SELECT term FROM dfreq WHERE df >= {COOC_MIN_DF}),
+kept AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tf DESC, term ASC) AS rk
+    FROM tf WHERE term IN (SELECT term FROM qual)
+  ) WHERE rk <= {COOC_DOC_CAP}
+),
+c1 AS (SELECT term, count(*) AS c FROM kept GROUP BY term),
+pairs AS (
+  SELECT a.term AS term1, b.term AS term2, count(*) AS c12
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= {COOC_MIN_PAIR}
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT p.term1, p.term2, p.c12, ca.c AS c1, cb.c AS c2,
+       round(ln(CAST(p.c12 AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+                / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))),
+             {SCORE_ROUND_DECIMALS}) AS pmi
+FROM pairs p
+JOIN c1 ca ON p.term1 = ca.term
+JOIN c1 cb ON p.term2 = cb.term
+CROSS JOIN n
+ORDER BY p.term1, p.term2
+"""
+
+
 def langid_sql() -> str:
     from snowball_java_ray.ops.textstats import LANG_WORDLISTS
 

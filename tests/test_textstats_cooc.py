@@ -1,0 +1,37 @@
+"""Term co-occurrence / PMI (ops/textstats.cooc_pmi)."""
+
+import duckdb
+
+from snowball_java_ray.ops.textstats import cooc_pmi
+from snowball_java_ray.pipelines.api import collect_arrow
+from snowball_java_ray.sqlgen import cooc_pmi_sql
+from tests.conftest import SF_TINY
+
+PARAMS = dict(min_df=3, cap=8, min_pair=2)
+
+
+def test_cooc_pmi_matches_duckdb(ray_session):
+    """Distributed pair counts + PMI == DuckDB oracle at sf0.001 with
+    tightened parameters (the tiny corpus has few df>=10 terms)."""
+    got = collect_arrow(cooc_pmi(SF_TINY, **PARAMS)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_TINY}/documents.parquet'"
+    )
+    exp = con.execute(cooc_pmi_sql(**PARAMS)).df()
+    assert len(got) == len(exp) > 0
+    assert list(got.columns) == list(exp.columns)
+    for c in ["term1", "term2", "c12", "c1", "c2"]:
+        assert (got[c].values == exp[c].values).all(), c
+    assert (abs(got["pmi"].values - exp["pmi"].values) < 1e-9).all()
+
+
+def test_cooc_pmi_invariants(ray_session):
+    got = collect_arrow(cooc_pmi(SF_TINY, **PARAMS)).to_pandas()
+    assert (got["term1"] < got["term2"]).all()
+    assert (got["c12"] <= got[["c1", "c2"]].min(axis=1)).all()
+    assert (got["c12"] >= PARAMS["min_pair"]).all()
+    # deterministic rerun
+    again = collect_arrow(cooc_pmi(SF_TINY, **PARAMS)).to_pandas()
+    assert got.equals(again)

@@ -108,6 +108,14 @@ CONTAM_NGRAM = 5
 COOC_MIN_DF = 10
 COOC_DOC_CAP = 16
 COOC_MIN_PAIR = 5
+# More-like-this / related-document retrieval (pipelines/api
+# .more_like_this_pipeline): query docs are the fixed doc_id range
+# (same constant-rule pattern as ANN_N_QUERIES), each represented by
+# its MLT_TERMS strongest terms (tf*idf DESC rounded to
+# RANK_ROUND_DECIMALS, term ASC), scored through the sharded BM25
+# fleet with the query doc itself excluded.
+MLT_N_QUERY_DOCS = 5
+MLT_TERMS = 8
 # Blocking skew guard (ADVICE r2): a shingle shared by M docs emits
 # M^2 join rows, and raw shingle keys are unbounded — shingles whose
 # global doc count exceeds this cap are excluded from candidate

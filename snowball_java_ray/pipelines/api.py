@@ -367,6 +367,123 @@ def phrase_match_pipeline(
     )
 
 
+def more_like_this_pipeline(
+    sf_dir: str, top_k: int = TOP_K, n_partitions: int = 4
+) -> pa.Table:
+    """Related-document retrieval ("more like this"): each query doc
+    (the fixed ``doc_id < MLT_N_QUERY_DOCS`` range — the same
+    constant-rule pattern as the ANN query vectors) is represented by
+    its ``MLT_TERMS`` strongest terms ranked by tf*idf (rounded to
+    RANK_ROUND_DECIMALS DESC, term ASC), which are scored as a BM25
+    query through the doc-sharded serving fleet; the query doc itself
+    is excluded and ranks re-assigned 1..top_k.
+
+    Scale shape: the per-query term derivation reads ONLY the query
+    docs (parquet predicate pushdown) and ranks against the serving
+    dictionary (idf lookups on the term-sorted Arrow table — no corpus
+    scan); retrieval reuses the scatter/gather fleet unchanged, asking
+    for top_k+1 so dropping the self-hit still leaves the true top-k
+    whether or not the self-hit was present. Oracle:
+    ``sqlgen.more_like_this_sql`` (same ranking rule and BM25
+    expression)."""
+    import math
+
+    import numpy as np
+    import ray
+
+    from snowball_java_ray.constants import (
+        MLT_N_QUERY_DOCS,
+        MLT_TERMS,
+        RANK_ROUND_DECIMALS,
+    )
+    from snowball_java_ray.functions.text import tokenize
+    from snowball_java_ray.stages.serve import BM25ShardedService
+
+    index_dir = ensure_index_dir(sf_dir, n_partitions=n_partitions)
+    svc = BM25ShardedService(index_dir)
+    try:
+        qdocs = collect_arrow(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text"],
+                filter=pc.field("doc_id") < MLT_N_QUERY_DOCS,
+            )
+        )
+        dic = ray.get(svc.df_ref)  # term-sorted (term, df, cf)
+        n = float(svc.n_docs)
+        items = []
+        for qid, text in zip(
+            qdocs["doc_id"].to_pylist(), qdocs["text"].to_pylist()
+        ):
+            tf: dict[str, int] = {}
+            for tok in tokenize(text or ""):
+                tf[tok] = tf.get(tok, 0) + 1
+            if not tf:
+                continue
+            terms = sorted(tf)
+            idx = pc.index_in(
+                pa.array(terms, pa.string()), value_set=dic["term"]
+            ).to_numpy(zero_copy_only=False)
+            dfs = dic["df"].to_numpy(zero_copy_only=False)
+            scored = []
+            for t, i in zip(terms, idx):
+                df_t = float(dfs[int(i)]) if i is not None and i >= 0 else 0.0
+                idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                scored.append(
+                    (-round(tf[t] * idf, RANK_ROUND_DECIMALS), t)
+                )
+            scored.sort()
+            items.append(
+                {
+                    "query_id": int(qid),
+                    "qtext": " ".join(t for _, t in scored[:MLT_TERMS]),
+                }
+            )
+        if not items:
+            raw = pa.table({})
+        else:
+            raw = collect_arrow(
+                svc.topk_dataset(
+                    ray.data.from_items(items), top_k=top_k + 1
+                )
+            )
+    finally:
+        svc.shutdown()
+    empty = pa.table(
+        {
+            "query_doc_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int32()),
+            "doc_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+    if raw.num_rows == 0:
+        return empty
+    raw = raw.take(
+        pc.sort_indices(
+            raw, sort_keys=[("query_id", "ascending"), ("rank", "ascending")]
+        )
+    )
+    qi = raw["query_id"].to_numpy(zero_copy_only=False)
+    di = raw["doc_id"].to_numpy(zero_copy_only=False)
+    keep = qi != di  # drop the self-hit
+    qi, di = qi[keep], di[keep]
+    sc = raw["score"].to_numpy(zero_copy_only=False)[keep]
+    # re-rank 1..top_k within each query (rows already rank-sorted)
+    starts = np.r_[0, np.flatnonzero(np.diff(qi)) + 1]
+    lens = np.diff(np.r_[starts, len(qi)])
+    rank = np.arange(len(qi)) - np.repeat(starts, lens) + 1
+    final = rank <= top_k
+    return pa.table(
+        {
+            "query_doc_id": pa.array(qi[final], pa.int64()),
+            "rank": pa.array(rank[final].astype(np.int32), pa.int32()),
+            "doc_id": pa.array(di[final], pa.int64()),
+            "score": pa.array(sc[final], pa.float64()),
+        }
+    )
+
+
 def term_df_pipeline(sf_dir: str) -> ray.data.Dataset:
     corpus = documents_as_corpus(sf_dir)
     return build_dictionary(build_postings(corpus)).sort("term")

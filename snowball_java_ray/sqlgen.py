@@ -904,6 +904,67 @@ ORDER BY query_id, rank
 """
 
 
+def more_like_this_sql(top_k: int = TOP_K) -> str:
+    """Related-document retrieval (pipelines/api.more_like_this
+    _pipeline): query docs = doc_id < MLT_N_QUERY_DOCS, query terms =
+    top MLT_TERMS by round(tf*idf, RANK) DESC, term ASC; BM25 scoring
+    identical to bm25_topk_sql with the query doc excluded."""
+    from snowball_java_ray.constants import MLT_N_QUERY_DOCS, MLT_TERMS
+
+    return f"""
+WITH {tokenize_cte()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
+meta AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doc_len) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+qtfidf AS (
+  SELECT tf.doc_id AS qid, tf.term,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY round(tf.tf * ln((meta.n_docs - df.df + 0.5)
+                                     / (df.df + 0.5) + 1.0),
+                          {RANK_ROUND_DECIMALS}) DESC,
+                    tf.term ASC
+         ) AS rk
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN meta
+  WHERE tf.doc_id < {MLT_N_QUERY_DOCS}
+),
+qterms AS (SELECT qid, term FROM qtfidf WHERE rk <= {MLT_TERMS}),
+scores AS (
+  SELECT q.qid AS query_doc_id, tf.doc_id,
+         sum(
+           ln((meta.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf * ({BM25_K1} + 1.0)
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+              + {BM25_B} * dl.doc_len / meta.avgdl))
+         ) AS score
+  FROM qterms q
+  JOIN tf ON q.term = tf.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN meta
+  WHERE tf.doc_id <> q.qid
+  GROUP BY q.qid, tf.doc_id
+),
+ranked AS (
+  SELECT query_doc_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_doc_id
+           ORDER BY round(score, {RANK_ROUND_DECIMALS}) DESC, doc_id ASC
+         ) AS rank
+  FROM scores
+)
+SELECT query_doc_id, CAST(rank AS INT) AS rank, doc_id,
+       round(score, {SCORE_ROUND_DECIMALS}) AS score
+FROM ranked WHERE rank <= {top_k}
+ORDER BY query_doc_id, rank
+"""
+
+
 def lsh_ann_sql() -> str:
     """Sign-LSH ANN oracle: the md5-derived hyperplanes are embedded as
     double literals (identical floats to ops/ann.lsh_planes — repr

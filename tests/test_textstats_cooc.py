@@ -35,3 +35,25 @@ def test_cooc_pmi_invariants(ray_session):
     # deterministic rerun
     again = collect_arrow(cooc_pmi(SF_TINY, **PARAMS)).to_pandas()
     assert got.equals(again)
+
+
+def test_more_like_this_matches_duckdb(ray_session):
+    """Related-doc retrieval == DuckDB oracle at sf0.001; the query doc
+    never appears in its own result list."""
+    from snowball_java_ray.pipelines.api import more_like_this_pipeline
+    from snowball_java_ray.sqlgen import more_like_this_sql
+
+    got = more_like_this_pipeline(SF_TINY).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_TINY}/documents.parquet'"
+    )
+    exp = con.execute(more_like_this_sql()).df()
+    assert len(got) == len(exp) > 0
+    assert list(got.columns) == list(exp.columns)
+    for c in ["query_doc_id", "rank", "doc_id"]:
+        assert (got[c].values == exp[c].values).all(), c
+    assert (abs(got["score"].values - exp["score"].values) < 1e-9).all()
+    assert (got["query_doc_id"] != got["doc_id"]).all()
+    assert (got.groupby("query_doc_id")["rank"].min() == 1).all()

@@ -465,6 +465,15 @@ def run_bench() -> dict:
     ).count()
     timings["textstats_quality"] = time.perf_counter() - t0
 
+    # term co-occurrence + PMI over the full replicated corpus (two
+    # scans + one pair shuffle; the per-doc cap bounds the quadratic
+    # fan-out, so wall time tracks the tokenizer + combiner)
+    from snowball_java_ray.ops.textstats import cooc_pmi
+
+    t0 = time.perf_counter()
+    n_cooc = cooc_pmi(SF_DIR, docs=corpus, text_col="content").count()
+    timings["cooc_pmi"] = time.perf_counter() - t0
+
     # training-data ops over the raw sf tables (un-replicated: these
     # measure the op pipelines at the driver-gate scale)
     from snowball_java_ray.ops.ann import ann_topk, ivf_ann_topk, lsh_ann_topk

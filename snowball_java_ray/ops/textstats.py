@@ -244,11 +244,12 @@ class CoocPartials:
     shapes): each group is one (m, k) gather + one cached
     ``triu_indices`` fan-out — no per-doc Python pair loops."""
 
-    def __init__(self, qual_ref, cap: int):
+    def __init__(self, qual_ref, cap: int, text_col: str = "text"):
         import ray
 
         self.qual: pa.Array = ray.get(qual_ref)
         self.cap = cap
+        self.text_col = text_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -258,7 +259,7 @@ class CoocPartials:
                 "cnt": pa.array([], pa.int64()),
             }
         )
-        row_idx, terms = tokenize_arrow(t["text"])
+        row_idx, terms = tokenize_arrow(t[self.text_col])
         if len(terms) == 0:
             return empty
         # per-(doc, term) tf, then prune to the qualifying vocabulary
@@ -341,6 +342,8 @@ def cooc_pmi(
     min_df: int | None = None,
     cap: int | None = None,
     min_pair: int | None = None,
+    docs: ray.data.Dataset | None = None,
+    text_col: str = "text",
 ) -> ray.data.Dataset:
     """Term co-occurrence with pointwise mutual information — the
     corpus-level association statistic (collocations, topic drift,
@@ -375,12 +378,13 @@ def cooc_pmi(
     cap = COOC_DOC_CAP if cap is None else cap
     min_pair = COOC_MIN_PAIR if min_pair is None else min_pair
 
-    docs = _read_docs(sf_dir)
+    if docs is None:
+        docs = _read_docs(sf_dir)
     n_docs = docs.count()
 
     # pass 1: document frequency -> qualifying vocabulary (broadcast)
     def df_partial(t: pa.Table) -> pa.Table:
-        row_idx, terms = tokenize_arrow(t["text"])
+        row_idx, terms = tokenize_arrow(t[text_col])
         if len(terms) == 0:
             return pa.table(
                 {"t": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
@@ -399,24 +403,26 @@ def cooc_pmi(
     # the knob that keeps this bounded at corpus scale)
     from snowball_java_ray.pipelines.api import collect_arrow
 
-    df_all = collect_arrow(
+    def only_qualifying(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["df"], min_df))
+
+    df_qual = collect_arrow(
         hash_grouped_aggregate(
             docs.map_batches(df_partial, batch_format="pyarrow"),
             ["t"],
             [("cnt", "sum", "df")],
-        )
+        ).map_batches(only_qualifying, batch_format="pyarrow")
     )
-    qual = pa.array(
-        df_all.filter(pc.greater_equal(df_all["df"], min_df))["t"].to_pylist(),
-        type=pa.string(),
-    )
+    qual = pa.array(df_qual["t"].to_pylist(), type=pa.string())
     qual_ref = ray.put(qual)
 
     # pass 2: one shuffle of combined pair + single partials
     agg = hash_grouped_aggregate(
         docs.map_batches(
             CoocPartials,
-            fn_constructor_kwargs={"qual_ref": qual_ref, "cap": cap},
+            fn_constructor_kwargs={
+                "qual_ref": qual_ref, "cap": cap, "text_col": text_col,
+            },
             batch_format="pyarrow",
             concurrency=(2, 8),
         ),

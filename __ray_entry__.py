@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": textstats.langid,
         "lang_profile": textstats.lang_profile,
         "cooc_pmi": textstats.cooc_pmi,
+        "source_report": textstats.source_report,
         # --- sampling / splitting ---
         "train_val_test_split": sampling.train_val_test_split,
         "split_counts": sampling.split_counts,
@@ -145,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": sqlgen.langid_sql(),
         "lang_profile": sqlgen.lang_profile_sql(),
         "cooc_pmi": sqlgen.cooc_pmi_sql(),
+        "source_report": sqlgen.source_report_sql(),
         "train_val_test_split": sqlgen.train_val_test_split_sql(),
         "split_counts": sqlgen.split_counts_sql(),
         "stratified_sample": sqlgen.stratified_sample_sql(),

@@ -22,11 +22,16 @@ import ray.data
 
 
 def _bucket_of(values: np.ndarray, n_buckets: int) -> np.ndarray:
-    # deterministic, engine-independent hash (md5 of decimal string)
+    # deterministic, engine-independent hash (md5 of the key rendered
+    # as a decimal string for ints, verbatim for string keys)
+    if values.dtype.kind in "iu":
+        keys = (str(int(v)) for v in values)
+    else:
+        keys = (str(v) for v in values)
     return np.array(
         [
-            int(hashlib.md5(str(int(v)).encode()).hexdigest()[:8], 16) % n_buckets
-            for v in values
+            int(hashlib.md5(k.encode()).hexdigest()[:8], 16) % n_buckets
+            for k in keys
         ],
         dtype=np.int64,
     )

@@ -470,3 +470,108 @@ def cooc_pmi(
     return agg.map_batches(finish_pmi, batch_format="pyarrow").sort(
         ["term1", "term2"]
     )
+
+
+def source_report(sf_dir: str) -> ray.data.Dataset:
+    """Per-source curation report: for every ``source`` (the corpus
+    provenance column — a crawl / repo / dump), the doc count, the
+    exact-duplicate fraction (docs an exact dedup would drop), and the
+    mean canonical-term count and stopword ratio — the table a data
+    curator reads to decide which sources to keep, downweight or drop.
+
+    Scale shape: ONE corpus scan emits per-doc rows (source, digest,
+    quality features); the digest-keyed keeper table comes from
+    ``hash_grouped_aggregate`` (uniform md5 keys); a bucketed hash
+    join marks dropped docs; per-source partials are combined
+    map-side so the final groupby only sees |sources| x partitions
+    rows. Oracle: ``sqlgen.source_report_sql``."""
+    import hashlib
+
+    from snowball_java_ray.ops.dedup import hash_grouped_aggregate
+    from snowball_java_ray.ops.joins import bucketed_hash_join
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def perdoc(t: pa.Table) -> pa.Table:
+        q = quality_batch(t)
+        digests = [
+            hashlib.md5((x or "").encode()).hexdigest()
+            for x in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "dg": pa.array(digests, pa.string()),
+                "n_terms": q["n_terms"],
+                "sr": q["stopword_ratio"],
+            }
+        )
+
+    pd_ds = docs.map_batches(perdoc, batch_format="pyarrow").materialize()
+    keep_ds = hash_grouped_aggregate(
+        pd_ds, ["dg"], [("doc_id", "min", "keep_doc")]
+    )
+    joined = bucketed_hash_join(pd_ds, keep_ds, "dg", "dg")
+
+    def src_partial(t: pa.Table) -> pa.Table:
+        dropped = pc.cast(
+            pc.not_equal(t["doc_id"], t["keep_doc"]), pa.int64()
+        )
+        return (
+            pa.table(
+                {
+                    "source": t["source"],
+                    "n": pa.array(np.ones(len(t), np.int64)),
+                    "terms": pc.cast(t["n_terms"], pa.int64()),
+                    "sr": t["sr"],
+                    "dropped": dropped,
+                }
+            )
+            .group_by(["source"])
+            .aggregate(
+                [("n", "sum"), ("terms", "sum"), ("sr", "sum"), ("dropped", "sum")]
+            )
+        )
+
+    tiny = hash_grouped_aggregate(
+        joined.map_batches(src_partial, batch_format="pyarrow"),
+        ["source"],
+        [
+            ("n_sum", "sum", "n_docs"),
+            ("terms_sum", "sum", "terms"),
+            ("sr_sum", "sum", "sr"),
+            ("dropped_sum", "sum", "dropped"),
+        ],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_docs": t["n_docs"],
+                "dup_frac": pa.array(
+                    np.round(
+                        t["dropped"].to_numpy(zero_copy_only=False) / n, 6
+                    ),
+                    pa.float64(),
+                ),
+                "avg_terms": pa.array(
+                    np.round(
+                        t["terms"].to_numpy(zero_copy_only=False) / n, 6
+                    ),
+                    pa.float64(),
+                ),
+                "avg_stopword_ratio": pa.array(
+                    np.round(
+                        t["sr"].to_numpy(zero_copy_only=False) / n, 6
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return tiny.map_batches(finish, batch_format="pyarrow").sort("source")

@@ -476,6 +476,44 @@ ORDER BY d.doc_id
 """
 
 
+def source_report_sql() -> str:
+    """Per-source curation report (ops/textstats.source_report): doc
+    count, exact-dup drop fraction, mean canonical-term count and mean
+    per-doc stopword ratio (same per-doc 6-dp rounding as the engine,
+    then 6-dp rounded means)."""
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {_RAW_TOKS} AS arr FROM documents
+),
+rt AS (SELECT doc_id, unnest(arr) AS w FROM raw),
+stats AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN w IN ({_STOPLIST_SQL}) THEN 1 ELSE 0 END) AS n_stop
+  FROM rt GROUP BY doc_id
+),
+{tokenize_cte()},
+terms AS (SELECT doc_id, count(*) AS n_terms FROM toks GROUP BY doc_id),
+keep AS (SELECT md5(text) AS dg, min(doc_id) AS keep_doc
+         FROM documents GROUP BY md5(text)),
+pd AS (
+  SELECT d.doc_id, d.source, md5(d.text) AS dg,
+         coalesce(t.n_terms, 0) AS n_terms,
+         CASE WHEN coalesce(s.n_tokens, 0) = 0 THEN 0.0
+              ELSE round(s.n_stop * 1.0 / s.n_tokens, 6) END AS sr
+  FROM documents d
+  LEFT JOIN stats s ON d.doc_id = s.doc_id
+  LEFT JOIN terms t ON d.doc_id = t.doc_id
+)
+SELECT pd.source, count(*) AS n_docs,
+       round(sum(CASE WHEN pd.doc_id <> k.keep_doc THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS dup_frac,
+       round(sum(pd.n_terms) * 1.0 / count(*), 6) AS avg_terms,
+       round(sum(pd.sr) / count(*), 6) AS avg_stopword_ratio
+FROM pd JOIN keep k ON pd.dg = k.dg
+GROUP BY pd.source ORDER BY pd.source
+"""
+
+
 def token_counts_sql() -> str:
     from snowball_java_ray.ops.textstats import BPE_TOKEN_PATTERN
 

@@ -57,3 +57,23 @@ def test_more_like_this_matches_duckdb(ray_session):
     assert (abs(got["score"].values - exp["score"].values) < 1e-9).all()
     assert (got["query_doc_id"] != got["doc_id"]).all()
     assert (got.groupby("query_doc_id")["rank"].min() == 1).all()
+
+
+def test_source_report_matches_duckdb(ray_session):
+    from snowball_java_ray.ops.textstats import source_report
+    from snowball_java_ray.sqlgen import source_report_sql
+
+    got = collect_arrow(source_report(SF_TINY)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_TINY}/documents.parquet'"
+    )
+    exp = con.execute(source_report_sql()).df()
+    assert len(got) == len(exp) > 0
+    assert list(got.columns) == list(exp.columns)
+    assert (got["source"].values == exp["source"].values).all()
+    assert (got["n_docs"].values == exp["n_docs"].values).all()
+    for c in ["dup_frac", "avg_terms", "avg_stopword_ratio"]:
+        assert (abs(got[c].values - exp[c].values) < 1e-9).all(), c
+    assert ((got["dup_frac"] >= 0) & (got["dup_frac"] < 1)).all()

@@ -745,3 +745,90 @@ def embed_dup_pairs_lsh(
     return joined.map_batches(verify, batch_format="pyarrow").sort(
         ["vec_a", "vec_b"]
     )
+
+
+def dup_clusters(sf_dir: str, max_iters: int = 16) -> ray.data.Dataset:
+    """Connected components over the MinHash-LSH candidate-pair graph:
+    every doc that shares a band with another doc gets a ``cluster_id``
+    = the smallest doc_id in its component — the grouping step that
+    turns pairwise near-dup candidates into keep-one-per-cluster
+    decisions.
+
+    Distributed min-label propagation: labels start at min(self,
+    neighbors) and each round joins current labels onto the (src, dst)
+    edge list and takes the per-doc min (``bucketed_hash_join`` +
+    ``hash_grouped_aggregate`` — no driver graph, no per-node Python).
+    Labels are monotonically non-increasing, so the driver watches ONE
+    scalar (sum of labels) for convergence; rounds needed = component
+    diameter (near-clique LSH components converge in 1-2; a production
+    run on adversarial graphs would add pointer-jumping to make it
+    O(log n)). Oracle: ``sqlgen.dup_clusters_sql`` (recursive-CTE
+    transitive closure over the same pair SQL)."""
+    import pyarrow.compute as pc
+
+    pairs = minhash_lsh_candidates(sf_dir)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc": pa.array(src, pa.int64()),
+                "lbl": pa.array(np.minimum(src, dst), pa.int64()),
+            }
+        )
+
+    labels = hash_grouped_aggregate(
+        edges.map_batches(init_labels, batch_format="pyarrow"),
+        ["doc"],
+        [("lbl", "min", "lbl")],
+    ).materialize()
+    total = labels.sum("lbl")
+    for _ in range(max_iters):
+        from snowball_java_ray.ops.joins import bucketed_hash_join
+
+        prop = bucketed_hash_join(edges, labels, "dst", "doc")
+
+        def neighbor_lbl(t: pa.Table) -> pa.Table:
+            # keep the union schema int64 (pandas-merge buckets upcast)
+            return pa.table(
+                {
+                    "doc": pc.cast(t["src"], pa.int64()),
+                    "lbl": pc.cast(t["lbl"], pa.int64()),
+                }
+            )
+
+        labels = hash_grouped_aggregate(
+            prop.map_batches(neighbor_lbl, batch_format="pyarrow").union(
+                labels
+            ),
+            ["doc"],
+            [("lbl", "min", "lbl")],
+        ).materialize()
+        new_total = labels.sum("lbl")
+        if new_total == total:
+            break
+        total = new_total
+
+    def rename(t: pa.Table) -> pa.Table:
+        # pandas-merge buckets can upcast lbl to float64; pin int64
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc"], pa.int64()),
+                "cluster_id": pc.cast(t["lbl"], pa.int64()),
+            }
+        )
+
+    return labels.map_batches(rename, batch_format="pyarrow").sort("doc_id")

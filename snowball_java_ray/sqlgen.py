@@ -388,6 +388,28 @@ ORDER BY doc_a, doc_b
 """
 
 
+def dup_clusters_sql() -> str:
+    """Connected components over the LSH pair graph
+    (ops/dedup.dup_clusters): recursive transitive closure, cluster_id
+    = min reachable doc_id (self included)."""
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT * FROM ({minhash_lsh_sql()}) q),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+FROM reach GROUP BY a ORDER BY doc_id
+"""
+
+
 def simhash_sql() -> str:
     """60-bit tf-weighted simhash over canonical terms, via a
     bit-position explode (doc x term x bit)."""

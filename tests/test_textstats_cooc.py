@@ -77,3 +77,26 @@ def test_source_report_matches_duckdb(ray_session):
     for c in ["dup_frac", "avg_terms", "avg_stopword_ratio"]:
         assert (abs(got[c].values - exp[c].values) < 1e-9).all(), c
     assert ((got["dup_frac"] >= 0) & (got["dup_frac"] < 1)).all()
+
+
+def test_dup_clusters_connected_components(ray_session):
+    """Label propagation == recursive-CTE oracle at sf0.001, and every
+    candidate pair's endpoints land in the same cluster."""
+    from snowball_java_ray.ops.dedup import dup_clusters, minhash_lsh_candidates
+    from snowball_java_ray.sqlgen import dup_clusters_sql
+
+    got = dup_clusters(SF_TINY).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_TINY}/documents.parquet'"
+    )
+    exp = con.execute(dup_clusters_sql()).df()
+    assert len(got) == len(exp) > 0
+    for c in got.columns:
+        assert (got[c].values == exp[c].values).all(), c
+    assert (got["cluster_id"] <= got["doc_id"]).all()
+    lbl = dict(zip(got["doc_id"], got["cluster_id"]))
+    pairs = collect_arrow(minhash_lsh_candidates(SF_TINY)).to_pandas()
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        assert lbl[a] == lbl[b]

@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_profile": textstats.lang_profile,
         "cooc_pmi": textstats.cooc_pmi,
         "source_report": textstats.source_report,
+        "doc_tags": textstats.doc_tags,
         # --- sampling / splitting ---
         "train_val_test_split": sampling.train_val_test_split,
         "split_counts": sampling.split_counts,
@@ -149,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_profile": sqlgen.lang_profile_sql(),
         "cooc_pmi": sqlgen.cooc_pmi_sql(),
         "source_report": sqlgen.source_report_sql(),
+        "doc_tags": sqlgen.doc_tags_sql(),
         "train_val_test_split": sqlgen.train_val_test_split_sql(),
         "split_counts": sqlgen.split_counts_sql(),
         "stratified_sample": sqlgen.stratified_sample_sql(),

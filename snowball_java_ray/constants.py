@@ -116,6 +116,10 @@ COOC_MIN_PAIR = 5
 # fleet with the query doc itself excluded.
 MLT_N_QUERY_DOCS = 5
 MLT_TERMS = 8
+# Keyword extraction (ops/textstats.doc_tags): top-K terms per doc by
+# tf*idf (BM25 idf), rank on RANK_ROUND_DECIMALS-rounded score DESC
+# then term ASC.
+DOC_TAGS_K = 3
 # Blocking skew guard (ADVICE r2): a shingle shared by M docs emits
 # M^2 join rows, and raw shingle keys are unbounded — shingles whose
 # global doc count exceeds this cap are excluded from candidate

@@ -575,3 +575,107 @@ def source_report(sf_dir: str) -> ray.data.Dataset:
         )
 
     return tiny.map_batches(finish, batch_format="pyarrow").sort("source")
+
+
+def doc_tags(sf_dir: str, k: int | None = None) -> ray.data.Dataset:
+    """Keyword extraction: the top-``k`` terms per document by tf*idf
+    (BM25 idf), the per-doc tags/labels column a curation or search
+    pipeline attaches to every document.
+
+    Scale shape — deliberately the NON-broadcast variant (the serving
+    dictionary path broadcasts; this one stays join-based so an
+    unbounded vocabulary never lands on the driver): per-batch tf rows
+    -> df via ``hash_grouped_aggregate`` -> term-keyed
+    ``bucketed_hash_join`` (both sides hash-partitioned) -> re-bucket
+    by doc_id and rank per doc inside one Arrow kernel per partition.
+    Oracle: ``sqlgen.doc_tags_sql``."""
+    import math
+
+    from snowball_java_ray.constants import (
+        DOC_TAGS_K,
+        RANK_ROUND_DECIMALS,
+        SCORE_ROUND_DECIMALS,
+    )
+    from snowball_java_ray.ops.dedup import (
+        hash_grouped_aggregate,
+        join_partitions,
+    )
+    from snowball_java_ray.ops.joins import bucketed_hash_join
+
+    k = DOC_TAGS_K if k is None else k
+    docs = _read_docs(sf_dir)
+    n_docs = docs.count()
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        row_idx, terms = tokenize_arrow(t["text"])
+        if len(terms) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        g = (
+            pa.table({"r": pa.array(row_idx), "term": terms})
+            .group_by(["r", "term"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    ids[g["r"].to_numpy(zero_copy_only=False)], pa.int64()
+                ),
+                "term": g["term"],
+                "tf": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    tf_ds = docs.map_batches(tf_rows, batch_format="pyarrow").materialize()
+    df_ds = hash_grouped_aggregate(
+        tf_ds, ["term"], [("", "count_all", "df")]
+    )
+    joined = bucketed_hash_join(tf_ds, df_ds, "term", "term")
+    P = join_partitions(64)
+    ln_n = float(n_docs)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "__part", pa.array((d % P).astype(np.int64))
+        )
+
+    def rank_part(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df_ = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        terms = np.asarray(t["term"].to_pylist(), dtype=object)
+        idf = np.log((ln_n - df_ + 0.5) / (df_ + 0.5) + 1.0)
+        s = np.round(tf * idf, RANK_ROUND_DECIMALS)
+        order = np.lexsort((terms, -s, d))
+        d_s = d[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(d_s)) + 1]
+        lens = np.diff(np.r_[starts, len(d_s)])
+        rank = np.arange(len(d_s)) - np.repeat(starts, lens) + 1
+        sel = order[rank <= k]
+        return pa.table(
+            {
+                "doc_id": pa.array(d[sel], pa.int64()),
+                "rank": pa.array(
+                    rank[rank <= k].astype(np.int32), pa.int32()
+                ),
+                "term": pa.array(terms[sel], type=pa.string()),
+                "score": pa.array(
+                    np.round((tf * idf)[sel], SCORE_ROUND_DECIMALS),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        joined.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(rank_part, batch_format="pyarrow")
+        .sort(["doc_id", "rank"])
+    )

@@ -498,6 +498,37 @@ ORDER BY d.doc_id
 """
 
 
+def doc_tags_sql() -> str:
+    """Top-K tf*idf keywords per doc (ops/textstats.doc_tags): same
+    BM25 idf, rank on round(score, RANK) DESC then term ASC."""
+    from snowball_java_ray.constants import DOC_TAGS_K
+
+    return f"""
+WITH {tokenize_cte()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln((n.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           AS s
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, s,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY round(s, {RANK_ROUND_DECIMALS}) DESC, term ASC
+         ) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term,
+       round(s, {SCORE_ROUND_DECIMALS}) AS score
+FROM ranked WHERE rank <= {DOC_TAGS_K}
+ORDER BY doc_id, rank
+"""
+
+
 def source_report_sql() -> str:
     """Per-source curation report (ops/textstats.source_report): doc
     count, exact-dup drop fraction, mean canonical-term count and mean

@@ -100,3 +100,22 @@ def test_dup_clusters_connected_components(ray_session):
     pairs = collect_arrow(minhash_lsh_candidates(SF_TINY)).to_pandas()
     for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
         assert lbl[a] == lbl[b]
+
+
+def test_doc_tags_matches_duckdb(ray_session):
+    from snowball_java_ray.ops.textstats import doc_tags
+    from snowball_java_ray.sqlgen import doc_tags_sql
+
+    got = collect_arrow(doc_tags(SF_TINY)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_TINY}/documents.parquet'"
+    )
+    exp = con.execute(doc_tags_sql()).df()
+    assert len(got) == len(exp) > 0
+    assert list(got.columns) == list(exp.columns)
+    for c in ["doc_id", "rank", "term"]:
+        assert (got[c].values == exp[c].values).all(), c
+    assert (abs(got["score"].values - exp["score"].values) < 1e-9).all()
+    assert got["rank"].max() <= 3

@@ -120,6 +120,10 @@ MLT_TERMS = 8
 # tf*idf (BM25 idf), rank on RANK_ROUND_DECIMALS-rounded score DESC
 # then term ASC.
 DOC_TAGS_K = 3
+# Distribution profiling (ops/textstats.lang_quantiles): discrete
+# quantiles of doc length per language (DuckDB quantile_disc rule:
+# sorted element at index ceil(q*n)-1).
+LANG_QUANTILES = (0.25, 0.5, 0.9)
 # Blocking skew guard (ADVICE r2): a shingle shared by M docs emits
 # M^2 join rows, and raw shingle keys are unbounded — shingles whose
 # global doc count exceeds this cap are excluded from candidate

@@ -679,3 +679,80 @@ def doc_tags(sf_dir: str, k: int | None = None) -> ray.data.Dataset:
         .map_groups(rank_part, batch_format="pyarrow")
         .sort(["doc_id", "rank"])
     )
+
+
+def lang_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Per-language doc-length distribution profile: exact discrete
+    quantiles (DuckDB ``quantile_disc`` rule — sorted element at index
+    ceil(q*n)-1) of ``n_chars`` for each ``lang``.
+
+    Scale shape: exact order statistics WITHOUT a global sort — one
+    ``hash_grouped_aggregate`` over (lang, n_chars) builds the value
+    histogram (cardinality = langs x distinct lengths, bounded by the
+    metric's value range, not the corpus), cumulative counts select
+    the quantile values driver-side. For unbounded-cardinality
+    metrics the sort + distributed-prefix-sum variant (see
+    ``ops.sampling.pack_sequences``) replaces the histogram.
+    Oracle: ``sqlgen.lang_quantiles_sql``."""
+    import math
+
+    from snowball_java_ray.constants import LANG_QUANTILES
+    from snowball_java_ray.ops.dedup import hash_grouped_aggregate
+    from snowball_java_ray.pipelines.api import collect_arrow
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "n_chars"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "n_chars": pc.cast(g["n_chars"], pa.int64()),
+                "cnt": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    hist = collect_arrow(
+        hash_grouped_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["lang", "n_chars"],
+            [("cnt", "sum", "cnt")],
+        )
+    )
+    hist = hist.take(
+        pc.sort_indices(
+            hist,
+            sort_keys=[("lang", "ascending"), ("n_chars", "ascending")],
+        )
+    )
+    langs = hist["lang"].to_pylist()
+    vals = hist["n_chars"].to_numpy(zero_copy_only=False)
+    cnts = hist["cnt"].to_numpy(zero_copy_only=False)
+    out_lang: list[str] = []
+    out_q: list[float] = []
+    out_v: list[int] = []
+    i = 0
+    while i < len(langs):
+        j = i
+        while j < len(langs) and langs[j] == langs[i]:
+            j += 1
+        cum = np.cumsum(cnts[i:j])
+        n = int(cum[-1])
+        for q in LANG_QUANTILES:
+            rank = math.ceil(q * n)  # 1-based
+            idx = int(np.searchsorted(cum, rank))
+            out_lang.append(langs[i])
+            out_q.append(float(q))
+            out_v.append(int(vals[i + idx]))
+        i = j
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(out_lang, pa.string()),
+                "q": pa.array(out_q, pa.float64()),
+                "value": pa.array(out_v, pa.int64()),
+            }
+        )
+    )

@@ -498,6 +498,19 @@ ORDER BY d.doc_id
 """
 
 
+def lang_quantiles_sql() -> str:
+    """Per-lang discrete doc-length quantiles
+    (ops/textstats.lang_quantiles), one row per (lang, q)."""
+    from snowball_java_ray.constants import LANG_QUANTILES
+
+    legs = "\nUNION ALL\n".join(
+        f"SELECT lang, CAST({q} AS DOUBLE) AS q, "
+        f"quantile_disc(n_chars, {q}) AS value FROM documents GROUP BY lang"
+        for q in LANG_QUANTILES
+    )
+    return f"{legs}\nORDER BY lang, q\n"
+
+
 def doc_tags_sql() -> str:
     """Top-K tf*idf keywords per doc (ops/textstats.doc_tags): same
     BM25 idf, rank on round(score, RANK) DESC then term ASC."""

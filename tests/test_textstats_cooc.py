@@ -119,3 +119,23 @@ def test_doc_tags_matches_duckdb(ray_session):
         assert (got[c].values == exp[c].values).all(), c
     assert (abs(got["score"].values - exp["score"].values) < 1e-9).all()
     assert got["rank"].max() <= 3
+
+
+def test_lang_quantiles_matches_duckdb(ray_session):
+    from snowball_java_ray.ops.textstats import lang_quantiles
+    from snowball_java_ray.sqlgen import lang_quantiles_sql
+
+    got = collect_arrow(lang_quantiles(SF_TINY)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_TINY}/documents.parquet'"
+    )
+    exp = con.execute(lang_quantiles_sql()).df()
+    assert len(got) == len(exp) > 0
+    for c in got.columns:
+        assert (got[c].values == exp[c].values).all(), c
+    # quantiles are monotone in q within a lang
+    for _, g in got.groupby("lang"):
+        v = g.sort_values("q")["value"].values
+        assert (v[:-1] <= v[1:]).all()

@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_and_not": api.boolean_and_not_pipeline,
         "phrase_match": api.phrase_match_pipeline,
         "more_like_this": api.more_like_this_pipeline,
+        "bm25_snippets": api.bm25_snippets_pipeline,
         # --- Snowball workload layer (serial-twin value oracles) ---
         "snowball_extract": api.snowball_extract_pipeline,
         "snowball_e2e": api.snowball_e2e_pipeline,
@@ -177,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
         "boolean_and_not": sqlgen.boolean_and_not_sql(),
         "phrase_match": sqlgen.phrase_match_sql(),
         "more_like_this": sqlgen.more_like_this_sql(),
+        "bm25_snippets": sqlgen.bm25_snippets_sql(),
         # Snowball layer: value-level oracles via the serial twin
         # (oracle_snowball.py) — generating these SQL strings runs the
         # Ray-free twin and writes its parquet; the SQL reads it back,

@@ -124,6 +124,10 @@ DOC_TAGS_K = 3
 # quantiles of doc length per language (DuckDB quantile_disc rule:
 # sorted element at index ceil(q*n)-1).
 LANG_QUANTILES = (0.25, 0.5, 0.9)
+# Snippet generation (pipelines/api.bm25_snippets_pipeline): highlight
+# window half-width in chars around the earliest query-term substring
+# match in lower(text); snippet = substr(text, max(1, pos-R), 2R+1).
+SNIPPET_RADIUS = 30
 # Blocking skew guard (ADVICE r2): a shingle shared by M docs emits
 # M^2 join rows, and raw shingle keys are unbounded — shingles whose
 # global doc count exceeds this cap are excluded from candidate

@@ -367,6 +367,103 @@ def phrase_match_pipeline(
     )
 
 
+def bm25_snippets_pipeline(sf_dir: str, n_partitions: int = 4) -> pa.Table:
+    """Snippet/highlight generation for the reference-query top-k: for
+    every (query, doc) hit, the 1-based char position of the EARLIEST
+    occurrence of any analyzed query term as a substring of
+    lower(text), and the +/-SNIPPET_RADIUS raw-text window around it —
+    the result-page column a search frontend renders.
+
+    Scale shape: the top-k table is output-bounded (|queries| x k); the
+    text re-read is a doc_id-predicate-pushdown scan of ONLY the hit
+    docs; the per-row find loop is over hits, never the corpus (same
+    candidates→verify shape as phrase_match). Oracle:
+    ``sqlgen.bm25_snippets_sql`` (identical position/window rule)."""
+    import ray
+
+    from snowball_java_ray.constants import SNIPPET_RADIUS
+    from snowball_java_ray.functions.text import tokenize
+
+    topk = collect_arrow(
+        bm25_topk_sharded_pipeline(sf_dir, n_partitions=n_partitions)
+    )
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int32()),
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "snippet": pa.array([], pa.string()),
+        }
+    )
+    if topk.num_rows == 0:
+        return empty
+    qterms = {
+        qid: sorted(set(tokenize(q)))
+        for qid, q in enumerate(REFERENCE_QUERIES)
+    }
+    hits: dict[int, list[tuple[int, int]]] = {}
+    for qid, rank, did in zip(
+        topk["query_id"].to_pylist(),
+        topk["rank"].to_pylist(),
+        topk["doc_id"].to_pylist(),
+    ):
+        hits.setdefault(did, []).append((qid, rank))
+    hits_ref = ray.put(hits)
+    qt_ref = ray.put(qterms)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(list(hits)),
+    )
+
+    def snip(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        hmap = _ray.get(hits_ref)
+        qt = _ray.get(qt_ref)
+        out = {"query_id": [], "rank": [], "doc_id": [], "pos": [], "snippet": []}
+        # loop is over top-k hits (output-bounded), not the corpus
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            low = (text or "").lower()
+            for qid, rank in hmap.get(did, ()):
+                best = -1
+                for term in qt[qid]:
+                    p = low.find(term)
+                    if p >= 0 and (best < 0 or p < best):
+                        best = p
+                if best < 0:
+                    continue
+                pos = best + 1  # 1-based, SQL position() semantics
+                start = max(1, pos - SNIPPET_RADIUS)
+                out["query_id"].append(qid)
+                out["rank"].append(rank)
+                out["doc_id"].append(did)
+                out["pos"].append(pos)
+                out["snippet"].append(
+                    text[start - 1 : start - 1 + 2 * SNIPPET_RADIUS + 1]
+                )
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "rank": pa.array(out["rank"], pa.int32()),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "pos": pa.array(out["pos"], pa.int64()),
+                "snippet": pa.array(out["snippet"], pa.string()),
+            }
+        )
+
+    tbl = collect_arrow(docs.map_batches(snip, batch_format="pyarrow"))
+    if tbl.num_rows == 0:
+        return empty
+    return tbl.take(
+        pc.sort_indices(
+            tbl,
+            sort_keys=[("query_id", "ascending"), ("rank", "ascending")],
+        )
+    )
+
+
 def more_like_this_pipeline(
     sf_dir: str, top_k: int = TOP_K, n_partitions: int = 4
 ) -> pa.Table:

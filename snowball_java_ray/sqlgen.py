@@ -1008,6 +1008,44 @@ ORDER BY query_id, rank
 """
 
 
+def bm25_snippets_sql() -> str:
+    """Snippets for the reference-query top-k
+    (pipelines/api.bm25_snippets_pipeline): earliest analyzed-term
+    substring position in lower(text) (1-based), +/-SNIPPET_RADIUS raw
+    window."""
+    from snowball_java_ray.constants import SNIPPET_RADIUS
+
+    r = SNIPPET_RADIUS
+    return f"""
+WITH topk AS (SELECT * FROM ({bm25_topk_sql()}) t),
+qraw AS (
+  SELECT query_id,
+         unnest(string_split_regex(lower(qtext), '{TOKEN_SPLIT_PATTERN}')) AS term
+  FROM {queries_values_sql()}
+),
+qterms AS (
+  SELECT DISTINCT query_id, term FROM qraw
+  WHERE term <> '' AND NOT regexp_full_match(term, '{_NUM_SQL}')
+    AND term NOT IN ({_STOPLIST_SQL})
+),
+pos AS (
+  SELECT k.query_id, k.rank, k.doc_id,
+         min(CASE WHEN position(q.term IN lower(d.text)) > 0
+                  THEN position(q.term IN lower(d.text)) END) AS p
+  FROM topk k
+  JOIN qterms q ON q.query_id = k.query_id
+  JOIN documents d ON d.doc_id = k.doc_id
+  GROUP BY k.query_id, k.rank, k.doc_id
+)
+SELECT pos.query_id, pos.rank, pos.doc_id,
+       CAST(pos.p AS BIGINT) AS pos,
+       substr(d.text, greatest(1, pos.p - {r}), {2 * r + 1}) AS snippet
+FROM pos JOIN documents d ON d.doc_id = pos.doc_id
+WHERE pos.p IS NOT NULL
+ORDER BY pos.query_id, pos.rank
+"""
+
+
 def more_like_this_sql(top_k: int = TOP_K) -> str:
     """Related-document retrieval (pipelines/api.more_like_this
     _pipeline): query docs = doc_id < MLT_N_QUERY_DOCS, query terms =

@@ -139,3 +139,22 @@ def test_lang_quantiles_matches_duckdb(ray_session):
     for _, g in got.groupby("lang"):
         v = g.sort_values("q")["value"].values
         assert (v[:-1] <= v[1:]).all()
+
+
+def test_bm25_snippets_matches_duckdb(ray_session):
+    from snowball_java_ray.pipelines.api import bm25_snippets_pipeline
+    from snowball_java_ray.sqlgen import bm25_snippets_sql
+
+    got = bm25_snippets_pipeline(SF_TINY).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_TINY}/documents.parquet'"
+    )
+    exp = con.execute(bm25_snippets_sql()).df()
+    assert len(got) == len(exp) > 0
+    for c in got.columns:
+        assert (got[c].values == exp[c].values).all(), c
+    # the window contains the match position
+    assert (got["pos"] >= 1).all()
+    assert got["snippet"].str.len().max() <= 61

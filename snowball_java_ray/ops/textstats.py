@@ -756,3 +756,120 @@ def lang_quantiles(sf_dir: str) -> ray.data.Dataset:
             }
         )
     )
+
+
+def misspelled_query_terms() -> list[str]:
+    """Deterministic misspelling workload: every distinct analyzed
+    reference-query term of length >= 4 with its second character
+    dropped (sorted, deduped). Shared by the engine and the SQL oracle
+    so both sides see byte-identical query strings."""
+    from snowball_java_ray.constants import REFERENCE_QUERIES
+    from snowball_java_ray.functions.text import tokenize
+
+    terms = sorted(
+        {t for q in REFERENCE_QUERIES for t in tokenize(q) if len(t) >= 4}
+    )
+    return sorted({t[0] + t[2:] for t in terms})
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance (matches DuckDB ``levenshtein``)."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def term_suggest(
+    sf_dir: str, max_dist: int = 2, top_k: int = 3
+) -> pa.Table:
+    """Fuzzy dictionary lookup / spell correction: for each misspelled
+    query term, the ``top_k`` dictionary terms within edit distance
+    ``max_dist``, ranked by (distance ASC, df DESC, term ASC).
+
+    Scale shape: candidates come from character-TRIGRAM blocking — the
+    dictionary scan streams once, each term's trigrams probe the tiny
+    broadcast query-trigram map, and the edit-distance DP runs ONLY on
+    blocked candidates (never vocab x queries). The dictionary itself
+    is a Dataset (``term_df_pipeline``); the final rank is over the
+    output-bounded candidate table. Oracle: ``sqlgen.term_suggest_sql``
+    (same trigram condition, DuckDB ``levenshtein``)."""
+    from snowball_java_ray.pipelines.api import collect_arrow, term_df_pipeline
+
+    mis = misspelled_query_terms()
+    qmap: dict[str, list[str]] = {}
+    for m in mis:
+        for i in range(len(m) - 2):
+            qmap.setdefault(m[i : i + 3], []).append(m)
+
+    def cand(t: pa.Table) -> pa.Table:
+        out_m: list[str] = []
+        out_t: list[str] = []
+        out_d: list[int] = []
+        out_df: list[int] = []
+        # the loop is over DICTIONARY rows (vocab-, not corpus-sized);
+        # the DP only runs on trigram-blocked candidates
+        for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+            seen: set[str] = set()
+            for i in range(len(term) - 2):
+                for m in qmap.get(term[i : i + 3], ()):
+                    if m in seen:
+                        continue
+                    seen.add(m)
+                    d = _levenshtein(m, term)
+                    if d <= max_dist:
+                        out_m.append(m)
+                        out_t.append(term)
+                        out_d.append(d)
+                        out_df.append(int(df))
+        return pa.table(
+            {
+                "query_term": pa.array(out_m, pa.string()),
+                "term": pa.array(out_t, pa.string()),
+                "dist": pa.array(out_d, pa.int64()),
+                "df": pa.array(out_df, pa.int64()),
+            }
+        )
+
+    tbl = collect_arrow(
+        term_df_pipeline(sf_dir).map_batches(cand, batch_format="pyarrow")
+    )
+    if tbl.num_rows == 0:
+        return pa.table(
+            {
+                "query_term": pa.array([], pa.string()),
+                "rank": pa.array([], pa.int32()),
+                "term": pa.array([], pa.string()),
+                "dist": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+            }
+        )
+    m = np.asarray(tbl["query_term"].to_pylist(), dtype=object)
+    te = np.asarray(tbl["term"].to_pylist(), dtype=object)
+    di = tbl["dist"].to_numpy(zero_copy_only=False)
+    df_ = tbl["df"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((te, -df_, di, m))
+    m_s = m[order]
+    starts = np.r_[0, np.flatnonzero(m_s[1:] != m_s[:-1]) + 1]
+    lens = np.diff(np.r_[starts, len(m_s)])
+    rank = np.arange(len(m_s)) - np.repeat(starts, lens) + 1
+    keep = rank <= top_k
+    sel = order[keep]
+    return pa.table(
+        {
+            "query_term": pa.array(m[sel], type=pa.string()),
+            "rank": pa.array(rank[keep].astype(np.int32), pa.int32()),
+            "term": pa.array(te[sel], type=pa.string()),
+            "dist": pa.array(di[sel], pa.int64()),
+            "df": pa.array(df_[sel], pa.int64()),
+        }
+    )

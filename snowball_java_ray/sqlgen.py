@@ -1008,6 +1008,52 @@ ORDER BY query_id, rank
 """
 
 
+def term_suggest_sql(max_dist: int = 2, top_k: int = 3) -> str:
+    """Fuzzy dictionary lookup (ops/textstats.term_suggest): trigram
+    -blocked candidates, DuckDB levenshtein verify, ranked (dist ASC,
+    df DESC, term ASC)."""
+    from snowball_java_ray.ops.textstats import misspelled_query_terms
+
+    mis_rows = ", ".join(
+        "('{}')".format(m.replace("'", "''")) for m in misspelled_query_terms()
+    )
+    tri = "unnest(list_transform(generate_series(1, len({c}) - 2), i -> substr({c}, i, 3)))"
+    return f"""
+WITH {tokenize_cte()},
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+mis(qterm) AS (VALUES {mis_rows}),
+qtris AS (
+  SELECT DISTINCT qterm, tri FROM (
+    SELECT qterm, {tri.format(c="qterm")} AS tri FROM mis
+  )
+),
+vtris AS (
+  SELECT DISTINCT term, tri FROM (
+    SELECT term, {tri.format(c="term")} AS tri FROM dfreq
+  )
+),
+cand AS (
+  SELECT DISTINCT q.qterm, v.term
+  FROM qtris q JOIN vtris v ON q.tri = v.tri
+),
+scored AS (
+  SELECT c.qterm, c.term, levenshtein(c.qterm, c.term) AS dist, d.df
+  FROM cand c JOIN dfreq d ON c.term = d.term
+),
+ranked AS (
+  SELECT qterm, term, dist, df,
+         row_number() OVER (
+           PARTITION BY qterm ORDER BY dist ASC, df DESC, term ASC
+         ) AS rank
+  FROM scored WHERE dist <= {max_dist}
+)
+SELECT qterm AS query_term, CAST(rank AS INT) AS rank, term,
+       CAST(dist AS BIGINT) AS dist, df
+FROM ranked WHERE rank <= {top_k}
+ORDER BY query_term, rank
+"""
+
+
 def bm25_snippets_sql() -> str:
     """Snippets for the reference-query top-k
     (pipelines/api.bm25_snippets_pipeline): earliest analyzed-term

@@ -158,3 +158,28 @@ def test_bm25_snippets_matches_duckdb(ray_session):
     # the window contains the match position
     assert (got["pos"] >= 1).all()
     assert got["snippet"].str.len().max() <= 61
+
+
+def test_term_suggest_matches_duckdb(ray_session):
+    from snowball_java_ray.ops.textstats import (
+        _levenshtein,
+        term_suggest,
+    )
+    from snowball_java_ray.sqlgen import term_suggest_sql
+
+    assert _levenshtein("kitten", "sitting") == 3
+    assert _levenshtein("ab", "ba") == 2
+    got = term_suggest(SF_TINY).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_TINY}/documents.parquet'"
+    )
+    exp = con.execute(term_suggest_sql()).df()
+    assert len(got) == len(exp) > 0
+    for c in got.columns:
+        assert (got[c].values == exp[c].values).all(), c
+    assert (got["dist"] <= 2).all()
+    assert got.groupby("query_term")["rank"].apply(
+        lambda r: (r.values == range(1, len(r) + 1)).all()
+    ).all()

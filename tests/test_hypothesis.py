@@ -167,3 +167,22 @@ def test_embed_lsh_subset_and_high_cos_recall(ray_session, tmp_path):
     assert len(bset) >= 30  # the synthetic near-dups qualify
     recall = len(lset & bset) / len(bset)
     assert recall >= 0.6, recall
+
+
+@given(
+    st.text(alphabet="abcdef", max_size=12),
+    st.text(alphabet="abcdef", max_size=12),
+)
+@settings(max_examples=60, deadline=None)
+def test_levenshtein_twin_matches_duckdb(a, b):
+    """The engine's edit-distance DP == DuckDB's levenshtein on
+    arbitrary short strings (term_suggest correctness hinges on it)."""
+    import duckdb
+
+    from snowball_java_ray.ops.textstats import _levenshtein
+
+    got = _levenshtein(a, b)
+    exp = duckdb.connect().execute(
+        "select levenshtein($1, $2)", [a, b]
+    ).fetchone()[0]
+    assert got == exp

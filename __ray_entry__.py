@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tags": textstats.doc_tags,
         "lang_quantiles": textstats.lang_quantiles,
         "term_suggest": textstats.term_suggest,
+        "regex_search": textstats.regex_search,
         # --- sampling / splitting ---
         "train_val_test_split": sampling.train_val_test_split,
         "split_counts": sampling.split_counts,
@@ -156,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_tags": sqlgen.doc_tags_sql(),
         "lang_quantiles": sqlgen.lang_quantiles_sql(),
         "term_suggest": sqlgen.term_suggest_sql(),
+        "regex_search": sqlgen.regex_search_sql(),
         "train_val_test_split": sqlgen.train_val_test_split_sql(),
         "split_counts": sqlgen.split_counts_sql(),
         "stratified_sample": sqlgen.stratified_sample_sql(),

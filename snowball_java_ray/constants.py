@@ -168,3 +168,13 @@ SNOWBALL_DEFAULTS: dict[str, object] = {
     "number_iterations": 2,
     "use_RlogF": True,
 }
+# Regex scan workload (ops/textstats.regex_search): RE2 partial-match
+# patterns — Arrow's match_substring_regex and DuckDB's regexp_matches
+# are both RE2, so engine and oracle share exact semantics.
+REGEX_QUERIES = (
+    r"agg [a-z]+ scan",
+    r"customer (query|table)",
+    r"(join|merge) (batch|stream)",
+    r"key\s+agg\s+row",
+    r"value [0-9]+",
+)

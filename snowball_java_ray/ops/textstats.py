@@ -873,3 +873,41 @@ def term_suggest(
             "df": pa.array(df_[sel], pa.int64()),
         }
     )
+
+
+def regex_search(sf_dir: str) -> ray.data.Dataset:
+    """Grep-style regex scan: (pattern_id, doc_id) for every doc whose
+    text partially matches the pattern — the brute-force search path a
+    code-corpus engine offers alongside the token index (RE2 on both
+    sides: Arrow ``match_substring_regex`` == DuckDB
+    ``regexp_matches``).
+
+    Scale shape: ONE streaming corpus scan evaluates ALL patterns per
+    batch (compiled RE2 kernels, no per-row Python); output is
+    match-bounded. An index-accelerated variant would prefilter with
+    the trigram/token index before this verify scan — same shape as
+    phrase_match. Oracle: ``sqlgen.regex_search_sql``."""
+    from snowball_java_ray.constants import REGEX_QUERIES
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t["text"].combine_chunks(), "")
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_p: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        for pid, pat in enumerate(REGEX_QUERIES):
+            hit = pc.match_substring_regex(texts, pat).to_numpy(
+                zero_copy_only=False
+            )
+            d = ids[hit]
+            out_p.append(np.full(len(d), pid, np.int64))
+            out_d.append(d)
+        return pa.table(
+            {
+                "pattern_id": pa.array(np.concatenate(out_p), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(
+        fn, batch_format="pyarrow"
+    ).sort(["pattern_id", "doc_id"])

@@ -1008,6 +1008,19 @@ ORDER BY query_id, rank
 """
 
 
+def regex_search_sql() -> str:
+    """Regex scan (ops/textstats.regex_search): RE2 partial match on
+    both sides, one leg per pattern."""
+    from snowball_java_ray.constants import REGEX_QUERIES
+
+    legs = "\nUNION ALL\n".join(
+        f"SELECT CAST({pid} AS BIGINT) AS pattern_id, doc_id FROM documents "
+        f"WHERE regexp_matches(text, '{pat}')"
+        for pid, pat in enumerate(REGEX_QUERIES)
+    )
+    return f"{legs}\nORDER BY pattern_id, doc_id\n"
+
+
 def term_suggest_sql(max_dist: int = 2, top_k: int = 3) -> str:
     """Fuzzy dictionary lookup (ops/textstats.term_suggest): trigram
     -blocked candidates, DuckDB levenshtein verify, ranked (dist ASC,

@@ -183,3 +183,19 @@ def test_term_suggest_matches_duckdb(ray_session):
     assert got.groupby("query_term")["rank"].apply(
         lambda r: (r.values == range(1, len(r) + 1)).all()
     ).all()
+
+
+def test_regex_search_matches_duckdb(ray_session):
+    from snowball_java_ray.ops.textstats import regex_search
+    from snowball_java_ray.sqlgen import regex_search_sql
+
+    got = collect_arrow(regex_search(SF_TINY)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_TINY}/documents.parquet'"
+    )
+    exp = con.execute(regex_search_sql()).df()
+    assert len(got) == len(exp) > 0
+    for c in got.columns:
+        assert (got[c].values == exp[c].values).all(), c

@@ -376,6 +376,16 @@ def run_bench() -> dict:
 
     idx_dir = ensure_bench_index_dir(n_docs, n_partitions=8)
     svc = BM25ShardedService(idx_dir)
+    # untimed warm-up: spawn the shard fleet + a same-concurrency
+    # gather pool and load chunks, so the timed legs measure
+    # steady-state SERVING (the serve scaling legs use the identical
+    # protocol) — not actor process spawn. Warm-up queries are DISTINCT
+    # from every timed workload so no timed query is cache-primed.
+    svc.topk_dataset(
+        rd.from_items(cold_query_items(64, salt="headline_warm")),
+        concurrency=max(2, NUM_CPUS // 4),
+        batch_size=32,
+    ).count()
     t0 = time.perf_counter()
     n_sharded = svc.topk_dataset(
         rd.from_items(q_items),

@@ -313,6 +313,23 @@ def build_chunk_table(
         make_partial_chunks(text_col, id_col, shard_size),
         batch_format="pyarrow",
     )
+    # Coalesce the packed partials BEFORE the sort-based groupby: the
+    # map stage emits one small partial block per tokenize task, and
+    # Ray's sort shuffle is all-to-all in BLOCK COUNT (~R x R
+    # intermediate objects), so a 16M-doc build (976 map blocks) paid
+    # ~950k shuffle objects — the sort went scheduling-bound (200s of
+    # a 262s build measured, with only ~11s of parallel compute in
+    # it). Merging to ~2 blocks/CPU (plain concat, shuffle=False,
+    # deterministic) cuts the object count ~150x; merged blocks stay
+    # tens of MB at sandbox scale. Production sizing: blocks ∝
+    # partial bytes / ~64MB, never one block per tokenize task.
+    try:
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    partials = partials.repartition(max(16, 2 * cpus), shuffle=False)
 
     return (
         partials.map_batches(

@@ -90,6 +90,16 @@ REFERENCE_QUERIES: tuple[str, ...] = (
 # the multi-chunk code paths.
 DEFAULT_SHARD_SIZE = 1 << 20
 
+# Tombstone deletes (pipelines/index_pipeline.delete_docs): the
+# driver-gate entries delete the deterministic doc set
+# doc_id % DELETE_MOD == DELETE_REM. Logical deletes exclude those
+# docs from every result but leave global stats (df, avgdl, n_docs)
+# untouched until compaction physically drops their postings — the
+# Lucene segment-tombstone contract; both halves are SQL-oracled
+# (sqlgen.bm25_topk_deleted_sql / bm25_topk_compacted_sql).
+DELETE_MOD = 7
+DELETE_REM = 3
+
 # --- Dedup / similarity parameters (ops/dedup.py, ops/ann.py) ----------
 # All hashes are md5-derived (md5int60 = first 15 hex digits as int) so
 # every dedup operator has a bit-identical DuckDB oracle.

@@ -153,7 +153,8 @@ def bm25_topk_pipeline(
 
 
 def ensure_index_dir(
-    sf_dir: str, shard_size: int = 256, n_partitions: int = 4
+    sf_dir: str, shard_size: int = 256, n_partitions: int = 4,
+    variant: str = "",
 ) -> str:
     """Build (or reuse) the on-disk doc-range-partitioned index for
     ``sf_dir`` under /tmp — the serving-side input of the sharded path.
@@ -173,6 +174,10 @@ def ensure_index_dir(
         f"_{shard_size}_{n_partitions}_{int(os.path.getmtime(src))}"
         f"_{index_format_fingerprint()}"
     )
+    if variant:
+        # mutation entries (tombstone deletes) build in their own dir
+        # so the shared cached index never carries their state
+        key += f"_{variant}"
     out_dir = os.path.join("/tmp/snowball_serve", key)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -226,6 +231,73 @@ def bm25_topk_sharded_wand_pipeline(sf_dir: str) -> ray.data.Dataset:
     running block-max WAND over the compressed chunked postings —
     rank-identical to the exact scorer and the DuckDB oracle."""
     return bm25_topk_sharded_pipeline(sf_dir, algo="wand")
+
+
+def _deleted_index_dir(sf_dir: str, n_partitions: int = 4) -> str:
+    """Build (or reuse) the tombstoned index: its own cached dir (the
+    'del' variant) + the deterministic doc_id % DELETE_MOD ==
+    DELETE_REM tombstone set (delete_docs is idempotent, so re-entry
+    is a no-op)."""
+    import json
+
+    import numpy as np
+
+    from snowball_java_ray.constants import DELETE_MOD, DELETE_REM
+    from snowball_java_ray.pipelines.index_pipeline import delete_docs
+
+    index_dir = ensure_index_dir(
+        sf_dir, n_partitions=n_partitions, variant="del"
+    )
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        n_docs = int(json.load(f)["n_docs"])
+    delete_docs(index_dir, np.arange(DELETE_REM, n_docs, DELETE_MOD))
+    return index_dir
+
+
+def bm25_topk_deleted_pipeline(
+    sf_dir: str, n_partitions: int = 4
+) -> ray.data.Dataset:
+    """Tombstone-delete serving (logical half of the delete contract):
+    the deterministic delete set never appears in any top-k, while
+    idf/avgdl still reflect the full corpus — stats drift only at
+    compaction, exactly like Lucene segment deletes. Served through
+    the sharded WAND fleet (each shard masks only its own tombstone
+    slice); oracle = sqlgen.bm25_topk_deleted_sql."""
+    from snowball_java_ray.stages.serve import BM25ShardedService
+
+    svc = BM25ShardedService(_deleted_index_dir(sf_dir, n_partitions))
+    try:
+        return svc.topk_dataset(
+            reference_queries_ds(), algo="wand"
+        ).sort(["query_id", "rank"]).materialize()
+    finally:
+        svc.shutdown()
+
+
+def bm25_topk_compacted_pipeline(
+    sf_dir: str, n_partitions: int = 4
+) -> ray.data.Dataset:
+    """Physical half of the delete contract: compaction rewrites every
+    chunk dropping tombstoned postings (shuffle-free map over chunk
+    rows), after which the index scores exactly like a fresh build
+    over the live corpus — same doc_ids, live stats. Oracle =
+    sqlgen.bm25_topk_compacted_sql (plain BM25 over the filtered
+    view)."""
+    from snowball_java_ray.pipelines.index_pipeline import (
+        compact_index_with_tombstones,
+    )
+    from snowball_java_ray.stages.serve import BM25ShardedService
+
+    del_dir = _deleted_index_dir(sf_dir, n_partitions)
+    cmp_dir = del_dir + "_compacted"
+    compact_index_with_tombstones(del_dir, cmp_dir)
+    svc = BM25ShardedService(cmp_dir)
+    try:
+        return svc.topk_dataset(
+            reference_queries_ds(), algo="wand"
+        ).sort(["query_id", "rank"]).materialize()
+    finally:
+        svc.shutdown()
 
 
 def _boolean_fleet_pipeline(

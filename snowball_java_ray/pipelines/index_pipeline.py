@@ -206,6 +206,159 @@ def append_partition(
     return man.entries
 
 
+TOMBSTONES_FILE = "tombstones.parquet"
+
+
+def delete_docs(out_dir: str, doc_ids) -> int:
+    """Logical delete: merge ``doc_ids`` into the index directory's
+    tombstone set (sorted unique int64 parquet, atomic replace,
+    idempotent — re-deleting is a no-op). Serving and ``load_index``
+    apply the set as a candidate mask; global stats (df, avgdl,
+    n_docs) intentionally do NOT change until
+    ``compact_index_with_tombstones`` physically drops the postings —
+    the Lucene segment-tombstone contract, and the O(deleted) cost
+    shape that makes deletes viable against a 10^12-doc index (no
+    chunk file is touched here). Returns the tombstone-set size."""
+    import json
+
+    import numpy as np
+
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    if ids.size and (ids[0] < 0 or ids[-1] >= meta["n_docs"]):
+        raise ValueError(
+            f"doc_ids outside [0, {meta['n_docs']}) cannot be deleted"
+        )
+    path = os.path.join(out_dir, TOMBSTONES_FILE)
+    if os.path.exists(path):
+        ids = np.union1d(ids, pq.read_table(path)["doc_id"].to_numpy())
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    pq.write_table(tbl, path + ".tmp")
+    os.replace(path + ".tmp", path)
+    return int(ids.size)
+
+
+def load_tombstones(out_dir: str):
+    """Sorted unique tombstoned doc_ids (empty array if none)."""
+    import numpy as np
+
+    path = os.path.join(out_dir, TOMBSTONES_FILE)
+    if not os.path.exists(path):
+        return np.empty(0, np.int64)
+    return pq.read_table(path)["doc_id"].to_numpy()
+
+
+def compact_index_with_tombstones(out_dir: str, new_dir: str) -> dict:
+    """Physical delete: rewrite every chunk file dropping tombstoned
+    postings, recomputing each chunk's summary (df, cf, max_tf,
+    min_dl, base) from its live postings. Doc_ids are PRESERVED (the
+    id space keeps its holes — renumbering would orphan every doc_id
+    -> text mapping); ``meta['n_deleted_applied']`` records the hole
+    count so loaders use the live doc count for idf/avgdl. After
+    compaction the index scores exactly like a fresh build over the
+    filtered corpus (sqlgen.bm25_topk_compacted_sql is that oracle).
+
+    Shuffle-free by construction: dropping docs never moves a posting
+    across (term, shard), so this is a pure ``map_batches`` over chunk
+    rows — each build partition's file rewrites independently (the
+    resumable unit, same manifest discipline as the build)."""
+    import json
+
+    import numpy as np
+    import ray.data
+
+    from snowball_java_ray.functions.codec import (
+        decode_postings,
+        encode_postings,
+    )
+    from snowball_java_ray.stages.index_build import CHUNK_SCHEMA
+
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    deleted = load_tombstones(out_dir)
+    man = Manifest(new_dir)
+
+    def drop_rows(t: pa.Table, dropset: np.ndarray) -> pa.Table:
+        cols = {n: [] for n in CHUNK_SCHEMA.names}
+        for i in range(t.num_rows):
+            doc_ids, tfs, dls = decode_postings(
+                bytes(t["data"][i].as_py()), base=int(t["base"][i].as_py())
+            )
+            idx = np.searchsorted(dropset, doc_ids)
+            idx[idx == dropset.size] = 0
+            keep = dropset[idx] != doc_ids
+            if not keep.all():
+                doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
+            if doc_ids.size == 0:
+                continue
+            cols["term"].append(t["term"][i].as_py())
+            cols["shard"].append(int(t["shard"][i].as_py()))
+            cols["base"].append(int(doc_ids[0]))
+            cols["df"].append(int(doc_ids.size))
+            cols["cf"].append(int(tfs.sum()))
+            cols["max_tf"].append(int(tfs.max()))
+            cols["min_dl"].append(int(dls.min()))
+            cols["data"].append(
+                encode_postings(doc_ids, tfs, dls, base=int(doc_ids[0]))
+            )
+        return pa.table(cols, schema=CHUNK_SCHEMA)
+
+    os.makedirs(new_dir, exist_ok=True)
+    import glob
+
+    for f in sorted(
+        glob.glob(os.path.join(out_dir, "chunks_*.parquet")),
+        key=doc_lo_sort_key,
+    ):
+        name = os.path.basename(f)
+        pid = name[len("chunks_"):-len(".parquet")]
+        out_file = os.path.join(new_dir, name)
+        if man.is_done(pid, out_file):
+            continue
+        t0 = time.time()
+        if deleted.size == 0:
+            tbl = pq.read_table(f)
+        else:
+            ds = ray.data.read_parquet(f)
+            batches = list(
+                ds.map_batches(
+                    lambda t, d=deleted: drop_rows(t, d),
+                    batch_format="pyarrow",
+                ).iter_batches(batch_size=None, batch_format="pyarrow")
+            )
+            tbl = (
+                pa.concat_tables(batches, promote_options="default")
+                if batches
+                else _empty_chunks_table()
+            )
+        pq.write_table(tbl if tbl.num_rows else _empty_chunks_table(),
+                       out_file + ".tmp")
+        os.replace(out_file + ".tmp", out_file)
+        man.mark_done(
+            pid,
+            n_chunks=tbl.num_rows,
+            bytes=os.path.getsize(out_file),
+            seconds=round(time.time() - t0, 3),
+        )
+    meta["n_deleted_applied"] = int(
+        meta.get("n_deleted_applied", 0) + deleted.size
+    )
+    with open(os.path.join(new_dir, "meta.json.tmp"), "w") as f:
+        json.dump(meta, f)
+    os.replace(os.path.join(new_dir, "meta.json.tmp"),
+               os.path.join(new_dir, "meta.json"))
+    return man.entries
+
+
+def live_doc_count(meta: dict) -> int:
+    """Docs that still exist after physical compaction — the N that
+    idf/avgdl use. Logical tombstones do NOT reduce it (delete_docs
+    docstring); ``n_docs`` itself stays the doc_id-space size so
+    appends and partition bounds keep working over the holes."""
+    return int(meta["n_docs"]) - int(meta.get("n_deleted_applied", 0))
+
+
 def _empty_chunks_table() -> pa.Table:
     from snowball_java_ray.stages.index_build import CHUNK_SCHEMA
 
@@ -343,4 +496,8 @@ def load_index(out_dir: str):
     tbl = pa.concat_tables(
         [pq.read_table(f) for f in files], promote_options="default"
     )
-    return InvertedIndex(tbl, meta["n_docs"])
+    idx = InvertedIndex(tbl, live_doc_count(meta))
+    tomb = load_tombstones(out_dir)
+    if tomb.size:
+        idx.set_deleted(tomb)
+    return idx

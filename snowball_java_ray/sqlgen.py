@@ -953,20 +953,30 @@ ORDER BY e.doc_id
 """
 
 
-def bm25_topk_sql(top_k: int = TOP_K) -> str:
+def bm25_topk_sql(
+    top_k: int = TOP_K,
+    table: str = "documents",
+    prelude: str = "",
+    cand_where: str = "",
+) -> str:
     """Full BM25 top-k over the reference query set, rank-deterministic:
     rank on round(score, {RANK}) DESC then doc_id ASC; emit score
     rounded to {SCORE} decimals. idf = ln((N-df+0.5)/(df+0.5)+1).
-    """
+
+    ``table``/``prelude`` swap the corpus (the compacted-delete oracle
+    scores a filtered live view — stats AND candidates both live);
+    ``cand_where`` filters candidates only (the logical-delete oracle —
+    stats keep the full corpus, tombstoned docs just can't appear)."""
+    where_scores = f"WHERE {cand_where}" if cand_where else ""
     return f"""
-WITH {tokenize_cte()},
+WITH {prelude}{tokenize_cte(table=table)},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
 meta AS (
-  SELECT (SELECT count(*) FROM documents) AS n_docs,
+  SELECT (SELECT count(*) FROM {table}) AS n_docs,
          (SELECT sum(doc_len) FROM dl) * 1.0
-           / (SELECT count(*) FROM documents) AS avgdl
+           / (SELECT count(*) FROM {table}) AS avgdl
 ),
 qraw AS (
   SELECT query_id,
@@ -991,6 +1001,7 @@ scores AS (
   JOIN df ON df.term = q.term
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN meta
+  {where_scores}
   GROUP BY q.query_id, tf.doc_id
 ),
 ranked AS (
@@ -1006,6 +1017,33 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank, doc_id,
 FROM ranked WHERE rank <= {top_k}
 ORDER BY query_id, rank
 """
+
+
+def bm25_topk_deleted_sql(top_k: int = TOP_K) -> str:
+    """Logical tombstone delete (pipelines/index_pipeline.delete_docs
+    + the scorer-side candidate mask, stages/score.drop_deleted): the
+    deterministic doc_id % {MOD} == {REM} set can no longer appear in
+    any result, but idf/avgdl/n_docs still reflect the FULL corpus —
+    the Lucene pre-compaction contract."""
+    from snowball_java_ray.constants import DELETE_MOD, DELETE_REM
+
+    return bm25_topk_sql(
+        top_k, cand_where=f"tf.doc_id % {DELETE_MOD} <> {DELETE_REM}"
+    )
+
+
+def bm25_topk_compacted_sql(top_k: int = TOP_K) -> str:
+    """Physical delete (compact_index_with_tombstones): after the
+    chunk rewrite the index scores exactly like a fresh build over the
+    live corpus — stats AND candidates both exclude the deleted docs,
+    doc_ids keep their original values (the id space keeps holes)."""
+    from snowball_java_ray.constants import DELETE_MOD, DELETE_REM
+
+    prelude = (
+        "docs_live AS (SELECT * FROM documents "
+        f"WHERE doc_id % {DELETE_MOD} <> {DELETE_REM}),\n"
+    )
+    return bm25_topk_sql(top_k, table="docs_live", prelude=prelude)
 
 
 def regex_search_sql() -> str:

@@ -82,6 +82,10 @@ class InvertedIndex:
     def __init__(self, chunks: pa.Table, n_docs: int, cache_terms: int = 1024):
         self.chunks: dict[str, list[_Chunk]] = {}
         self.df: dict[str, int] = {}
+        # sorted unique tombstoned doc_ids (set_deleted); scorers mask
+        # candidates against it BEFORE the top-k cut, postings/stats
+        # stay untouched (the logical-delete contract)
+        self.deleted: np.ndarray = np.empty(0, np.int64)
         if chunks.num_rows == 0 or "term" not in chunks.schema.names:
             # empty corpus / all-stopword corpus -> empty index
             self._cache: dict[str, tuple] = {}
@@ -120,6 +124,14 @@ class InvertedIndex:
             total_cf += int(cfs[i])
         self.n_docs = int(n_docs)
         self.avgdl = total_cf / n_docs if n_docs else 0.0
+
+    def set_deleted(self, doc_ids) -> None:
+        """Install the tombstone set (any int iterable/array). Stats
+        (df, avgdl, n_docs) intentionally do NOT change — deleted docs
+        stop appearing in results but still count toward idf until a
+        physical compaction rewrites the chunks (Lucene semantics,
+        pipelines/index_pipeline.compact_index_with_tombstones)."""
+        self.deleted = np.unique(np.asarray(doc_ids, dtype=np.int64))
 
     def idf(self, term: str) -> float:
         return bm25_idf(self.df.get(term, 0), self.n_docs)
@@ -252,7 +264,28 @@ def score_terms(
         uniq, inv = np.unique(all_docs, return_inverse=True)
         scores = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(scores, inv, all_contribs)
+    uniq, scores = drop_deleted(index.deleted, uniq, scores)
     return _topk_select(uniq, scores, top_k)
+
+
+def drop_deleted(
+    deleted: np.ndarray, doc_ids: np.ndarray, scores: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Remove tombstoned docs from a candidate set. ``deleted`` is the
+    index's sorted unique tombstone array; membership is a vectorized
+    searchsorted (no hashing, no Python loop). Cached postings/impact
+    arrays are never mutated — masking always allocates fresh views."""
+    if deleted.size == 0 or doc_ids.size == 0:
+        return doc_ids, scores
+    idx = np.searchsorted(deleted, doc_ids)
+    # idx == deleted.size means doc_id > every tombstone; clamping to 0
+    # cannot false-positive (deleted[0] < doc_id there by construction)
+    idx[idx == deleted.size] = 0
+    hit = deleted[idx] == doc_ids
+    if not hit.any():
+        return doc_ids, scores
+    keep = ~hit
+    return doc_ids[keep], scores[keep]
 
 
 def _topk_select(
@@ -381,6 +414,13 @@ def score_terms_wand(
             uniq, inv = np.unique(all_docs, return_inverse=True)
             scores = np.zeros(uniq.size, dtype=np.float64)
             np.add.at(scores, inv, all_contribs)
+        # tombstone mask BEFORE the running threshold sees the block:
+        # kth then tracks live docs only, identical to the exact path
+        # (a deleted doc inflating a block's upper bound is still a
+        # valid bound — skipping stays conservative)
+        uniq, scores = drop_deleted(index.deleted, uniq, scores)
+        if uniq.size == 0:
+            continue
         cand_docs.append(uniq)
         cand_scores.append(scores)
         n_kept += uniq.size
@@ -393,6 +433,9 @@ def score_terms_wand(
         if n_kept >= top_k:
             # buffer holds exactly the top_k best processed scores
             kth = topk_buf.min()
+    if not cand_docs:
+        # every candidate was tombstoned
+        return np.empty(0, np.int64), np.empty(0, np.float64)
     docs = np.concatenate(cand_docs)
     scores = np.concatenate(cand_scores)
     return _topk_select(docs, scores, top_k)

@@ -81,7 +81,13 @@ class _ShardScorer:
     # kernel; results are identical either way.
     RESULT_CACHE_MAX = 65536
 
-    def __init__(self, chunk_files: list[str], n_docs: int, avgdl: float):
+    def __init__(
+        self,
+        chunk_files: list[str],
+        n_docs: int,
+        avgdl: float,
+        deleted: np.ndarray | None = None,
+    ):
         tbl = pa.concat_tables(
             [pq.read_table(f) for f in chunk_files], promote_options="default"
         )
@@ -89,6 +95,11 @@ class _ShardScorer:
         # global avgdl overrides the shard-local ratio; idf ships with
         # queries, so the shard-local df dict is never consulted.
         self.index.avgdl = avgdl
+        # tombstones arrive pre-sliced to this shard's doc range (the
+        # service slices once at fleet spawn); fixed for the actor's
+        # lifetime, so result-cache keys stay valid
+        if deleted is not None and len(deleted):
+            self.index.set_deleted(deleted)
         self._results: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 
     def score_batch(
@@ -138,6 +149,11 @@ class _ShardScorer:
             counts,
         )
 
+    def _live(self, ids: np.ndarray) -> np.ndarray:
+        from snowball_java_ray.stages.score import drop_deleted
+
+        return drop_deleted(self.index.deleted, ids, ids)[0]
+
     def boolean_and(self, terms: list[str]) -> np.ndarray:
         """Conjunctive intersection within this shard's doc range."""
         acc: np.ndarray | None = None
@@ -146,7 +162,7 @@ class _ShardScorer:
             acc = ids if acc is None else np.intersect1d(acc, ids)
             if acc.size == 0:
                 break
-        return acc if acc is not None else np.empty(0, np.int64)
+        return self._live(acc) if acc is not None else np.empty(0, np.int64)
 
     def boolean_or(self, terms: list[str]) -> np.ndarray:
         """Disjunctive union within this shard's doc range."""
@@ -154,7 +170,7 @@ class _ShardScorer:
                  if p.size]
         if not parts:
             return np.empty(0, np.int64)
-        return np.unique(np.concatenate(parts))
+        return self._live(np.unique(np.concatenate(parts)))
 
     def boolean_and_not(
         self, pos: list[str], neg: list[str]
@@ -168,7 +184,7 @@ class _ShardScorer:
             ids, _, _ = self.index.postings(t)
             if ids.size:
                 acc = np.setdiff1d(acc, ids, assume_unique=True)
-        return acc
+        return acc  # boolean_and already masked tombstones
 
 
 # Logical CPUs reserved per shard actor. 0 = request-driven service
@@ -196,11 +212,17 @@ class _ReplicaTicketCounter:
         return i
 
 
-def make_shard_actor(chunk_files: list[str], n_docs: int, avgdl: float):
+def make_shard_actor(
+    chunk_files: list[str],
+    n_docs: int,
+    avgdl: float,
+    deleted: np.ndarray | None = None,
+):
     """Shard actors are stateless-recoverable: their whole state rebuilds
-    in __init__ from immutable on-disk chunk files, so Ray can restart a
-    crashed actor and retry its in-flight scatter calls transparently
-    (tested by killing an actor mid-service)."""
+    in __init__ from immutable on-disk chunk files (+ the tombstone
+    slice passed by value), so Ray can restart a crashed actor and retry
+    its in-flight scatter calls transparently (tested by killing an
+    actor mid-service)."""
     import ray
 
     return (
@@ -210,7 +232,7 @@ def make_shard_actor(chunk_files: list[str], n_docs: int, avgdl: float):
             max_restarts=3,
             max_task_retries=3,
         )
-        .remote(chunk_files, n_docs, avgdl)
+        .remote(chunk_files, n_docs, avgdl, deleted)
     )
 
 
@@ -234,10 +256,17 @@ class BM25ShardedService:
         serves (same immutable chunk files)."""
         with open(os.path.join(index_dir, "meta.json")) as f:
             meta = json.load(f)
-        self.n_docs = int(meta["n_docs"])
         from snowball_java_ray.pipelines.index_pipeline import (
             doc_lo_sort_key,
+            live_doc_count,
+            load_tombstones,
         )
+
+        # N for idf/avgdl: the live doc count (holes from PHYSICAL
+        # compaction excluded; logical tombstones intentionally still
+        # counted — delete_docs docstring has the contract)
+        self.n_docs = live_doc_count(meta)
+        tombstones = load_tombstones(index_dir)
 
         files = sorted(
             glob.glob(os.path.join(index_dir, "chunks_*.parquet")),
@@ -267,8 +296,26 @@ class BM25ShardedService:
         import ray
 
         self.df_ref = ray.put(dic.combine_chunks())
+
+        def tomb_slice(f: str) -> np.ndarray | None:
+            """This shard's doc-range slice of the tombstone set (one
+            searchsorted against the filename range — each actor holds
+            only its own deletions, O(total/S) per shard)."""
+            if not tombstones.size:
+                return None
+            parts = os.path.basename(f).split("_")
+            try:
+                lo, hi = int(parts[2]), int(parts[3].split(".")[0])
+            except (IndexError, ValueError):
+                return tombstones
+            a, b = np.searchsorted(tombstones, (lo, hi))
+            return tombstones[a:b]
+
         self.fleets = [
-            [make_shard_actor([f], self.n_docs, self.avgdl) for f in files]
+            [
+                make_shard_actor([f], self.n_docs, self.avgdl, tomb_slice(f))
+                for f in files
+            ]
             for _ in range(max(1, n_replicas))
         ]
         # back-compat alias: the primary fleet (boolean_and, tests)

@@ -100,6 +100,15 @@ DEFAULT_SHARD_SIZE = 1 << 20
 DELETE_MOD = 7
 DELETE_REM = 3
 
+# Result diversification (stages/serve.score_batch_diverse +
+# pipelines/api.bm25_topk_diverse_pipeline): at most DIVERSITY_CAP
+# docs per ``source`` may appear in a query's top-k — i.e. keep docs
+# whose within-source rank (by the global ranking key) <= cap, then
+# cut to TOP_K. Shards return their per-source top-cap candidates
+# (local source-rank <= global source-rank, so the merge is exact —
+# same argument as plain top-k shard merging).
+DIVERSITY_CAP = 2
+
 # --- Dedup / similarity parameters (ops/dedup.py, ops/ann.py) ----------
 # All hashes are md5-derived (md5int60 = first 15 hex digits as int) so
 # every dedup operator has a bit-identical DuckDB oracle.

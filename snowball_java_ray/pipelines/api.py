@@ -536,6 +536,111 @@ def bm25_snippets_pipeline(sf_dir: str, n_partitions: int = 4) -> pa.Table:
     )
 
 
+def bm25_facets_pipeline(sf_dir: str, n_partitions: int = 4) -> pa.Table:
+    """Faceted search: the facet distribution (doc count by ``lang``
+    and by ``source``) over each reference query's top-k hits — the
+    sidebar counts a search frontend renders next to results.
+
+    Scale shape: retrieval is the sharded fleet unchanged; the facet
+    join reads ONLY the hit docs' metadata columns via doc_id
+    predicate pushdown (output-bounded: |queries| x k rows), and the
+    count aggregation is an Arrow group_by over that bounded set —
+    the corpus is never re-scanned. Oracle: ``sqlgen.bm25_facets_sql``
+    (same join + unpivot + counts)."""
+    import ray
+
+    topk = collect_arrow(
+        bm25_topk_sharded_pipeline(sf_dir, n_partitions=n_partitions)
+    )
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "facet": pa.array([], pa.string()),
+            "val": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    if topk.num_rows == 0:
+        return empty
+    hit_ids = sorted(set(topk["doc_id"].to_pylist()))
+    meta = collect_arrow(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "source"],
+            filter=pc.field("doc_id").isin(hit_ids),
+        )
+    )
+    by_doc = {
+        d: (lg, src)
+        for d, lg, src in zip(
+            meta["doc_id"].to_pylist(),
+            meta["lang"].to_pylist(),
+            meta["source"].to_pylist(),
+        )
+    }
+    rows_q, rows_f, rows_v = [], [], []
+    for qid, did in zip(
+        topk["query_id"].to_pylist(), topk["doc_id"].to_pylist()
+    ):
+        lg, src = by_doc[did]
+        rows_q += [qid, qid]
+        rows_f += ["lang", "source"]
+        rows_v += [lg, src]
+    flat = pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "facet": pa.array(rows_f, pa.string()),
+            "val": pa.array(rows_v, pa.string()),
+        }
+    )
+    out = flat.group_by(["query_id", "facet", "val"]).aggregate(
+        [("val", "count")]
+    )
+    out = out.rename_columns(["query_id", "facet", "val", "n"])
+    out = out.set_column(3, "n", pc.cast(out["n"], pa.int64()))
+    return out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[
+                ("query_id", "ascending"),
+                ("facet", "ascending"),
+                ("val", "ascending"),
+            ],
+        )
+    )
+
+
+def bm25_topk_diverse_pipeline(
+    sf_dir: str, n_partitions: int = 4
+) -> ray.data.Dataset:
+    """Diversified retrieval: top-k with at most DIVERSITY_CAP docs
+    per ``source`` (keep docs whose within-source rank by the global
+    key <= cap, then cut to k) — the result-page de-clustering rule
+    search engines apply per site/domain.
+
+    Scale shape: each shard actor reads ONLY its doc range's
+    (doc_id, source) metadata (parquet predicate pushdown in the
+    actor) and returns its per-source top-cap candidates — bounded by
+    cap x sources per query regardless of shard size; the gather
+    recomputes source ranks over the merged candidates, which is
+    EXACT because a doc with global source-rank <= cap has local
+    source-rank <= cap in its shard (stages/serve.score_batch_diverse
+    has the argument). Oracle: ``sqlgen.bm25_topk_diverse_sql``."""
+    from snowball_java_ray.constants import DIVERSITY_CAP
+    from snowball_java_ray.stages.serve import BM25ShardedService
+
+    index_dir = ensure_index_dir(sf_dir, n_partitions=n_partitions)
+    svc = BM25ShardedService(
+        index_dir, source_parquet=f"{sf_dir}/documents.parquet"
+    )
+    try:
+        return svc.topk_dataset(
+            reference_queries_ds(), diversify_cap=DIVERSITY_CAP
+        ).sort(["query_id", "rank"]).materialize()
+    finally:
+        svc.shutdown()
+
+
 def more_like_this_pipeline(
     sf_dir: str, top_k: int = TOP_K, n_partitions: int = 4
 ) -> pa.Table:

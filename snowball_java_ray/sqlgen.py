@@ -1046,6 +1046,96 @@ def bm25_topk_compacted_sql(top_k: int = TOP_K) -> str:
     return bm25_topk_sql(top_k, table="docs_live", prelude=prelude)
 
 
+def bm25_topk_diverse_sql(top_k: int = TOP_K) -> str:
+    """Diversified top-k (pipelines/api.bm25_topk_diverse_pipeline):
+    keep docs whose within-source rank by the global key (round(score,
+    {RANK}) DESC, doc_id ASC) <= DIVERSITY_CAP, then cut to top_k.
+    Standalone rather than nesting bm25_topk_sql: both row_numbers
+    must rank on the UNROUNDED-to-{SCORE} score, which the nested
+    query no longer carries."""
+    from snowball_java_ray.constants import DIVERSITY_CAP
+
+    return f"""
+WITH {tokenize_cte()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
+meta AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doc_len) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+qraw AS (
+  SELECT query_id,
+         unnest(string_split_regex(lower(qtext), '{TOKEN_SPLIT_PATTERN}')) AS term
+  FROM {queries_values_sql()}
+),
+qterms AS (
+  SELECT DISTINCT query_id, term FROM qraw
+  WHERE term <> '' AND NOT regexp_full_match(term, '{_NUM_SQL}')
+    AND term NOT IN ({_STOPLIST_SQL})
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(
+           ln((meta.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf * ({BM25_K1} + 1.0)
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+              + {BM25_B} * dl.doc_len / meta.avgdl))
+         ) AS score
+  FROM qterms q
+  JOIN tf ON q.term = tf.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN meta
+  GROUP BY q.query_id, tf.doc_id
+),
+capped AS (
+  SELECT s.query_id, s.doc_id, s.score, d.source,
+         row_number() OVER (
+           PARTITION BY s.query_id, d.source
+           ORDER BY round(s.score, {RANK_ROUND_DECIMALS}) DESC,
+                    s.doc_id ASC
+         ) AS src_rank
+  FROM scores s JOIN documents d USING (doc_id)
+),
+rer AS (
+  SELECT query_id, doc_id, score, source,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND_DECIMALS}) DESC, doc_id ASC
+         ) AS rank
+  FROM capped WHERE src_rank <= {DIVERSITY_CAP}
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+       doc_id, round(score, {SCORE_ROUND_DECIMALS}) AS score, source
+FROM rer WHERE rank <= {top_k}
+ORDER BY query_id, rank
+"""
+
+
+def bm25_facets_sql() -> str:
+    """Facet counts (pipelines/api.bm25_facets_pipeline): doc counts
+    by lang and by source over each query's top-k hits."""
+    return f"""
+WITH topk AS (SELECT * FROM ({bm25_topk_sql()}) t),
+j AS (
+  SELECT t.query_id, d.lang, d.source
+  FROM topk t JOIN documents d USING (doc_id)
+),
+f AS (
+  SELECT query_id, 'lang' AS facet, lang AS val, count(*) AS n
+  FROM j GROUP BY query_id, lang
+  UNION ALL
+  SELECT query_id, 'source' AS facet, source AS val, count(*) AS n
+  FROM j GROUP BY query_id, source
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, facet, val,
+       CAST(n AS BIGINT) AS n
+FROM f ORDER BY query_id, facet, val
+"""
+
+
 def regex_search_sql() -> str:
     """Regex scan (ops/textstats.regex_search): RE2 partial match on
     both sides, one leg per pattern."""

@@ -54,7 +54,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from snowball_java_ray.constants import BM25_B, BM25_K1, TOP_K
+from snowball_java_ray.constants import (
+    BM25_B,
+    BM25_K1,
+    RANK_ROUND_DECIMALS,
+    SCORE_ROUND_DECIMALS,
+    TOP_K,
+)
 from snowball_java_ray.functions.text import tokenize
 from snowball_java_ray.stages.score import (
     TOPK_SCHEMA,
@@ -65,6 +71,24 @@ from snowball_java_ray.stages.score import (
     score_terms_wand,
     topk_rows,
 )
+
+
+def per_group_rank(codes: np.ndarray) -> np.ndarray:
+    """1-based rank of each element within its group, where input
+    order IS the ranking order (vectorized cumcount: stable argsort
+    groups equal codes in rank order, position minus group start is
+    the rank). Used by diversified retrieval on both the shard and
+    gather sides."""
+    n = codes.size
+    if n == 0:
+        return np.empty(0, np.int64)
+    order = np.argsort(codes, kind="stable")
+    sc = codes[order]
+    starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+    grp_start = np.repeat(starts, np.diff(np.r_[starts, n]))
+    out = np.empty(n, np.int64)
+    out[order] = np.arange(n) - grp_start + 1
+    return out
 
 
 class _ShardScorer:
@@ -87,6 +111,7 @@ class _ShardScorer:
         n_docs: int,
         avgdl: float,
         deleted: np.ndarray | None = None,
+        source_meta: tuple[str, int, int] | None = None,
     ):
         tbl = pa.concat_tables(
             [pq.read_table(f) for f in chunk_files], promote_options="default"
@@ -100,6 +125,26 @@ class _ShardScorer:
         # lifetime, so result-cache keys stay valid
         if deleted is not None and len(deleted):
             self.index.set_deleted(deleted)
+        # doc -> source metadata for THIS doc range only (diversified
+        # retrieval): a parquet predicate-pushdown read in the actor,
+        # factorized to int codes + a small name table — the sharded
+        # analogue of a metadata column stored alongside the postings
+        self.src_doc_ids = self.src_codes = None
+        self.src_names: list[str] = []
+        if source_meta is not None:
+            path, lo, hi = source_meta
+            t = pq.read_table(
+                path,
+                columns=["doc_id", "source"],
+                filters=[("doc_id", ">=", lo), ("doc_id", "<", hi)],
+            )
+            order = pa.compute.sort_indices(t["doc_id"])
+            ids = pa.compute.take(t["doc_id"], order).to_numpy()
+            src = pa.compute.take(t["source"], order)
+            enc = src.combine_chunks().dictionary_encode()
+            self.src_doc_ids = ids
+            self.src_codes = enc.indices.to_numpy().astype(np.int64)
+            self.src_names = enc.dictionary.to_pylist()
         self._results: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 
     def score_batch(
@@ -153,6 +198,65 @@ class _ShardScorer:
         from snowball_java_ray.stages.score import drop_deleted
 
         return drop_deleted(self.index.deleted, ids, ids)[0]
+
+    def score_batch_diverse(
+        self,
+        queries: list[tuple[int, list[tuple[str, float]]]],
+        k1: float,
+        b: float,
+        cap: int,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[str]]:
+        """Per-source-capped candidates for diversified retrieval:
+        each query's FULL shard candidate set is ranked by the global
+        key, and only docs with within-source rank <= cap are returned
+        (per-source top-cap). A doc whose GLOBAL source-rank <= cap
+        has local source-rank <= cap, so the gather-side recomputation
+        over the merged candidates is exact — the same local-rank-
+        only-improves argument as plain top-k shard merging. Response
+        is packed flat like ``score_batch`` plus the aligned source
+        names; size is bounded by cap x sources-in-shard per query,
+        independent of shard doc count."""
+        if self.src_doc_ids is None:
+            raise RuntimeError("shard built without source metadata")
+        cache = self._results
+        ids_parts: list[np.ndarray] = []
+        score_parts: list[np.ndarray] = []
+        name_parts: list[list[str]] = []
+        counts = np.empty(len(queries), np.int64)
+        for i, (_, terms_idf) in enumerate(queries):
+            key = (tuple(terms_idf), k1, b, cap, "diverse")
+            hit = cache.get(key)
+            if hit is None:
+                # full candidate set (top_k = everything), already in
+                # ranking-key order from _topk_select
+                docs, scores = score_terms(
+                    self.index, terms_idf, k1, b, top_k=1 << 62
+                )
+                codes = (
+                    self.src_codes[
+                        np.searchsorted(self.src_doc_ids, docs)
+                    ]
+                    if docs.size
+                    else np.empty(0, np.int64)
+                )
+                keep = per_group_rank(codes) <= cap
+                docs, scores, codes = docs[keep], scores[keep], codes[keep]
+                names = [self.src_names[c] for c in codes]
+                if len(cache) >= self.RESULT_CACHE_MAX:
+                    cache.pop(next(iter(cache)))
+                cache[key] = hit = (docs, scores, names)
+            ids_parts.append(hit[0])
+            score_parts.append(hit[1])
+            name_parts.append(hit[2])
+            counts[i] = hit[0].size
+        return (
+            np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64),
+            np.concatenate(score_parts)
+            if score_parts
+            else np.empty(0, np.float64),
+            counts,
+            [nm for part in name_parts for nm in part],
+        )
 
     def boolean_and(self, terms: list[str]) -> np.ndarray:
         """Conjunctive intersection within this shard's doc range."""
@@ -217,6 +321,7 @@ def make_shard_actor(
     n_docs: int,
     avgdl: float,
     deleted: np.ndarray | None = None,
+    source_meta: tuple[str, int, int] | None = None,
 ):
     """Shard actors are stateless-recoverable: their whole state rebuilds
     in __init__ from immutable on-disk chunk files (+ the tombstone
@@ -232,7 +337,7 @@ def make_shard_actor(
             max_restarts=3,
             max_task_retries=3,
         )
-        .remote(chunk_files, n_docs, avgdl, deleted)
+        .remote(chunk_files, n_docs, avgdl, deleted, source_meta)
     )
 
 
@@ -245,7 +350,8 @@ class BM25ShardedService:
     chunk file to derive the dictionary — the postings bytes never
     touch the driver."""
 
-    def __init__(self, index_dir: str, n_replicas: int = 1):
+    def __init__(self, index_dir: str, n_replicas: int = 1,
+                 source_parquet: str | None = None):
         """``n_replicas``: number of independent shard FLEETS over the
         same chunk files. Doc-sharding scales corpus CAPACITY; replicas
         scale query THROUGHPUT (each gather actor pins itself to one
@@ -297,23 +403,41 @@ class BM25ShardedService:
 
         self.df_ref = ray.put(dic.combine_chunks())
 
+        def file_range(f: str) -> tuple[int, int] | None:
+            parts = os.path.basename(f).split("_")
+            try:
+                return int(parts[2]), int(parts[3].split(".")[0])
+            except (IndexError, ValueError):
+                return None
+
         def tomb_slice(f: str) -> np.ndarray | None:
             """This shard's doc-range slice of the tombstone set (one
             searchsorted against the filename range — each actor holds
             only its own deletions, O(total/S) per shard)."""
             if not tombstones.size:
                 return None
-            parts = os.path.basename(f).split("_")
-            try:
-                lo, hi = int(parts[2]), int(parts[3].split(".")[0])
-            except (IndexError, ValueError):
+            r = file_range(f)
+            if r is None:
                 return tombstones
-            a, b = np.searchsorted(tombstones, (lo, hi))
+            a, b = np.searchsorted(tombstones, r)
             return tombstones[a:b]
+
+        def source_meta(f: str) -> tuple[str, int, int] | None:
+            """(parquet, lo, hi) for the shard's doc->source metadata
+            read (diversified retrieval) — predicate-pushdown in the
+            actor, never through the driver."""
+            if source_parquet is None:
+                return None
+            r = file_range(f)
+            return (source_parquet, *r) if r else (source_parquet, 0,
+                                                   int(meta["n_docs"]))
 
         self.fleets = [
             [
-                make_shard_actor([f], self.n_docs, self.avgdl, tomb_slice(f))
+                make_shard_actor(
+                    [f], self.n_docs, self.avgdl, tomb_slice(f),
+                    source_meta(f),
+                )
                 for f in files
             ]
             for _ in range(max(1, n_replicas))
@@ -336,6 +460,7 @@ class BM25ShardedService:
         batch_size: int = 8,
         algo: str = "exact",
         num_blocks: int | None = None,
+        diversify_cap: int | None = None,
     ):
         """queries(query_id, qtext) -> TOPK_SCHEMA rows via scatter/
         gather; algo='wand' makes every shard run block-max WAND
@@ -359,6 +484,7 @@ class BM25ShardedService:
                 "top_k": top_k,
                 "algo": algo,
                 "ticket_counter": self.ticket_counter,
+                "diversify_cap": diversify_cap,
             },
             batch_format="pyarrow",
             concurrency=concurrency,
@@ -427,7 +553,8 @@ class ShardedBM25Scorer:
     global idfs, scatters to the shard fleet, merges."""
 
     def __init__(self, shard_handles, df_ref, n_docs, k1=BM25_K1, b=BM25_B,
-                 top_k=TOP_K, algo="exact", ticket_counter=None):
+                 top_k=TOP_K, algo="exact", ticket_counter=None,
+                 diversify_cap=None):
         import ray
 
         # ``shard_handles``: one fleet (list of actors) or several
@@ -454,6 +581,7 @@ class ShardedBM25Scorer:
         self.n_docs = n_docs
         self.k1, self.b, self.top_k = k1, b, top_k
         self.algo = algo
+        self.diversify_cap = diversify_cap
 
     def _idfs(self, terms: list[str]) -> dict[str, float]:
         """Batch df lookup: one pc.index_in over the distinct terms of
@@ -496,6 +624,9 @@ class ShardedBM25Scorer:
             (j, [(t, idf[t]) for t in terms])
             for j, terms in enumerate(uniq_terms)
         ]
+        if self.diversify_cap:
+            return self._call_diverse(qids, q_to_uniq, len(uniq_terms),
+                                      queries)
         per_shard = ray.get(
             [h.score_batch.remote(queries, self.k1, self.b, self.top_k,
                                   self.algo)
@@ -527,5 +658,68 @@ class ShardedBM25Scorer:
                 "score": pa.array(out_s, pa.float64()),
             },
             schema=TOPK_SCHEMA,
+        )
+
+    def _call_diverse(self, qids, q_to_uniq, n_uniq, queries) -> pa.Table:
+        """Diversified gather: merge per-shard per-source-capped
+        candidate sets, recompute within-source ranks over the merged
+        set (exact — see ``score_batch_diverse``), keep rank <= cap,
+        cut to top_k. Output adds the ``source`` column."""
+        import ray
+
+        cap = self.diversify_cap
+        per_shard = ray.get(
+            [h.score_batch_diverse.remote(queries, self.k1, self.b, cap)
+             for h in self.handles]
+        )
+        offsets = [
+            np.concatenate(([0], np.cumsum(counts)))
+            for _, _, counts, _ in per_shard
+        ]
+        merged: list[tuple[np.ndarray, np.ndarray, list[str]]] = []
+        for j in range(n_uniq):
+            d_parts, s_parts, n_parts = [], [], []
+            for (ids, scores, _, names), off in zip(per_shard, offsets):
+                lo, hi = int(off[j]), int(off[j + 1])
+                if hi > lo:
+                    d_parts.append(ids[lo:hi])
+                    s_parts.append(scores[lo:hi])
+                    n_parts.extend(names[lo:hi])
+            if not d_parts:
+                merged.append(
+                    (np.empty(0, np.int64), np.empty(0, np.float64), [])
+                )
+                continue
+            docs = np.concatenate(d_parts)
+            scores = np.concatenate(s_parts)
+            src = np.asarray(n_parts, dtype=object)
+            order = np.lexsort(
+                (docs, -np.round(scores, RANK_ROUND_DECIMALS))
+            )
+            docs, scores, src = docs[order], scores[order], src[order]
+            _, codes = np.unique(src, return_inverse=True)
+            keep = per_group_rank(codes) <= cap
+            docs, scores, src = docs[keep], scores[keep], src[keep]
+            k = self.top_k
+            merged.append((docs[:k], scores[:k], src[:k].tolist()))
+        out_q, out_r, out_d, out_s, out_src = [], [], [], [], []
+        for qid, j in zip(qids, q_to_uniq):
+            docs, scores, src = merged[j]
+            n = docs.size
+            out_q.extend([int(qid)] * n)
+            out_r.extend(range(1, n + 1))
+            out_d.extend(docs.tolist())
+            out_s.extend(
+                np.round(scores, SCORE_ROUND_DECIMALS).tolist()
+            )
+            out_src.extend(src)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int32()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+                "source": pa.array(out_src, pa.string()),
+            }
         )
 

@@ -200,3 +200,52 @@ def test_phrase_match_adjacency(ray_session):
     assert pairs <= and_pairs
     # multi-term phrases must be strictly more selective somewhere
     assert len(pairs) < len(and_pairs)
+
+
+def test_diverse_topk_caps_sources_and_matches_local(ray_session):
+    """Sharded diversified retrieval == a local recomputation from the
+    broadcast index + corpus metadata, and no source exceeds the cap."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from snowball_java_ray.constants import (
+        DIVERSITY_CAP,
+        RANK_ROUND_DECIMALS,
+        REFERENCE_QUERIES,
+        TOP_K,
+    )
+    from snowball_java_ray.pipelines.api import (
+        bm25_topk_diverse_pipeline,
+        build_index,
+        documents_as_corpus,
+    )
+    from snowball_java_ray.stages.score import score_query
+
+    got = collect_arrow(bm25_topk_diverse_pipeline(SF_TINY)).to_pandas()
+    # cap invariant
+    per_src = got.groupby(["query_id", "source"]).size()
+    assert (per_src <= DIVERSITY_CAP).all()
+
+    # local recomputation: full candidate list -> per-source cap -> k
+    meta = pq.read_table(
+        f"{SF_TINY}/documents.parquet", columns=["doc_id", "source"]
+    )
+    src_of = dict(
+        zip(meta["doc_id"].to_pylist(), meta["source"].to_pylist())
+    )
+    index = build_index(documents_as_corpus(SF_TINY), n_docs=500,
+                        shard_size=64)
+    for qid, q in enumerate(REFERENCE_QUERIES):
+        docs, scores = score_query(index, q, top_k=1 << 62)
+        counts: dict[str, int] = {}
+        want = []
+        for d, s in zip(docs.tolist(), scores.tolist()):
+            src = src_of[d]
+            c = counts.get(src, 0) + 1
+            counts[src] = c
+            if c <= DIVERSITY_CAP:
+                want.append(d)
+        want = want[:TOP_K]
+        g = got[got["query_id"] == qid]
+        assert g["doc_id"].tolist() == want
+        assert g["source"].tolist() == [src_of[d] for d in want]

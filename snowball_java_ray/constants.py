@@ -109,6 +109,15 @@ DELETE_REM = 3
 # same argument as plain top-k shard merging).
 DIVERSITY_CAP = 2
 
+# Pseudo-relevance-feedback query expansion (pipelines/api
+# .query_expand_pipeline): from each query's top-k feedback docs,
+# candidate terms rank by weight = idf(t) * total_tf(t over the
+# feedback set) (idf constant per term, so the weight is one multiply
+# — no float summation order to pin), the query's own analyzed terms
+# are excluded, and the EXPAND_TERMS best survive (round(weight,
+# RANK_ROUND_DECIMALS) DESC, term ASC).
+EXPAND_TERMS = 5
+
 # --- Dedup / similarity parameters (ops/dedup.py, ops/ann.py) ----------
 # All hashes are md5-derived (md5int60 = first 15 hex digits as int) so
 # every dedup operator has a bit-identical DuckDB oracle.

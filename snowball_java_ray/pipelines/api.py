@@ -610,6 +610,142 @@ def bm25_facets_pipeline(sf_dir: str, n_partitions: int = 4) -> pa.Table:
     )
 
 
+def query_expand_pipeline(sf_dir: str, n_partitions: int = 4) -> pa.Table:
+    """Pseudo-relevance-feedback query expansion: for each reference
+    query, the EXPAND_TERMS best expansion terms from its top-k
+    feedback docs, weighted by idf(t) * total_tf(t in the feedback
+    set) with the query's own analyzed terms excluded — the classic
+    Rocchio/RM-style expansion a retrieval stack offers.
+
+    Scale shape: the feedback set is output-bounded (|queries| x k);
+    its text re-read is doc_id-predicate-pushdown; term stats come
+    from the serving dictionary (chunk summary columns — no corpus
+    rescan); idf is constant per term so the weight needs no pinned
+    float summation order. Oracle: ``sqlgen.query_expand_sql``."""
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from snowball_java_ray.constants import (
+        EXPAND_TERMS,
+        RANK_ROUND_DECIMALS,
+        SCORE_ROUND_DECIMALS,
+    )
+    from snowball_java_ray.functions.text import tokenize
+    from snowball_java_ray.pipelines.index_pipeline import (
+        doc_lo_sort_key,
+        live_doc_count,
+    )
+    from snowball_java_ray.stages.index_build import dictionary_from_chunks
+    from snowball_java_ray.stages.score import bm25_idf
+
+    index_dir = ensure_index_dir(sf_dir, n_partitions=n_partitions)
+    topk = collect_arrow(
+        bm25_topk_sharded_pipeline(sf_dir, n_partitions=n_partitions)
+    )
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int32()),
+            "term": pa.array([], pa.string()),
+            "weight": pa.array([], pa.float64()),
+        }
+    )
+    if topk.num_rows == 0:
+        return empty
+
+    # per-doc term counts over ONLY the feedback docs (pushdown read;
+    # the tokenize loop is output-bounded, never the corpus)
+    hit_ids = sorted(set(topk["doc_id"].to_pylist()))
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(hit_ids),
+    )
+
+    def doc_tf(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        out_d, out_t, out_n = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            for term, n in sorted(Counter(tokenize(text or "")).items()):
+                out_d.append(did)
+                out_t.append(term)
+                out_n.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "term": pa.array(out_t, pa.string()),
+                "tf": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    tfs = collect_arrow(docs.map_batches(doc_tf, batch_format="pyarrow"))
+    tf_by_doc: dict[int, list[tuple[str, int]]] = {}
+    for did, term, n in zip(
+        tfs["doc_id"].to_pylist(), tfs["term"].to_pylist(),
+        tfs["tf"].to_pylist(),
+    ):
+        tf_by_doc.setdefault(did, []).append((term, n))
+
+    # global df / n_docs from the index's own summaries (what the
+    # serving dictionary is made of)
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        n_docs = live_doc_count(json.load(f))
+    files = sorted(glob.glob(os.path.join(index_dir, "chunks_*.parquet")),
+                   key=doc_lo_sort_key)
+    summ = pa.concat_tables(
+        [pq.read_table(f, columns=["term", "df", "cf"]) for f in files],
+        promote_options="default",
+    )
+    dic = dictionary_from_chunks(summ)
+    df_of = dict(zip(dic["term"].to_pylist(), dic["df"].to_pylist()))
+
+    own_terms = {
+        qid: set(tokenize(q)) for qid, q in enumerate(REFERENCE_QUERIES)
+    }
+    total_tf: dict[tuple[int, str], int] = {}
+    for qid, did in zip(topk["query_id"].to_pylist(),
+                        topk["doc_id"].to_pylist()):
+        for term, n in tf_by_doc.get(did, ()):
+            if term in own_terms[qid]:
+                continue
+            total_tf[(qid, term)] = total_tf.get((qid, term), 0) + n
+
+    import numpy as np
+
+    qids = np.array([k[0] for k in total_tf], np.int64)
+    terms = np.array([k[1] for k in total_tf], object)
+    weights = np.array(
+        [bm25_idf(int(df_of.get(k[1], 0)), n_docs) * v
+         for k, v in total_tf.items()],
+        np.float64,
+    )
+    out_q, out_r, out_t, out_w = [], [], [], []
+    for qid in np.unique(qids):
+        m = qids == qid
+        t_q, w_q = terms[m], weights[m]
+        order = np.lexsort((t_q, -np.round(w_q, RANK_ROUND_DECIMALS)))
+        order = order[:EXPAND_TERMS]
+        out_q.extend([int(qid)] * order.size)
+        out_r.extend(range(1, order.size + 1))
+        out_t.extend(t_q[order].tolist())
+        out_w.extend(
+            np.round(w_q[order], SCORE_ROUND_DECIMALS).tolist()
+        )
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int32()),
+            "term": pa.array(out_t, pa.string()),
+            "weight": pa.array(out_w, pa.float64()),
+        }
+    )
+
+
 def bm25_topk_diverse_pipeline(
     sf_dir: str, n_partitions: int = 4
 ) -> ray.data.Dataset:

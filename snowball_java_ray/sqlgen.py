@@ -1114,6 +1114,89 @@ ORDER BY query_id, rank
 """
 
 
+def query_expand_sql() -> str:
+    """PRF query expansion (pipelines/api.query_expand_pipeline):
+    expansion weight = idf(t) * sum of tf over the query's top-k
+    feedback docs; the query's own analyzed terms are excluded; keep
+    the EXPAND_TERMS best per query (round(weight, {RANK}) DESC,
+    term ASC)."""
+    from snowball_java_ray.constants import EXPAND_TERMS
+
+    return f"""
+WITH {tokenize_cte()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
+meta AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doc_len) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+qraw AS (
+  SELECT query_id,
+         unnest(string_split_regex(lower(qtext), '{TOKEN_SPLIT_PATTERN}')) AS term
+  FROM {queries_values_sql()}
+),
+qterms AS (
+  SELECT DISTINCT query_id, term FROM qraw
+  WHERE term <> '' AND NOT regexp_full_match(term, '{_NUM_SQL}')
+    AND term NOT IN ({_STOPLIST_SQL})
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(
+           ln((meta.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf * ({BM25_K1} + 1.0)
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+              + {BM25_B} * dl.doc_len / meta.avgdl))
+         ) AS score
+  FROM qterms q
+  JOIN tf ON q.term = tf.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN meta
+  GROUP BY q.query_id, tf.doc_id
+),
+topk AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(score, {RANK_ROUND_DECIMALS}) DESC, doc_id ASC
+           ) AS rank
+    FROM scores
+  ) WHERE rank <= {TOP_K}
+),
+cand AS (
+  SELECT k.query_id, t.term, sum(t.tf) AS total_tf
+  FROM topk k JOIN tf t ON t.doc_id = k.doc_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM qterms q
+    WHERE q.query_id = k.query_id AND q.term = t.term
+  )
+  GROUP BY k.query_id, t.term
+),
+weighted AS (
+  SELECT c.query_id, c.term,
+         ln(((SELECT n_docs FROM meta) - df.df + 0.5)
+            / (df.df + 0.5) + 1.0) * c.total_tf AS weight
+  FROM cand c JOIN df ON df.term = c.term
+),
+ranked AS (
+  SELECT query_id, term, weight,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(weight, {RANK_ROUND_DECIMALS}) DESC, term ASC
+         ) AS rank
+  FROM weighted
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+       term, round(weight, {SCORE_ROUND_DECIMALS}) AS weight
+FROM ranked WHERE rank <= {EXPAND_TERMS}
+ORDER BY query_id, rank
+"""
+
+
 def bm25_facets_sql() -> str:
     """Facet counts (pipelines/api.bm25_facets_pipeline): doc counts
     by lang and by source over each query's top-k hits."""

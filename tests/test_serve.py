@@ -249,3 +249,26 @@ def test_diverse_topk_caps_sources_and_matches_local(ray_session):
         g = got[got["query_id"] == qid]
         assert g["doc_id"].tolist() == want
         assert g["source"].tolist() == [src_of[d] for d in want]
+
+
+def test_query_expand_excludes_query_terms(ray_session):
+    """PRF expansion: no query's own analyzed term may appear among
+    its expansion terms, ranks are 1..n with non-increasing rounded
+    weights."""
+    import numpy as np
+
+    from snowball_java_ray.constants import (
+        RANK_ROUND_DECIMALS,
+        REFERENCE_QUERIES,
+    )
+    from snowball_java_ray.functions.text import tokenize
+    from snowball_java_ray.pipelines.api import query_expand_pipeline
+
+    got = query_expand_pipeline(SF_TINY).to_pandas()
+    assert len(got) > 0
+    for qid, g in got.groupby("query_id"):
+        own = set(tokenize(REFERENCE_QUERIES[int(qid)]))
+        assert not (set(g["term"]) & own)
+        assert g["rank"].tolist() == list(range(1, len(g) + 1))
+        w = np.round(g["weight"].to_numpy(), RANK_ROUND_DECIMALS)
+        assert (np.diff(w) <= 0).all()

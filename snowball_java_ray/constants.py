@@ -118,6 +118,16 @@ DIVERSITY_CAP = 2
 # RANK_ROUND_DECIMALS) DESC, term ASC).
 EXPAND_TERMS = 5
 
+# Hybrid retrieval (pipelines/api.hybrid_topk_pipeline): reciprocal-
+# rank fusion of the lexical (BM25 fleet) and vector (brute cosine)
+# legs for the query ids that have BOTH a reference query text and a
+# query vector (query_id == vec_id < ANN_N_QUERIES). rrf =
+# sum over present legs of 1 / (RRF_K + leg_rank); absent leg
+# contributes 0; final order round(rrf, RANK_ROUND_DECIMALS) DESC,
+# doc_id ASC, cut to TOP_K. RRF_K = 60 is the standard constant from
+# Cormack et al. (2009).
+RRF_K = 60
+
 # --- Dedup / similarity parameters (ops/dedup.py, ops/ann.py) ----------
 # All hashes are md5-derived (md5int60 = first 15 hex digits as int) so
 # every dedup operator has a bit-identical DuckDB oracle.

@@ -746,6 +746,83 @@ def query_expand_pipeline(sf_dir: str, n_partitions: int = 4) -> pa.Table:
     )
 
 
+def hybrid_topk_pipeline(sf_dir: str, n_partitions: int = 4) -> pa.Table:
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical leg
+    (sharded BM25 fleet) and the vector leg (brute-force cosine ANN)
+    for the query ids that carry both a reference query text and a
+    query vector (query_id == vec_id < ANN_N_QUERIES; the corpus
+    embedding of vec_id is doc_id's). rrf(d) = sum over legs where d
+    appears of 1/(RRF_K + rank) — the standard fusion that needs no
+    score calibration between BM25 and cosine.
+
+    Scale shape: both legs are existing distributed pipelines
+    (scatter/gather fleet; one streamed corpus scan vs a broadcast
+    query matrix); fusion itself runs over their output-bounded
+    top-ks (2 x |queries| x k rows). Oracle:
+    ``sqlgen.hybrid_topk_sql`` (FULL OUTER JOIN of the two leg
+    oracles)."""
+    from snowball_java_ray.constants import (
+        ANN_N_QUERIES,
+        RANK_ROUND_DECIMALS,
+        RRF_K,
+        SCORE_ROUND_DECIMALS,
+    )
+    from snowball_java_ray.ops.ann import ann_topk
+
+    bm = collect_arrow(
+        bm25_topk_sharded_pipeline(sf_dir, n_partitions=n_partitions)
+    )
+    bm = bm.filter(pc.less(bm["query_id"], ANN_N_QUERIES))
+    ann = collect_arrow(ann_topk(sf_dir))
+
+    legs: dict[tuple[int, int], list[int]] = {}
+    for qid, rank, did in zip(
+        bm["query_id"].to_pylist(), bm["rank"].to_pylist(),
+        bm["doc_id"].to_pylist(),
+    ):
+        legs.setdefault((qid, did), [0, 0])[0] = rank
+    for qid, rank, did in zip(
+        ann["query_vec_id"].to_pylist(), ann["rank"].to_pylist(),
+        ann["vec_id"].to_pylist(),
+    ):
+        legs.setdefault((int(qid), int(did)), [0, 0])[1] = int(rank)
+
+    import numpy as np
+
+    keys = sorted(legs)
+    qids = np.array([k[0] for k in keys], np.int64)
+    dids = np.array([k[1] for k in keys], np.int64)
+    bm_r = np.array([legs[k][0] for k in keys], np.int64)
+    an_r = np.array([legs[k][1] for k in keys], np.int64)
+    # bm term first, ann second — the same addition order as the SQL
+    rrf = np.where(bm_r > 0, 1.0 / (RRF_K + bm_r), 0.0) + np.where(
+        an_r > 0, 1.0 / (RRF_K + an_r), 0.0
+    )
+    out_q, out_r, out_d, out_s, out_b, out_a = [], [], [], [], [], []
+    for qid in np.unique(qids):
+        m = qids == qid
+        order = np.lexsort((dids[m], -np.round(rrf[m], RANK_ROUND_DECIMALS)))
+        order = order[:TOP_K]
+        out_q.extend([int(qid)] * order.size)
+        out_r.extend(range(1, order.size + 1))
+        out_d.extend(dids[m][order].tolist())
+        out_s.extend(
+            np.round(rrf[m][order], SCORE_ROUND_DECIMALS).tolist()
+        )
+        out_b.extend(bm_r[m][order].tolist())
+        out_a.extend(an_r[m][order].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int32()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "rrf": pa.array(out_s, pa.float64()),
+            "bm_rank": pa.array(out_b, pa.int64()),
+            "ann_rank": pa.array(out_a, pa.int64()),
+        }
+    )
+
+
 def bm25_topk_diverse_pipeline(
     sf_dir: str, n_partitions: int = 4
 ) -> ray.data.Dataset:

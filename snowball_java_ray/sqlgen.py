@@ -1197,6 +1197,54 @@ ORDER BY query_id, rank
 """
 
 
+def hybrid_topk_sql() -> str:
+    """Hybrid RRF fusion (pipelines/api.hybrid_topk_pipeline): FULL
+    OUTER JOIN of the BM25 and brute-cosine leg oracles, rrf = sum of
+    1/(RRF_K + rank) over present legs, re-ranked and cut to TOP_K."""
+    from snowball_java_ray.constants import ANN_N_QUERIES, RRF_K
+
+    return f"""
+WITH bm AS (
+  SELECT query_id, rank AS bm_rank, doc_id
+  FROM ({bm25_topk_sql()}) WHERE query_id < {ANN_N_QUERIES}
+),
+ann AS (
+  SELECT query_vec_id AS query_id, rank AS ann_rank, vec_id AS doc_id
+  FROM ({ann_topk_sql()})
+),
+u AS (
+  SELECT COALESCE(bm.query_id, ann.query_id) AS query_id,
+         COALESCE(bm.doc_id, ann.doc_id) AS doc_id,
+         COALESCE(bm.bm_rank, 0) AS bm_rank,
+         COALESCE(ann.ann_rank, 0) AS ann_rank
+  FROM bm FULL OUTER JOIN ann
+    ON bm.query_id = ann.query_id AND bm.doc_id = ann.doc_id
+),
+s AS (
+  SELECT query_id, doc_id, bm_rank, ann_rank,
+         (CASE WHEN bm_rank > 0 THEN 1.0 / ({RRF_K} + bm_rank)
+               ELSE 0.0 END)
+         + (CASE WHEN ann_rank > 0 THEN 1.0 / ({RRF_K} + ann_rank)
+                 ELSE 0.0 END) AS rrf
+  FROM u
+),
+r AS (
+  SELECT query_id, doc_id, rrf, bm_rank, ann_rank,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(rrf, {RANK_ROUND_DECIMALS}) DESC, doc_id ASC
+         ) AS rank
+  FROM s
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+       doc_id, round(rrf, {SCORE_ROUND_DECIMALS}) AS rrf,
+       CAST(bm_rank AS BIGINT) AS bm_rank,
+       CAST(ann_rank AS BIGINT) AS ann_rank
+FROM r WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 def bm25_facets_sql() -> str:
     """Facet counts (pipelines/api.bm25_facets_pipeline): doc counts
     by lang and by source over each query's top-k hits."""

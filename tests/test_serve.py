@@ -272,3 +272,24 @@ def test_query_expand_excludes_query_terms(ray_session):
         assert g["rank"].tolist() == list(range(1, len(g) + 1))
         w = np.round(g["weight"].to_numpy(), RANK_ROUND_DECIMALS)
         assert (np.diff(w) <= 0).all()
+
+
+def test_hybrid_rrf_consistency(ray_session):
+    """RRF values recompute exactly from the emitted leg ranks, every
+    row has at least one leg present, and ranks are 1..n per query."""
+    import numpy as np
+
+    from snowball_java_ray.constants import RRF_K, SCORE_ROUND_DECIMALS
+    from snowball_java_ray.pipelines.api import hybrid_topk_pipeline
+
+    got = hybrid_topk_pipeline(SF_TINY).to_pandas()
+    assert len(got) > 0
+    bm = got["bm_rank"].to_numpy()
+    an = got["ann_rank"].to_numpy()
+    assert ((bm > 0) | (an > 0)).all()
+    want = np.where(bm > 0, 1.0 / (RRF_K + bm), 0.0) + np.where(
+        an > 0, 1.0 / (RRF_K + an), 0.0
+    )
+    assert np.allclose(got["rrf"], np.round(want, SCORE_ROUND_DECIMALS))
+    for _, g in got.groupby("query_id"):
+        assert g["rank"].tolist() == list(range(1, len(g) + 1))

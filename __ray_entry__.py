@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_diverse": api.bm25_topk_diverse_pipeline,
         "query_expand": api.query_expand_pipeline,
         "hybrid_topk": api.hybrid_topk_pipeline,
+        "term_complete": api.term_complete_pipeline,
         "boolean_and": api.boolean_and_sharded_pipeline,
         "boolean_and_local": api.boolean_and_pipeline,
         "boolean_or": api.boolean_or_pipeline,
@@ -188,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_diverse": sqlgen.bm25_topk_diverse_sql(),
         "query_expand": sqlgen.query_expand_sql(),
         "hybrid_topk": sqlgen.hybrid_topk_sql(),
+        "term_complete": sqlgen.term_complete_sql(),
         "boolean_and": sqlgen.boolean_and_sql(),
         "boolean_and_local": sqlgen.boolean_and_sql(),
         "boolean_or": sqlgen.boolean_or_sql(),

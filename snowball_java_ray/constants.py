@@ -128,6 +128,14 @@ EXPAND_TERMS = 5
 # Cormack et al. (2009).
 RRF_K = 60
 
+# Prefix completion (pipelines/api.term_complete_pipeline): fixed
+# deterministic probe prefixes — single chars so each has several
+# candidate completions in the synthetic vocabulary (its leading
+# bigrams are unique), one bigram, and a guaranteed-no-hit probe;
+# top COMPLETE_K completions per prefix by (cf DESC, term ASC).
+COMPLETE_PREFIXES = ("a", "b", "c", "d", "f", "s", "t", "st", "zz")
+COMPLETE_K = 5
+
 # --- Dedup / similarity parameters (ops/dedup.py, ops/ann.py) ----------
 # All hashes are md5-derived (md5int60 = first 15 hex digits as int) so
 # every dedup operator has a bit-identical DuckDB oracle.

@@ -746,6 +746,70 @@ def query_expand_pipeline(sf_dir: str, n_partitions: int = 4) -> pa.Table:
     )
 
 
+def term_complete_pipeline(sf_dir: str) -> pa.Table:
+    """Prefix completion ("search-as-you-type"): for each fixed probe
+    prefix, the COMPLETE_K most frequent dictionary terms starting
+    with it (cf DESC, term ASC). A no-hit prefix yields zero rows.
+
+    Scale shape: the dictionary Dataset streams through a per-batch
+    partial top-k (each batch emits at most |prefixes| x k rows), so
+    driver traffic is O(blocks x prefixes x k) regardless of
+    vocabulary size — the map-side-combine discipline applied to
+    completion. Oracle: ``sqlgen.term_complete_sql``."""
+    from snowball_java_ray.constants import COMPLETE_K, COMPLETE_PREFIXES
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        out_p, out_t, out_c = [], [], []
+        terms = t["term"]
+        for p in COMPLETE_PREFIXES:
+            m = pc.starts_with(terms, p)
+            sub = t.filter(m)
+            if sub.num_rows == 0:
+                continue
+            order = pc.sort_indices(
+                sub,
+                sort_keys=[("cf", "descending"), ("term", "ascending")],
+            )[:COMPLETE_K]
+            sub = sub.take(order)
+            out_p.extend([p] * sub.num_rows)
+            out_t.extend(sub["term"].to_pylist())
+            out_c.extend(sub["cf"].to_pylist())
+        return pa.table(
+            {
+                "prefix": pa.array(out_p, pa.string()),
+                "term": pa.array(out_t, pa.string()),
+                "cf": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    cand = collect_arrow(
+        term_df_pipeline(sf_dir).map_batches(
+            partial_topk, batch_format="pyarrow"
+        )
+    )
+    out_p, out_r, out_t, out_c = [], [], [], []
+    for p in COMPLETE_PREFIXES:
+        sub = cand.filter(pc.equal(cand["prefix"], p))
+        if sub.num_rows == 0:
+            continue
+        order = pc.sort_indices(
+            sub, sort_keys=[("cf", "descending"), ("term", "ascending")]
+        )[:COMPLETE_K]
+        sub = sub.take(order)
+        out_p.extend([p] * sub.num_rows)
+        out_r.extend(range(1, sub.num_rows + 1))
+        out_t.extend(sub["term"].to_pylist())
+        out_c.extend(sub["cf"].to_pylist())
+    return pa.table(
+        {
+            "prefix": pa.array(out_p, pa.string()),
+            "rank": pa.array(out_r, pa.int32()),
+            "term": pa.array(out_t, pa.string()),
+            "cf": pa.array(out_c, pa.int64()),
+        }
+    )
+
+
 def hybrid_topk_pipeline(sf_dir: str, n_partitions: int = 4) -> pa.Table:
     """Hybrid retrieval: reciprocal-rank fusion of the lexical leg
     (sharded BM25 fleet) and the vector leg (brute-force cosine ANN)

@@ -1197,6 +1197,32 @@ ORDER BY query_id, rank
 """
 
 
+def term_complete_sql() -> str:
+    """Prefix completion (pipelines/api.term_complete_pipeline)."""
+    from snowball_java_ray.constants import COMPLETE_K, COMPLETE_PREFIXES
+
+    prefixes = ", ".join(f"('{p}')" for p in COMPLETE_PREFIXES)
+    return f"""
+WITH {tokenize_cte()},
+d AS (SELECT term, count(*) AS cf FROM toks GROUP BY term),
+p(prefix) AS (VALUES {prefixes}),
+c AS (
+  SELECT p.prefix, d.term, d.cf
+  FROM p JOIN d ON d.term LIKE p.prefix || '%'
+),
+r AS (
+  SELECT prefix, term, cf,
+         row_number() OVER (
+           PARTITION BY prefix ORDER BY cf DESC, term ASC
+         ) AS rank
+  FROM c
+)
+SELECT prefix, CAST(rank AS INT) AS rank, term, CAST(cf AS BIGINT) AS cf
+FROM r WHERE rank <= {COMPLETE_K}
+ORDER BY prefix, rank
+"""
+
+
 def hybrid_topk_sql() -> str:
     """Hybrid RRF fusion (pipelines/api.hybrid_topk_pipeline): FULL
     OUTER JOIN of the BM25 and brute-cosine leg oracles, rrf = sum of

@@ -199,3 +199,22 @@ def test_regex_search_matches_duckdb(ray_session):
     assert len(got) == len(exp) > 0
     for c in got.columns:
         assert (got[c].values == exp[c].values).all(), c
+
+
+def test_term_complete_prefix_and_order(ray_session):
+    """Completions start with their prefix, the no-hit probe yields
+    zero rows, and ranks follow (cf DESC, term ASC)."""
+    from snowball_java_ray.constants import COMPLETE_K
+    from snowball_java_ray.pipelines.api import term_complete_pipeline
+    from tests.conftest import SF_TINY
+
+    got = term_complete_pipeline(SF_TINY).to_pandas()
+    assert len(got) > 0
+    assert "zz" not in set(got["prefix"])
+    for _, row in got.iterrows():
+        assert row["term"].startswith(row["prefix"])
+    for _, g in got.groupby("prefix"):
+        assert len(g) <= COMPLETE_K
+        assert g["rank"].tolist() == list(range(1, len(g) + 1))
+        pairs = list(zip(-g["cf"].to_numpy(), g["term"]))
+        assert pairs == sorted(pairs)

@@ -75,17 +75,16 @@ def replicated_corpus(sf_dir: str, factor: int):
     )
     global CORPUS_BYTES
     CORPUS_BYTES = sum(os.path.getsize(f) for f in files)
-    # Block count is DATA-driven (~32k docs per block), not CPU-driven:
-    # constant per-task work at every parallelism level keeps the
-    # scaling comparison honest (CPU-proportional blocks gave the
-    # low-CPU leg pathologically huge tasks).
-    # floor of 64 blocks keeps every parallelism level busy; beyond
-    # that, block count is data-driven (~16k docs per block)
-    # data-driven block count (~16k docs/block) with a parallelism-
-    # driven cap: past ~16 blocks/CPU, more tasks only add scheduling
-    # and shuffle width, not load balance (measured on the 16M-doc
-    # probe: 976 blocks -> sched-bound sort)
-    n_blocks = min(max(64, n_total // 16384), 16 * NUM_CPUS)
+    # Block count is data-driven (~16k docs/block) with a CONSTANT
+    # cap of 128 — CPU-independent so the scaling legs see identical
+    # per-task work. The cap matters enormously: Ray's sort shuffle
+    # is all-to-all in BLOCK COUNT, and the 16M-doc probe measured
+    # 41k docs/s at 976 blocks (sched-bound sort), 79.6k at 512,
+    # 120k at 256, and 213k at 128 — flat with the 4M-doc per-doc
+    # rate once map tasks are ~125k docs. Production rule: size read
+    # blocks to O(100MB)/task and never let the pre-shuffle block
+    # count grow with input shard count.
+    n_blocks = min(max(64, n_total // 16384), 128)
     return ray.data.read_parquet(files, override_num_blocks=n_blocks), n_total
 
 

@@ -300,6 +300,7 @@ def build_chunk_table(
     id_col: str = "doc_id",
     shard_size: int = DEFAULT_SHARD_SIZE,
     num_parts: int | None = None,
+    coalesce_blocks: int | None = None,
 ):
     """corpus Dataset -> chunk Dataset via the combiner path: ONE scan,
     then a shuffle of packed partial rows only. The reduce shuffles on
@@ -313,23 +314,22 @@ def build_chunk_table(
         make_partial_chunks(text_col, id_col, shard_size),
         batch_format="pyarrow",
     )
-    # Coalesce the packed partials BEFORE the sort-based groupby: the
-    # map stage emits one small partial block per tokenize task, and
-    # Ray's sort shuffle is all-to-all in BLOCK COUNT (~R x R
-    # intermediate objects), so a 16M-doc build (976 map blocks) paid
-    # ~950k shuffle objects — the sort went scheduling-bound (200s of
-    # a 262s build measured, with only ~11s of parallel compute in
-    # it). Merging to ~2 blocks/CPU (plain concat, shuffle=False,
-    # deterministic) cuts the object count ~150x; merged blocks stay
-    # tens of MB at sandbox scale. Production sizing: blocks ∝
-    # partial bytes / ~64MB, never one block per tokenize task.
-    try:
-        import ray as _ray
-
-        cpus = int(_ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    partials = partials.repartition(max(16, 2 * cpus), shuffle=False)
+    # Optionally coalesce the packed partials BEFORE the sort-based
+    # groupby: the map stage emits one partial block per tokenize
+    # task, and Ray's sort shuffle is all-to-all in BLOCK COUNT
+    # (~R x R intermediate objects), so a 16M-doc build fed from 976
+    # map blocks paid ~950k shuffle objects — the sort went
+    # scheduling-bound (200s of a 262s build, ~11s of parallel
+    # compute). Callers whose INPUT block count is already O(100)
+    # must leave this off: the repartition is an all-to-all barrier
+    # whose resource reservation starves the upstream tokenize at low
+    # parallelism (measured: the 8-cpu 4M-doc leg fell 53k -> 20k
+    # docs/s with an unconditional coalesce). Prefer sizing the READ
+    # block count (~16k docs or ~64MB of partials per block, capped
+    # a few hundred); reach for coalesce_blocks only when the input
+    # block count can't be controlled at the source.
+    if coalesce_blocks:
+        partials = partials.repartition(coalesce_blocks, shuffle=False)
 
     return (
         partials.map_batches(

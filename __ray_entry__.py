@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_expand": api.query_expand_pipeline,
         "hybrid_topk": api.hybrid_topk_pipeline,
         "term_complete": api.term_complete_pipeline,
+        "percolate": api.percolate_pipeline,
         "boolean_and": api.boolean_and_sharded_pipeline,
         "boolean_and_local": api.boolean_and_pipeline,
         "boolean_or": api.boolean_or_pipeline,
@@ -190,6 +191,10 @@ def oracle_sql() -> dict[str, str]:
         "query_expand": sqlgen.query_expand_sql(),
         "hybrid_topk": sqlgen.hybrid_topk_sql(),
         "term_complete": sqlgen.term_complete_sql(),
+        # percolation is conjunctive match by construction — it shares
+        # boolean_and's oracle while exercising the index-free
+        # streaming-scan execution shape
+        "percolate": sqlgen.boolean_and_sql(),
         "boolean_and": sqlgen.boolean_and_sql(),
         "boolean_and_local": sqlgen.boolean_and_sql(),
         "boolean_or": sqlgen.boolean_or_sql(),

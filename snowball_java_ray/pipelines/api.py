@@ -610,6 +610,130 @@ def bm25_facets_pipeline(sf_dir: str, n_partitions: int = 4) -> pa.Table:
     )
 
 
+def percolate_pipeline(sf_dir: str) -> pa.Table:
+    """Percolation / reverse search: match the STORED query set against
+    a stream of arriving documents with NO index — the alerting /
+    saved-search shape (Elasticsearch percolator). Semantics are
+    conjunctive (a doc matches a query iff it contains every analyzed
+    query term), identical to ``boolean_and`` — but where the fleet
+    answers ad-hoc queries against a built index, percolation answers
+    "which standing queries fire for this new doc?" in ONE streamed
+    scan, so freshly ingested docs can be matched before any index
+    exists.
+
+    Scale shape: the query automaton (term -> query ids + per-query
+    term counts) is ray.put once and read by every task; per batch,
+    tokens match the automaton vocabulary via one ``pc.index_in``,
+    (doc, term) pairs dedupe vectorized, term hits expand to (query,
+    doc) hits by offset arithmetic, and a per-batch combine emits
+    partial match counts — one ``hash_grouped_aggregate`` shuffle of
+    partial rows finishes. Oracle: ``sqlgen.boolean_and_sql`` (the
+    semantics are shared by construction)."""
+    import numpy as np
+    import ray
+
+    from snowball_java_ray.functions.text import tokenize, tokenize_arrow
+    from snowball_java_ray.ops.dedup import hash_grouped_aggregate
+
+    qterms = {
+        qid: sorted(set(tokenize(q)))
+        for qid, q in enumerate(REFERENCE_QUERIES)
+    }
+    qterms = {qid: ts for qid, ts in qterms.items() if ts}
+    term_q: dict[str, list[int]] = {}
+    for qid, ts in qterms.items():
+        for t in ts:
+            term_q.setdefault(t, []).append(qid)
+    vocab = sorted(term_q)
+    n_vocab = len(vocab)
+    qid_flat: list[int] = []
+    offs = [0]
+    for t in vocab:
+        qid_flat.extend(term_q[t])
+        offs.append(len(qid_flat))
+    automaton = (
+        pa.array(vocab, pa.string()),
+        np.asarray(qid_flat, np.int64),
+        np.asarray(offs, np.int64),
+    )
+    auto_ref = ray.put(automaton)
+    need = {qid: len(ts) for qid, ts in qterms.items()}
+    need_ref = ray.put(need)
+
+    def match(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        v, qf, of = _ray.get(auto_ref)
+        row_idx, toks = tokenize_arrow(t["text"])
+        pos = pc.index_in(toks, v).fill_null(-1).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        m = pos >= 0
+        if not m.any():
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        docs = t["doc_id"].to_numpy(zero_copy_only=False)[row_idx[m]]
+        vi = pos[m]
+        # distinct (doc, automaton-term) pairs; the packed key is safe
+        # for doc_id < 2^63 / |automaton vocab| (~2^57 here)
+        uk = np.unique(docs * n_vocab + vi)
+        docs_u, vi_u = uk // n_vocab, uk % n_vocab
+        starts, lens = of[vi_u], of[vi_u + 1] - of[vi_u]
+        total = int(lens.sum())
+        base = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        gather = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(base, lens)
+            + np.repeat(starts, lens)
+        )
+        out_q = qf[gather]
+        out_d = np.repeat(docs_u, lens)
+        # per-batch combine: matched-term count per (query, doc)
+        pk, cnt = np.unique(out_q * (1 << 57) + out_d, return_counts=True)
+        return pa.table(
+            {
+                "query_id": pa.array(pk >> 57, pa.int64()),
+                "doc_id": pa.array(pk & ((1 << 57) - 1), pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    docs_ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    agg = hash_grouped_aggregate(
+        docs_ds.map_batches(match, batch_format="pyarrow"),
+        ["query_id", "doc_id"],
+        [("cnt", "sum", "cnt")],
+    )
+
+    def fire(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        nd = _ray.get(need_ref)
+        need_arr = np.zeros(max(nd) + 1, np.int64)
+        for qid, n in nd.items():
+            need_arr[qid] = n
+        q = t["query_id"].to_numpy(zero_copy_only=False)
+        c = t["cnt"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(c == need_arr[q])).select(
+            ["query_id", "doc_id"]
+        )
+
+    tbl = collect_arrow(agg.map_batches(fire, batch_format="pyarrow"))
+    return tbl.take(
+        pc.sort_indices(
+            tbl,
+            sort_keys=[("query_id", "ascending"), ("doc_id", "ascending")],
+        )
+    )
+
+
 def query_expand_pipeline(sf_dir: str, n_partitions: int = 4) -> pa.Table:
     """Pseudo-relevance-feedback query expansion: for each reference
     query, the EXPAND_TERMS best expansion terms from its top-k

@@ -293,3 +293,15 @@ def test_hybrid_rrf_consistency(ray_session):
     assert np.allclose(got["rrf"], np.round(want, SCORE_ROUND_DECIMALS))
     for _, g in got.groupby("query_id"):
         assert g["rank"].tolist() == list(range(1, len(g) + 1))
+
+
+def test_percolate_equals_indexed_boolean_and(ray_session):
+    """Index-free percolation over the raw doc stream == the
+    fleet-served conjunctive retrieval (two disjoint execution paths,
+    one semantics)."""
+    from snowball_java_ray.pipelines.api import percolate_pipeline
+
+    a = boolean_and_pipeline(SF_TINY)
+    b = percolate_pipeline(SF_TINY)
+    assert a.num_rows == b.num_rows > 0
+    assert _sorted_pandas(a).equals(_sorted_pandas(b))

@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_topk": api.hybrid_topk_pipeline,
         "term_complete": api.term_complete_pipeline,
         "percolate": api.percolate_pipeline,
+        "vocab_stats": api.vocab_stats_pipeline,
+        "near_match": api.near_match_pipeline,
         "boolean_and": api.boolean_and_sharded_pipeline,
         "boolean_and_local": api.boolean_and_pipeline,
         "boolean_or": api.boolean_or_pipeline,
@@ -195,6 +197,8 @@ def oracle_sql() -> dict[str, str]:
         # boolean_and's oracle while exercising the index-free
         # streaming-scan execution shape
         "percolate": sqlgen.boolean_and_sql(),
+        "vocab_stats": sqlgen.vocab_stats_sql(),
+        "near_match": sqlgen.near_match_sql(),
         "boolean_and": sqlgen.boolean_and_sql(),
         "boolean_and_local": sqlgen.boolean_and_sql(),
         "boolean_or": sqlgen.boolean_or_sql(),

@@ -136,6 +136,14 @@ RRF_K = 60
 COMPLETE_PREFIXES = ("a", "b", "c", "d", "f", "s", "t", "st", "zz")
 COMPLETE_K = 5
 
+# Proximity search (pipelines/api.near_match_pipeline): a doc matches
+# when it contains every analyzed query term AND the span of the
+# terms' FIRST occurrences in the analyzed token stream (1-based
+# positions, max - min) is <= NEAR_SLOP. First-occurrence span is the
+# deterministic, SQL-expressible proximity rule (a true minimal
+# window would need per-occurrence joins).
+NEAR_SLOP = 8
+
 # --- Dedup / similarity parameters (ops/dedup.py, ops/ann.py) ----------
 # All hashes are md5-derived (md5int60 = first 15 hex digits as int) so
 # every dedup operator has a bit-identical DuckDB oracle.

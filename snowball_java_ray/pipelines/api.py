@@ -439,6 +439,91 @@ def phrase_match_pipeline(
     )
 
 
+def near_match_pipeline(sf_dir: str, n_partitions: int = 4) -> pa.Table:
+    """Proximity retrieval (NEAR/slop): (query_id, doc_id, span) for
+    docs containing every analyzed query term whose first-occurrence
+    span in the analyzed token stream is <= NEAR_SLOP. The positional
+    cousin of ``phrase_match``, same candidates→verify shape: the
+    sharded AND prunes to docs holding all terms, one doc_id-pushdown
+    re-read verifies spans — cost bounded by the candidate count,
+    never the corpus. Oracle: ``sqlgen.near_match_sql`` (zipped-unnest
+    positions, identical first-occurrence rule)."""
+    import ray
+
+    from snowball_java_ray.constants import NEAR_SLOP
+    from snowball_java_ray.functions.text import tokenize
+    from snowball_java_ray.stages.serve import BM25ShardedService
+
+    index_dir = ensure_index_dir(sf_dir, n_partitions=n_partitions)
+    svc = BM25ShardedService(index_dir)
+    qterm_map: dict[int, list[str]] = {}
+    cand_map: dict[int, list[int]] = {}
+    try:
+        for qid, qtext in enumerate(REFERENCE_QUERIES):
+            terms = sorted(set(tokenize(qtext)))
+            if not terms:
+                continue
+            qterm_map[qid] = terms
+            for d in svc.boolean_and(qtext).tolist():
+                cand_map.setdefault(d, []).append(qid)
+    finally:
+        svc.shutdown()
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "span": pa.array([], pa.int64()),
+        }
+    )
+    if not cand_map:
+        return empty
+    cand_ref = ray.put(cand_map)
+    qt_ref = ray.put(qterm_map)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(list(cand_map)),
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        cmap = _ray.get(cand_ref)
+        qt = _ray.get(qt_ref)
+        out_q, out_d, out_s = [], [], []
+        # loop is over AND-candidates only (output-bounded)
+        for did, text in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            first: dict[str, int] = {}
+            for i, tok in enumerate(tokenize(text or ""), start=1):
+                if tok not in first:
+                    first[tok] = i
+            for qid in cmap.get(did, ()):
+                ps = [first[term] for term in qt[qid]]
+                span = max(ps) - min(ps)
+                if span <= NEAR_SLOP:
+                    out_q.append(qid)
+                    out_d.append(did)
+                    out_s.append(span)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "span": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    tbl = collect_arrow(docs.map_batches(verify, batch_format="pyarrow"))
+    if tbl.num_rows == 0:
+        return empty
+    return tbl.take(
+        pc.sort_indices(
+            tbl,
+            sort_keys=[("query_id", "ascending"), ("doc_id", "ascending")],
+        )
+    )
+
+
 def bm25_snippets_pipeline(sf_dir: str, n_partitions: int = 4) -> pa.Table:
     """Snippet/highlight generation for the reference-query top-k: for
     every (query, doc) hit, the 1-based char position of the EARLIEST
@@ -608,6 +693,27 @@ def bm25_facets_pipeline(sf_dir: str, n_partitions: int = 4) -> pa.Table:
             ],
         )
     )
+
+
+def vocab_stats_pipeline(sf_dir: str) -> pa.Table:
+    """Vocabulary frequency-of-frequencies: how many terms have each
+    document frequency — the Zipf profile an index planner reads to
+    size dictionaries, pick stopword cutoffs and predict posting
+    skew. One dictionary derivation + an Arrow group_by over (df);
+    output is at most |distinct df values| rows."""
+    ds = term_df_pipeline(sf_dir)
+
+    def fof(t: pa.Table) -> pa.Table:
+        g = t.group_by("df").aggregate([("term", "count")])
+        return g.rename_columns(["df", "n_terms"])
+
+    parts = collect_arrow(ds.map_batches(fof, batch_format="pyarrow"))
+    out = parts.group_by("df").aggregate([("n_terms", "sum")])
+    out = out.rename_columns(["df", "n_terms"])
+    out = out.set_column(
+        1, "n_terms", pc.cast(out["n_terms"], pa.int64())
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("df", "ascending")]))
 
 
 def percolate_pipeline(sf_dir: str) -> pa.Table:

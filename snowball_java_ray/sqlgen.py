@@ -1197,6 +1197,70 @@ ORDER BY query_id, rank
 """
 
 
+def near_match_sql() -> str:
+    """Proximity retrieval (pipelines/api.near_match_pipeline):
+    zipped unnest gives raw token positions; analyzed positions are a
+    row_number over the FILTERED stream (matching the engine's
+    tokenize output order); match = all terms present AND
+    first-occurrence span <= NEAR_SLOP."""
+    from snowball_java_ray.constants import NEAR_SLOP
+
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+         string_split_regex(lower(text), '{TOKEN_SPLIT_PATTERN}') AS tl
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, unnest(tl) AS term,
+         unnest(range(1, len(tl) + 1)) AS rawpos
+  FROM raw
+),
+flt AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) AS pos
+  FROM tokpos
+  WHERE term <> '' AND NOT regexp_full_match(term, '{_NUM_SQL}')
+    AND term NOT IN ({_STOPLIST_SQL})
+),
+firstpos AS (
+  SELECT doc_id, term, min(pos) AS p FROM flt GROUP BY doc_id, term
+),
+qraw AS (
+  SELECT query_id,
+         unnest(string_split_regex(lower(qtext), '{TOKEN_SPLIT_PATTERN}')) AS term
+  FROM {queries_values_sql()}
+),
+qterms AS (
+  SELECT DISTINCT query_id, term FROM qraw
+  WHERE term <> '' AND NOT regexp_full_match(term, '{_NUM_SQL}')
+    AND term NOT IN ({_STOPLIST_SQL})
+),
+qn AS (SELECT query_id, count(*) AS n FROM qterms GROUP BY query_id),
+j AS (
+  SELECT q.query_id, f.doc_id, count(*) AS nt,
+         max(f.p) - min(f.p) AS span
+  FROM qterms q JOIN firstpos f ON f.term = q.term
+  GROUP BY q.query_id, f.doc_id
+)
+SELECT CAST(j.query_id AS BIGINT) AS query_id, j.doc_id,
+       CAST(j.span AS BIGINT) AS span
+FROM j JOIN qn ON qn.query_id = j.query_id
+WHERE j.nt = qn.n AND j.span <= {NEAR_SLOP}
+ORDER BY query_id, doc_id
+"""
+
+
+def vocab_stats_sql() -> str:
+    """Frequency-of-frequencies (pipelines/api.vocab_stats_pipeline)."""
+    return f"""
+WITH {tokenize_cte()},
+d AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+SELECT df, CAST(count(*) AS BIGINT) AS n_terms
+FROM d GROUP BY df ORDER BY df
+"""
+
+
 def term_complete_sql() -> str:
     """Prefix completion (pipelines/api.term_complete_pipeline)."""
     from snowball_java_ray.constants import COMPLETE_K, COMPLETE_PREFIXES

@@ -305,3 +305,42 @@ def test_percolate_equals_indexed_boolean_and(ray_session):
     b = percolate_pipeline(SF_TINY)
     assert a.num_rows == b.num_rows > 0
     assert _sorted_pandas(a).equals(_sorted_pandas(b))
+
+
+def test_near_match_spans(ray_session):
+    """Proximity hits recompute exactly from the raw corpus text
+    (independent of the postings machinery): all terms present and
+    first-occurrence span <= NEAR_SLOP; result is a subset of the
+    conjunctive candidates."""
+    import pyarrow.parquet as pq
+
+    from snowball_java_ray.constants import NEAR_SLOP
+    from snowball_java_ray.functions.text import tokenize
+    from snowball_java_ray.pipelines.api import near_match_pipeline
+
+    docs = pq.read_table(
+        f"{SF_TINY}/documents.parquet", columns=["doc_id", "text"]
+    )
+    firsts = {}
+    for did, text in zip(docs["doc_id"].to_pylist(),
+                         docs["text"].to_pylist()):
+        f = {}
+        for i, tok in enumerate(tokenize(text or ""), start=1):
+            f.setdefault(tok, i)
+        firsts[did] = f
+    exp = []
+    for qid, qtext in enumerate(REFERENCE_QUERIES):
+        terms = sorted(set(tokenize(qtext)))
+        if not terms:
+            continue
+        for did in sorted(firsts):
+            f = firsts[did]
+            if all(t in f for t in terms):
+                span = max(f[t] for t in terms) - min(f[t] for t in terms)
+                if span <= NEAR_SLOP:
+                    exp.append((qid, did, span))
+    got = near_match_pipeline(SF_TINY)
+    assert list(zip(got["query_id"].to_pylist(),
+                    got["doc_id"].to_pylist(),
+                    got["span"].to_pylist())) == exp
+    assert len(exp) > 0

@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_complete": api.term_complete_pipeline,
         "percolate": api.percolate_pipeline,
         "vocab_stats": api.vocab_stats_pipeline,
+        "bm25_explain": api.bm25_explain_pipeline,
         "near_match": api.near_match_pipeline,
         "boolean_and": api.boolean_and_sharded_pipeline,
         "boolean_and_local": api.boolean_and_pipeline,
@@ -198,6 +199,7 @@ def oracle_sql() -> dict[str, str]:
         # streaming-scan execution shape
         "percolate": sqlgen.boolean_and_sql(),
         "vocab_stats": sqlgen.vocab_stats_sql(),
+        "bm25_explain": sqlgen.bm25_explain_sql(),
         "near_match": sqlgen.near_match_sql(),
         "boolean_and": sqlgen.boolean_and_sql(),
         "boolean_and_local": sqlgen.boolean_and_sql(),

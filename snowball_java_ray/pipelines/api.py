@@ -695,6 +695,68 @@ def bm25_facets_pipeline(sf_dir: str, n_partitions: int = 4) -> pa.Table:
     )
 
 
+def bm25_explain_pipeline(sf_dir: str, n_partitions: int = 4) -> pa.Table:
+    """Score explanation: for each query's RANK-1 document, the
+    per-term BM25 breakdown (tf, dl, idf, contribution) — the
+    "explain" surface a search engine exposes for relevance
+    debugging. Output is bounded by |queries| x |query terms|; terms
+    that miss the doc are omitted (they contribute 0).
+
+    The breakdown reuses the fleet's own serving inputs: top-1 docs
+    from the sharded WAND path, postings slices from the broadcast
+    index (tf/dl ride inside the chunk codec), idf from the shared
+    ``bm25_idf`` expression. Oracle: ``sqlgen.bm25_explain_sql``."""
+    import pyarrow.parquet as pq
+
+    from snowball_java_ray.constants import SCORE_ROUND_DECIMALS
+    from snowball_java_ray.functions.text import tokenize
+    from snowball_java_ray.stages.score import bm25_idf
+
+    topk = collect_arrow(
+        bm25_topk_sharded_pipeline(sf_dir, n_partitions=n_partitions)
+    )
+    top1 = topk.filter(pc.equal(topk["rank"], 1))
+    corpus = documents_as_corpus(sf_dir)
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    index = build_index(corpus, n_docs=n_docs)
+
+    import numpy as np
+
+    out = {k: [] for k in
+           ("query_id", "doc_id", "term", "tf", "dl", "idf", "contrib")}
+    for qid, did in zip(top1["query_id"].to_pylist(),
+                        top1["doc_id"].to_pylist()):
+        for term in sorted(set(tokenize(REFERENCE_QUERIES[qid]))):
+            doc_ids, tfs, dls = index.postings(term)
+            pos = np.searchsorted(doc_ids, did)
+            if pos >= doc_ids.size or doc_ids[pos] != did:
+                continue
+            tf = float(tfs[pos])
+            dl = float(dls[pos])
+            idf = bm25_idf(index.df.get(term, 0), index.n_docs)
+            contrib = idf * tf * (BM25_K1 + 1.0) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / index.avgdl)
+            )
+            out["query_id"].append(qid)
+            out["doc_id"].append(did)
+            out["term"].append(term)
+            out["tf"].append(int(tf))
+            out["dl"].append(int(dl))
+            out["idf"].append(round(idf, SCORE_ROUND_DECIMALS))
+            out["contrib"].append(round(contrib, SCORE_ROUND_DECIMALS))
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "term": pa.array(out["term"], pa.string()),
+            "tf": pa.array(out["tf"], pa.int64()),
+            "dl": pa.array(out["dl"], pa.int64()),
+            "idf": pa.array(out["idf"], pa.float64()),
+            "contrib": pa.array(out["contrib"], pa.float64()),
+        }
+    )
+
+
 def vocab_stats_pipeline(sf_dir: str) -> pa.Table:
     """Vocabulary frequency-of-frequencies: how many terms have each
     document frequency — the Zipf profile an index planner reads to

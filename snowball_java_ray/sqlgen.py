@@ -1197,6 +1197,52 @@ ORDER BY query_id, rank
 """
 
 
+def bm25_explain_sql() -> str:
+    """Per-term score breakdown for each query's rank-1 doc
+    (pipelines/api.bm25_explain_pipeline)."""
+    return f"""
+WITH top1 AS (
+  SELECT query_id, doc_id FROM ({bm25_topk_sql()}) t WHERE rank = 1
+),
+{tokenize_cte()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
+meta AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doc_len) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+qraw AS (
+  SELECT query_id,
+         unnest(string_split_regex(lower(qtext), '{TOKEN_SPLIT_PATTERN}')) AS term
+  FROM {queries_values_sql()}
+),
+qterms AS (
+  SELECT DISTINCT query_id, term FROM qraw
+  WHERE term <> '' AND NOT regexp_full_match(term, '{_NUM_SQL}')
+    AND term NOT IN ({_STOPLIST_SQL})
+)
+SELECT CAST(k.query_id AS BIGINT) AS query_id, k.doc_id, q.term,
+       CAST(tf.tf AS BIGINT) AS tf, CAST(dl.doc_len AS BIGINT) AS dl,
+       round(ln((meta.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0),
+             {SCORE_ROUND_DECIMALS}) AS idf,
+       round(
+         ln((meta.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         * tf.tf * ({BM25_K1} + 1.0)
+         / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+            + {BM25_B} * dl.doc_len / meta.avgdl)),
+         {SCORE_ROUND_DECIMALS}) AS contrib
+FROM top1 k
+JOIN qterms q ON q.query_id = k.query_id
+JOIN tf ON tf.term = q.term AND tf.doc_id = k.doc_id
+JOIN df ON df.term = q.term
+JOIN dl ON dl.doc_id = k.doc_id
+CROSS JOIN meta
+ORDER BY query_id, q.term
+"""
+
+
 def near_match_sql() -> str:
     """Proximity retrieval (pipelines/api.near_match_pipeline):
     zipped unnest gives raw token positions; analyzed positions are a

@@ -344,3 +344,18 @@ def test_near_match_spans(ray_session):
                     got["doc_id"].to_pylist(),
                     got["span"].to_pylist())) == exp
     assert len(exp) > 0
+
+
+def test_bm25_explain_sums_to_top1_score(ray_session):
+    """Per-term contributions sum back to the rank-1 doc's emitted
+    score (within rounding of the individually rounded terms)."""
+    from snowball_java_ray.pipelines.api import bm25_explain_pipeline
+
+    topk = collect_arrow(bm25_topk_sharded_pipeline(SF_TINY)).to_pandas()
+    top1 = topk[topk["rank"] == 1].set_index("query_id")
+    exp = bm25_explain_pipeline(SF_TINY).to_pandas()
+    assert len(exp) > 0
+    for qid, g in exp.groupby("query_id"):
+        assert g["doc_id"].nunique() == 1
+        assert int(g["doc_id"].iloc[0]) == int(top1.loc[qid, "doc_id"])
+        assert abs(g["contrib"].sum() - top1.loc[qid, "score"]) < 1e-5

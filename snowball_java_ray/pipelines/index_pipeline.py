@@ -351,6 +351,103 @@ def compact_index_with_tombstones(out_dir: str, new_dir: str) -> dict:
     return man.entries
 
 
+def verify_index(out_dir: str) -> dict:
+    """Index fsck: decode every chunk and check the format invariants
+    the scorers rely on — summary columns consistent with the decoded
+    postings (df = len, cf = sum tf, max_tf / min_dl exact, base =
+    first doc), doc_ids strictly ascending within every chunk, all
+    manifest partitions done, meta present. Distributed: one
+    map_batches over chunk rows returning
+    per-row violation counts; the corpus is never read. Returns
+    {"files", "chunks", "postings", "violations", "errors"[:20]}."""
+    import glob
+    import json
+
+    import numpy as np
+    import ray.data
+
+    from snowball_java_ray.functions.codec import decode_postings
+
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    files = sorted(glob.glob(os.path.join(out_dir, "chunks_*.parquet")),
+                   key=doc_lo_sort_key)
+    man = Manifest(out_dir)
+    errors: list[str] = []
+    for lo, hi in _partition_bounds(meta["n_docs"], meta["n_partitions"]):
+        pid = f"docs_{lo}_{hi}"
+        if not man.is_done(pid, os.path.join(out_dir,
+                                             f"chunks_{pid}.parquet")):
+            errors.append(f"partition {pid} not done in manifest")
+
+    def check(t: pa.Table) -> pa.Table:
+        bad = 0
+        msgs: list[str] = []
+        n_post = 0
+        for i in range(t.num_rows):
+            term = t["term"][i].as_py()
+            base = int(t["base"][i].as_py())
+            try:
+                doc_ids, tfs, dls = decode_postings(
+                    bytes(t["data"][i].as_py()), base=base
+                )
+                # a truncated payload may decode "successfully" into
+                # short/None arrays — malformed output IS corruption
+                if (
+                    doc_ids is None or tfs is None or dls is None
+                    or doc_ids.size == 0
+                    or not (doc_ids.size == tfs.size == dls.size)
+                ):
+                    raise ValueError("malformed decoded arrays")
+            except Exception as e:  # corrupt payload
+                bad += 1
+                msgs.append(f"{term}: decode failed: {e}")
+                continue
+            n_post += doc_ids.size
+            checks = [
+                (int(t["df"][i].as_py()) == doc_ids.size, "df"),
+                (int(t["cf"][i].as_py()) == int(tfs.sum()), "cf"),
+                (int(t["max_tf"][i].as_py()) == int(tfs.max()), "max_tf"),
+                (int(t["min_dl"][i].as_py()) == int(dls.min()), "min_dl"),
+                (base == int(doc_ids[0]), "base"),
+                (bool(np.all(np.diff(doc_ids) > 0)), "doc order"),
+            ]
+            for ok, what in checks:
+                if not ok:
+                    bad += 1
+                    msgs.append(f"{term}@{base}: {what} invariant")
+        return pa.table(
+            {
+                "chunks": pa.array([t.num_rows], pa.int64()),
+                "postings": pa.array([n_post], pa.int64()),
+                "violations": pa.array([bad], pa.int64()),
+                "msgs": pa.array([msgs[:5]], pa.list_(pa.string())),
+            }
+        )
+
+    chunks = postings = violations = 0
+    if files:
+        res = (
+            ray.data.read_parquet(files)
+            .map_batches(check, batch_format="pyarrow")
+        )
+        for b in res.iter_batches(batch_size=None, batch_format="pyarrow"):
+            chunks += int(pa.compute.sum(b["chunks"]).as_py() or 0)
+            postings += int(pa.compute.sum(b["postings"]).as_py() or 0)
+            violations += int(pa.compute.sum(b["violations"]).as_py() or 0)
+            for lst in b["msgs"].to_pylist():
+                errors.extend(lst)
+    return {
+        "files": len(files),
+        "chunks": chunks,
+        "postings": postings,
+        "violations": violations + sum(
+            1 for e in errors if e.startswith("partition ")
+        ),
+        "errors": errors[:20],
+    }
+
+
 def live_doc_count(meta: dict) -> int:
     """Docs that still exist after physical compaction — the N that
     idf/avgdl use. Logical tombstones do NOT reduce it (delete_docs

@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": textstats.langid,
         "lang_profile": textstats.lang_profile,
         "cooc_pmi": textstats.cooc_pmi,
+        "lm_nll": textstats.lm_nll,
         "source_report": textstats.source_report,
         "doc_tags": textstats.doc_tags,
         "lang_quantiles": textstats.lang_quantiles,
@@ -164,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": sqlgen.langid_sql(),
         "lang_profile": sqlgen.lang_profile_sql(),
         "cooc_pmi": sqlgen.cooc_pmi_sql(),
+        "lm_nll": sqlgen.lm_nll_sql(),
         "source_report": sqlgen.source_report_sql(),
         "doc_tags": sqlgen.doc_tags_sql(),
         "lang_quantiles": sqlgen.lang_quantiles_sql(),

@@ -911,3 +911,150 @@ def regex_search(sf_dir: str) -> ray.data.Dataset:
     return _read_docs(sf_dir).map_batches(
         fn, batch_format="pyarrow"
     ).sort(["pattern_id", "doc_id"])
+
+
+def _batch_bigrams(t: pa.Table, text_col: str = "text"):
+    """Vectorized per-batch bigram extraction over the ANALYZED token
+    stream (consecutive surviving tokens within one doc). Returns
+    (bigram_row_idx, w1, w2) — w1/w2 are Arrow string arrays, the row
+    index maps each bigram back to its doc row."""
+    row_idx, toks = tokenize_arrow(t[text_col])
+    if len(toks) < 2:
+        e = np.empty(0, np.int64)
+        es = pa.array([], pa.string())
+        return e, es, es
+    same = row_idx[1:] == row_idx[:-1]
+    mask = pa.array(same)
+    w1 = toks.slice(0, len(toks) - 1).filter(mask)
+    w2 = toks.slice(1).filter(mask)
+    return row_idx[1:][same], w1, w2
+
+
+def lm_nll(sf_dir: str) -> pa.Table:
+    """Bigram language-model scoring (the CCNet-style LM quality
+    filter): train add-1-smoothed bigram statistics over the corpus's
+    analyzed token stream, then score every doc by its mean
+    negative-log-likelihood — high-NLL docs are the distribution
+    outliers a training-data pipeline reviews or drops.
+
+    Determinism across engines: each bigram's contribution
+    -ln((c(w1,w2)+1)/(cp(w1)+V)) is quantized to an INTEGER
+    (floor(x*1e6+0.5)) before summation, so the per-doc sum is exact
+    integer arithmetic — no float summation order to pin between
+    numpy and DuckDB. nll = intsum/(n_bigrams*1e6), rounded.
+
+    Scale shape: pass 1 trains via map-side-combined bigram partials
+    into ONE ``hash_grouped_aggregate`` shuffle (+ a unigram agg for
+    the vocabulary size); the model ships once via ray.put as
+    key-sorted Arrow arrays and every scoring lookup is a vectorized
+    ``pc.index_in`` — per batch, zero Python loops; docs score in the
+    SAME streamed scan shape as the other textstats. At extreme
+    vocabularies the model broadcast becomes a bucketed join on w1
+    (documented, same move as doc_tags). Oracle:
+    ``sqlgen.lm_nll_sql``."""
+    import ray
+
+    from snowball_java_ray.constants import SCORE_ROUND_DECIMALS
+    from snowball_java_ray.ops.dedup import hash_grouped_aggregate
+
+    docs = _read_docs(sf_dir)
+    SEP = "\x00"  # cannot appear in analyzed tokens ([a-z0-9]+ only)
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        _, w1, w2 = _batch_bigrams(t)
+        if len(w1) == 0:
+            return pa.table(
+                {"w1": pa.array([], pa.string()),
+                 "w2": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64())}
+            )
+        g = (
+            pa.table({"w1": w1, "w2": w2})
+            .group_by(["w1", "w2"])
+            .aggregate([("w1", "count")])
+        )
+        return g.rename_columns(["w1", "w2", "c"]).set_column(
+            2, "c", pc.cast(g["w1_count"], pa.int64())
+        )
+
+    def unigram_partial(t: pa.Table) -> pa.Table:
+        _, toks = tokenize_arrow(t["text"])
+        u = pc.unique(toks)
+        return pa.table({"term": u, "one": pa.array([1] * len(u), pa.int64())})
+
+    model = hash_grouped_aggregate(
+        docs.map_batches(bigram_partial, batch_format="pyarrow"),
+        ["w1", "w2"],
+        [("c", "sum", "c")],
+    )
+    model_tbl = pa.concat_tables(
+        model.iter_batches(batch_size=None, batch_format="pyarrow"),
+        promote_options="default",
+    )
+    vocab = hash_grouped_aggregate(
+        docs.map_batches(unigram_partial, batch_format="pyarrow"),
+        ["term"],
+        [("one", "max", "one")],
+    )
+    n_vocab = vocab.count()
+
+    # prefix counts cp(w1) = sum over w2 of c(w1, w2); model ships as
+    # key-sorted Arrow arrays for vectorized index_in probes
+    pref = model_tbl.group_by("w1").aggregate([("c", "sum")])
+    key = pc.binary_join_element_wise(
+        model_tbl["w1"], model_tbl["w2"], SEP
+    )
+    order = pc.sort_indices(key)
+    model_ref = ray.put(
+        (
+            pc.take(key, order).combine_chunks(),
+            pc.take(model_tbl["c"], order)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            pref["w1"].combine_chunks(),
+            pref["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64),
+            int(n_vocab),
+        )
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        keys, cs, pw1, cps, V = _ray.get(model_ref)
+        bidx, w1, w2 = _batch_bigrams(t)
+        if len(w1) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_bigrams": pa.array([], pa.int64()),
+                 "nll": pa.array([], pa.float64())}
+            )
+        bkey = pc.binary_join_element_wise(w1, w2, SEP)
+        c = cs[pc.index_in(bkey, keys).to_numpy(zero_copy_only=False)]
+        cp = cps[pc.index_in(w1, pw1).to_numpy(zero_copy_only=False)]
+        x = -np.log((c + 1.0) / (cp + float(V)))
+        contrib = np.floor(x * 1e6 + 0.5).astype(np.int64)
+        # per-doc integer sums (docs are atomic rows -> whole doc in
+        # this batch)
+        sums = np.bincount(bidx, weights=None, minlength=t.num_rows)
+        isum = np.bincount(bidx, weights=contrib, minlength=t.num_rows)
+        has = sums > 0
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[has]
+        n_b = sums[has].astype(np.int64)
+        nll = np.round(
+            isum[has] / (n_b * 1e6), SCORE_ROUND_DECIMALS
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_bigrams": pa.array(n_b, pa.int64()),
+                "nll": pa.array(nll, pa.float64()),
+            }
+        )
+
+    out = pa.concat_tables(
+        docs.map_batches(score, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ),
+        promote_options="default",
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))

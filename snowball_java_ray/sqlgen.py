@@ -1197,6 +1197,54 @@ ORDER BY query_id, rank
 """
 
 
+def lm_nll_sql() -> str:
+    """Bigram-LM doc scoring (ops/textstats.lm_nll): add-1-smoothed
+    bigram NLL over the analyzed stream. Each bigram contribution is
+    quantized to an integer (floor(x*1e6 + 0.5)) BEFORE summation so
+    the per-doc sum is order-free exact integer arithmetic on both
+    engines."""
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+         string_split_regex(lower(text), '{TOKEN_SPLIT_PATTERN}') AS tl
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, unnest(tl) AS term,
+         unnest(range(1, len(tl) + 1)) AS rawpos
+  FROM raw
+),
+flt AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) AS pos
+  FROM tokpos
+  WHERE term <> '' AND NOT regexp_full_match(term, '{_NUM_SQL}')
+    AND term NOT IN ({_STOPLIST_SQL})
+),
+big AS (
+  SELECT a.doc_id, a.term AS w1, b.term AS w2
+  FROM flt a JOIN flt b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+bc AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+pref AS (SELECT w1, sum(c) AS cp FROM bc GROUP BY w1),
+v AS (SELECT count(DISTINCT term) AS v FROM flt),
+scored AS (
+  SELECT g.doc_id, count(*) AS n_bigrams,
+         sum(CAST(floor(
+           -ln((bc.c + 1.0) / (pref.cp + v.v)) * 1000000 + 0.5
+         ) AS BIGINT)) AS s
+  FROM big g
+  JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+  JOIN pref ON pref.w1 = g.w1
+  CROSS JOIN v
+  GROUP BY g.doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       round(s / (n_bigrams * 1000000.0), {SCORE_ROUND_DECIMALS}) AS nll
+FROM scored ORDER BY doc_id
+"""
+
+
 def bm25_explain_sql() -> str:
     """Per-term score breakdown for each query's rank-1 doc
     (pipelines/api.bm25_explain_pipeline)."""

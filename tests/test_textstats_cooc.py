@@ -218,3 +218,49 @@ def test_term_complete_prefix_and_order(ray_session):
         assert g["rank"].tolist() == list(range(1, len(g) + 1))
         pairs = list(zip(-g["cf"].to_numpy(), g["term"]))
         assert pairs == sorted(pairs)
+
+
+def test_lm_nll_invariants(ray_session):
+    """Every doc with >= 2 analyzed tokens gets a positive NLL; the
+    quantized mean matches a per-doc python recomputation of the same
+    integer rule on a sample."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from snowball_java_ray.functions.text import tokenize
+    from snowball_java_ray.ops.textstats import lm_nll
+    from tests.conftest import SF_TINY
+
+    got = lm_nll(SF_TINY).to_pandas().set_index("doc_id")
+    docs = pq.read_table(
+        f"{SF_TINY}/documents.parquet", columns=["doc_id", "text"]
+    )
+    toks = {
+        did: tokenize(text or "")
+        for did, text in zip(docs["doc_id"].to_pylist(),
+                             docs["text"].to_pylist())
+    }
+    n_eligible = sum(1 for ts in toks.values() if len(ts) >= 2)
+    assert len(got) == n_eligible
+    assert (got["nll"] > 0).all()
+    assert (got["n_bigrams"] >= 1).all()
+
+    # independent recomputation of the integer rule for 5 docs
+    from collections import Counter
+
+    bc: Counter = Counter()
+    for ts in toks.values():
+        bc.update(zip(ts, ts[1:]))
+    cp: Counter = Counter()
+    for (w1, _), c in bc.items():
+        cp[w1] += c
+    V = len({t for ts in toks.values() for t in ts})
+    for did in list(got.index)[:5]:
+        ts = toks[did]
+        contribs = [
+            int(np.floor(-np.log((bc[(a, b)] + 1.0) / (cp[a] + V)) * 1e6
+                         + 0.5))
+            for a, b in zip(ts, ts[1:])
+        ]
+        want = round(sum(contribs) / (len(contribs) * 1e6), 6)
+        assert abs(got.loc[did, "nll"] - want) < 1e-9

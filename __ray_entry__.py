@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh": dedup.minhash_lsh_candidates,
         "simhash": dedup.simhash_docs,
         "dup_clusters": dedup.dup_clusters,
+        "canonical_docs": dedup.canonical_docs,
         "simhash_pairs": dedup.simhash_pairs,
         "embed_dup_pairs": dedup.embed_dup_pairs,
         "embed_dup_lsh": dedup.embed_dup_pairs_lsh,
@@ -153,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": sqlgen.minhash_lsh_sql(),
         "simhash": sqlgen.simhash_sql(),
         "dup_clusters": sqlgen.dup_clusters_sql(),
+        "canonical_docs": sqlgen.canonical_docs_sql(),
         "simhash_pairs": sqlgen.simhash_pairs_sql(),
         "embed_dup_pairs": sqlgen.embed_dup_pairs_sql(),
         "embed_dup_lsh": sqlgen.embed_dup_lsh_sql(),

@@ -832,3 +832,118 @@ def dup_clusters(sf_dir: str, max_iters: int = 16) -> ray.data.Dataset:
         )
 
     return labels.map_batches(rename, batch_format="pyarrow").sort("doc_id")
+
+
+def canonical_docs(sf_dir: str) -> pa.Table:
+    """Near-dup canonicalization: one representative per LSH near-dup
+    cluster — the doc with the most analyzed terms (richest content),
+    ties to the lowest doc_id; docs outside any cluster represent
+    themselves. Output (doc_id, cluster_id, keep_id, kept) is the
+    keep/drop decision table a curation pipeline applies after
+    ``dup_clusters``.
+
+    Scale shape: cluster labels come from the distributed
+    min-label-propagation components; the full-corpus label table is
+    labels = per-doc MIN over (cluster labels ∪ self labels) — one
+    ``hash_grouped_aggregate``, valid because a component's label is
+    <= every member id by construction. Term counts ride a streamed
+    scan; the per-cluster argmax packs (n_terms, -doc_id) into ONE
+    int64 so the reduce is a plain integer max (no per-group Python),
+    and the winner joins back via ``bucketed_hash_join``. Assumes
+    doc_id < 2^40 and n_terms < 2^23 (asserted). Oracle:
+    ``sqlgen.canonical_docs_sql``."""
+    import ray.data
+
+    from snowball_java_ray.functions.text import tokenize_arrow
+    from snowball_java_ray.ops.joins import bucketed_hash_join
+
+    clusters = dup_clusters(sf_dir)
+
+    def self_labels(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "cluster_id": t["doc_id"]}
+        )
+
+    def nterms(t: pa.Table) -> pa.Table:
+        row_idx, _ = tokenize_arrow(t["text"])
+        n = np.bincount(row_idx, minlength=t.num_rows).astype(np.int64)
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_terms": pa.array(n, pa.int64())}
+        )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    labels = hash_grouped_aggregate(
+        clusters.union(
+            docs.map_batches(self_labels, batch_format="pyarrow")
+        ),
+        ["doc_id"],
+        [("cluster_id", "min", "cluster_id")],
+    )
+    nt = docs.map_batches(nterms, batch_format="pyarrow")
+    # materialize: joined feeds BOTH the per-cluster argmax and the
+    # final join (the re-execution trap from BENCH/BASELINE.md)
+    joined = bucketed_hash_join(labels, nt, "doc_id", "doc_id").materialize()
+
+    B = 1 << 40
+
+    def pack(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = t["n_terms"].to_numpy(zero_copy_only=False)
+        assert (d < B).all() and (n < (1 << 23)).all()
+        return pa.table(
+            {
+                "cluster_id": t["cluster_id"],
+                "key": pa.array(n * B + (B - 1 - d), pa.int64()),
+            }
+        )
+
+    keep = hash_grouped_aggregate(
+        joined.map_batches(pack, batch_format="pyarrow"),
+        ["cluster_id"],
+        [("key", "max", "key")],
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t["key"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cluster_id": t["cluster_id"],
+                "keep_id": pa.array(B - 1 - (k % B), pa.int64()),
+            }
+        )
+
+    final = bucketed_hash_join(
+        joined,
+        keep.map_batches(unpack, batch_format="pyarrow"),
+        "cluster_id",
+        "cluster_id",
+    )
+
+    def decide(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        k = t["keep_id"].to_numpy(zero_copy_only=False)
+        # the pandas merge inside bucketed_hash_join can upcast int
+        # key columns on empty buckets — pin the contract dtypes
+        return pa.table(
+            {
+                "doc_id": _pc.cast(t["doc_id"], pa.int64()),
+                "cluster_id": _pc.cast(t["cluster_id"], pa.int64()),
+                "keep_id": _pc.cast(t["keep_id"], pa.int64()),
+                "kept": pa.array((d == k).astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = pa.concat_tables(
+        final.map_batches(decide, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ),
+        promote_options="default",
+    )
+    import pyarrow.compute as pc
+
+    return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))

@@ -410,6 +410,54 @@ FROM reach GROUP BY a ORDER BY doc_id
 """
 
 
+def canonical_docs_sql() -> str:
+    """Near-dup canonicalization (ops/dedup.canonical_docs): per
+    cluster keep the doc with the most analyzed terms, ties to lowest
+    doc_id; unclustered docs keep themselves."""
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT * FROM ({minhash_lsh_sql()}) q),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+cl AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+  FROM reach GROUP BY a
+),
+{tokenize_cte()},
+nt AS (SELECT doc_id, count(*) AS n_terms FROM toks GROUP BY doc_id),
+lab AS (
+  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+),
+j AS (
+  SELECT l.doc_id, l.cluster_id, coalesce(nt.n_terms, 0) AS n_terms
+  FROM lab l LEFT JOIN nt ON nt.doc_id = l.doc_id
+),
+k AS (
+  SELECT cluster_id, doc_id AS keep_id FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (
+             PARTITION BY cluster_id
+             ORDER BY n_terms DESC, doc_id ASC
+           ) AS r
+    FROM j
+  ) WHERE r = 1
+)
+SELECT j.doc_id, j.cluster_id, k.keep_id,
+       CAST(j.doc_id = k.keep_id AS BIGINT) AS kept
+FROM j JOIN k ON k.cluster_id = j.cluster_id
+ORDER BY j.doc_id
+"""
+
+
 def simhash_sql() -> str:
     """60-bit tf-weighted simhash over canonical terms, via a
     bit-position explode (doc x term x bit)."""

@@ -264,3 +264,40 @@ def test_lm_nll_invariants(ray_session):
         ]
         want = round(sum(contribs) / (len(contribs) * 1e6), 6)
         assert abs(got.loc[did, "nll"] - want) < 1e-9
+
+
+def test_canonical_docs_invariants(ray_session):
+    """Exactly one kept doc per cluster; the keeper belongs to its
+    cluster and maximizes (n_terms, -doc_id); unclustered docs keep
+    themselves."""
+    from snowball_java_ray.functions.text import tokenize
+    from snowball_java_ray.ops.dedup import canonical_docs
+    from tests.conftest import SF_TINY
+
+    got = canonical_docs(SF_TINY).to_pandas()
+    assert len(got) == 500  # every corpus doc decided
+    per = got.groupby("cluster_id")
+    assert (per["kept"].sum() == 1).all()
+    assert (per.apply(
+        lambda g: (g.loc[g["kept"] == 1, "doc_id"].iloc[0]
+                   == g["keep_id"].iloc[0])
+    )).all()
+    # singleton docs keep themselves
+    singles = per.filter(lambda g: len(g) == 1)
+    assert (singles["doc_id"] == singles["keep_id"]).all()
+    # keeper maximizes n_terms (ties -> lowest doc_id) within cluster
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        f"{SF_TINY}/documents.parquet", columns=["doc_id", "text"]
+    )
+    nt = {
+        did: len(tokenize(text or ""))
+        for did, text in zip(docs["doc_id"].to_pylist(),
+                             docs["text"].to_pylist())
+    }
+    for cid, g in got.groupby("cluster_id"):
+        if len(g) == 1:
+            continue
+        want = sorted(g["doc_id"], key=lambda d: (-nt[d], d))[0]
+        assert g["keep_id"].iloc[0] == want

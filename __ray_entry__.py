@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dup_lsh": dedup.embed_dup_pairs_lsh,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
+        "embed_outliers": ann.embed_outliers,
         "lsh_ann": ann.lsh_ann_topk,
         "ivf_ann": ann.ivf_ann_topk,
         # --- text analysis ---
@@ -159,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_dup_pairs": sqlgen.embed_dup_pairs_sql(),
         "embed_dup_lsh": sqlgen.embed_dup_lsh_sql(),
         "ann_topk": sqlgen.ann_topk_sql(),
+        "embed_outliers": sqlgen.embed_outliers_sql(),
         "lsh_ann": sqlgen.lsh_ann_sql(),
         "ivf_ann": sqlgen.ivf_ann_sql(),
         "quality_score": sqlgen.quality_score_sql(),

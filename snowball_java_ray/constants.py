@@ -144,6 +144,14 @@ COMPLETE_K = 5
 # window would need per-occurrence joins).
 NEAR_SLOP = 8
 
+# Embedding-space audit (ops/ann.embed_outliers): per label, the
+# EMB_OUTLIER_K vectors FARTHEST from their label centroid (lowest
+# cosine first; rank on round(cos, RANK_ROUND_DECIMALS) ASC, vec_id
+# ASC) — the mislabeled-example / outlier review queue. Centroids
+# are computed from per-dimension INTEGER sums of round(x*1e6)
+# (order-free exact arithmetic on both engines), then divided back.
+EMB_OUTLIER_K = 5
+
 # --- Dedup / similarity parameters (ops/dedup.py, ops/ann.py) ----------
 # All hashes are md5-derived (md5int60 = first 15 hex digits as int) so
 # every dedup operator has a bit-identical DuckDB oracle.

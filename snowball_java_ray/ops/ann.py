@@ -329,3 +329,137 @@ def ivf_ann_topk(
         lambda matn: ivf_cells(matn, cmatn),
         top_k,
     )
+
+
+def embed_outliers(sf_dir: str) -> pa.Table:
+    """Embedding-space audit: for each label, the EMB_OUTLIER_K
+    vectors farthest from their label's centroid (lowest cosine
+    first) — the review queue for mislabeled or out-of-distribution
+    examples in an embedding table.
+
+    Determinism across engines: centroids come from per-dimension
+    INTEGER sums of round(x*1e6) (commutative exact arithmetic — no
+    float summation order), divided back to float once; the cosine
+    itself is a fixed-dimension-order dot product, absorbed by the
+    usual round-9 rank / round-6 emit discipline (same as ann_topk).
+
+    Scale shape: pass 1 emits per-batch integer partial sums (one
+    labels x dim int64 matrix per batch — map-side combine), reduced
+    on the driver (labels x dim is tiny); the centroid matrix ships
+    once via ray.put; pass 2 scores every vector in one streamed scan
+    and keeps a per-batch bottom-K per label, so driver traffic is
+    O(blocks x labels x K). Oracle: ``sqlgen.embed_outliers_sql``."""
+    import ray
+
+    from snowball_java_ray.constants import (
+        EMB_OUTLIER_K,
+        RANK_ROUND_DECIMALS,
+        SCORE_ROUND_DECIMALS,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "label", "embedding"],
+    )
+
+    def partial_sums(t: pa.Table) -> pa.Table:
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        q = np.round(mat * 1e6).astype(np.int64)
+        uniq = np.unique(labels)
+        rows = {"label": [], "s": [], "n": []}
+        for lb in uniq:
+            m = labels == lb
+            rows["label"].append(int(lb))
+            rows["s"].append(q[m].sum(axis=0).tolist())
+            rows["n"].append(int(m.sum()))
+        return pa.table(
+            {
+                "label": pa.array(rows["label"], pa.int64()),
+                "s": pa.array(rows["s"], pa.list_(pa.int64())),
+                "n": pa.array(rows["n"], pa.int64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        ds.map_batches(partial_sums, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ),
+        promote_options="default",
+    )
+    sums: dict[int, np.ndarray] = {}
+    counts: dict[int, int] = {}
+    for lb, s, n in zip(parts["label"].to_pylist(),
+                        parts["s"].to_pylist(), parts["n"].to_pylist()):
+        acc = sums.get(lb)
+        sums[lb] = (np.asarray(s, np.int64) if acc is None
+                    else acc + np.asarray(s, np.int64))
+        counts[lb] = counts.get(lb, 0) + n
+    labels_sorted = sorted(sums)
+    cent = np.stack(
+        [sums[lb] / (counts[lb] * 1e6) for lb in labels_sorted]
+    )
+    lab_index = {lb: i for i, lb in enumerate(labels_sorted)}
+    cent_ref = ray.put((lab_index, cent))
+
+    def bottomk(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        lidx, c = _ray.get(cent_ref)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        ci = np.array([lidx[int(lb)] for lb in labels], np.int64)
+        cm = c[ci]
+        dot = np.einsum("ij,ij->i", mat, cm)
+        cos = dot / (np.linalg.norm(mat, axis=1) * np.linalg.norm(cm, axis=1))
+        out = {"label": [], "vec_id": [], "cos": []}
+        for lb in np.unique(labels):
+            m = labels == lb
+            v, s = vids[m], cos[m]
+            order = np.lexsort((v, np.round(s, RANK_ROUND_DECIMALS)))
+            order = order[:EMB_OUTLIER_K]
+            out["label"].extend([int(lb)] * order.size)
+            out["vec_id"].extend(v[order].tolist())
+            out["cos"].extend(s[order].tolist())
+        return pa.table(
+            {
+                "label": pa.array(out["label"], pa.int64()),
+                "vec_id": pa.array(out["vec_id"], pa.int64()),
+                "cos": pa.array(out["cos"], pa.float64()),
+            }
+        )
+
+    cand = pa.concat_tables(
+        ds.map_batches(bottomk, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ),
+        promote_options="default",
+    )
+    labels = cand["label"].to_numpy(zero_copy_only=False)
+    vids = cand["vec_id"].to_numpy(zero_copy_only=False)
+    cos = cand["cos"].to_numpy(zero_copy_only=False)
+    out = {"label": [], "rank": [], "vec_id": [], "cos": []}
+    for lb in sorted(set(labels.tolist())):
+        m = labels == lb
+        v, s = vids[m], cos[m]
+        order = np.lexsort((v, np.round(s, RANK_ROUND_DECIMALS)))
+        order = order[:EMB_OUTLIER_K]
+        out["label"].extend([int(lb)] * order.size)
+        out["rank"].extend(range(1, order.size + 1))
+        out["vec_id"].extend(v[order].tolist())
+        out["cos"].extend(
+            np.round(s[order], SCORE_ROUND_DECIMALS).tolist()
+        )
+    return pa.table(
+        {
+            "label": pa.array(out["label"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int32()),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "cos": pa.array(out["cos"], pa.float64()),
+        }
+    )

@@ -773,6 +773,53 @@ ORDER BY query_vec_id, rank
 """
 
 
+def embed_outliers_sql() -> str:
+    """Embedding-space audit (ops/ann.embed_outliers): per-label
+    centroid from integer-quantized per-dimension sums, then the
+    EMB_OUTLIER_K lowest-cosine vectors per label."""
+    from snowball_java_ray.constants import EMB_OUTLIER_K
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+dims AS (
+  SELECT vec_id, label, unnest(v) AS x,
+         unnest(range(1, len(v) + 1)) AS d
+  FROM e
+),
+q AS (
+  SELECT label, d,
+         sum(CAST(round(x * 1000000) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM dims GROUP BY label, d
+),
+cent AS (
+  SELECT label, list(s / (n * 1000000.0) ORDER BY d) AS cv
+  FROM q GROUP BY label
+),
+s AS (
+  SELECT e.vec_id, e.label,
+         list_cosine_similarity(e.v, c.cv) AS cos
+  FROM e JOIN cent c ON c.label = e.label
+),
+r AS (
+  SELECT label, vec_id, cos,
+         row_number() OVER (
+           PARTITION BY label
+           ORDER BY round(cos, {RANK_ROUND_DECIMALS}) ASC, vec_id ASC
+         ) AS rank
+  FROM s
+)
+SELECT label, CAST(rank AS INT) AS rank, vec_id,
+       round(cos, {SCORE_ROUND_DECIMALS}) AS cos
+FROM r WHERE rank <= {EMB_OUTLIER_K}
+ORDER BY label, rank
+"""
+
+
 def boolean_and_sql() -> str:
     """Conjunctive retrieval oracle: doc contains ALL query terms."""
     return f"""

@@ -91,3 +91,37 @@ def test_ivf_recall_and_determinism(ray_session):
     # nprobe/K of the corpus examined on average (cells are uneven, but
     # the bound holds loosely); recall must beat that fraction
     assert mean_recall > IVF_NPROBE / IVF_K, mean_recall
+
+
+def test_embed_outliers_brute_equivalence(ray_session):
+    """embed_outliers == a brute numpy recomputation (integer-sum
+    centroid, cosine bottom-k per label)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from snowball_java_ray.constants import (
+        EMB_OUTLIER_K,
+        RANK_ROUND_DECIMALS,
+    )
+    from snowball_java_ray.ops.ann import embed_outliers
+    from tests.conftest import SF_TINY
+
+    got = embed_outliers(SF_TINY).to_pandas()
+    t = pq.read_table(f"{SF_TINY}/embeddings.parquet")
+    labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+        np.float64
+    )
+    for lb in np.unique(labels):
+        m = labels == lb
+        q = np.round(mat[m] * 1e6).astype(np.int64)
+        cent = q.sum(axis=0) / (m.sum() * 1e6)
+        cos = mat[m] @ cent / (
+            np.linalg.norm(mat[m], axis=1) * np.linalg.norm(cent)
+        )
+        order = np.lexsort((vids[m], np.round(cos, RANK_ROUND_DECIMALS)))
+        want = vids[m][order][:EMB_OUTLIER_K].tolist()
+        g = got[got["label"] == lb]
+        assert g["vec_id"].tolist() == want
+        assert g["rank"].tolist() == list(range(1, len(want) + 1))

@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "embed_outliers": ann.embed_outliers,
+        "label_confusion": ann.label_confusion,
         "lsh_ann": ann.lsh_ann_topk,
         "ivf_ann": ann.ivf_ann_topk,
         # --- text analysis ---
@@ -161,6 +162,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_dup_lsh": sqlgen.embed_dup_lsh_sql(),
         "ann_topk": sqlgen.ann_topk_sql(),
         "embed_outliers": sqlgen.embed_outliers_sql(),
+        "label_confusion": sqlgen.label_confusion_sql(),
         "lsh_ann": sqlgen.lsh_ann_sql(),
         "ivf_ann": sqlgen.ivf_ann_sql(),
         "quality_score": sqlgen.quality_score_sql(),

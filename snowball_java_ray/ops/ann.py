@@ -331,46 +331,32 @@ def ivf_ann_topk(
     )
 
 
-def embed_outliers(sf_dir: str) -> pa.Table:
-    """Embedding-space audit: for each label, the EMB_OUTLIER_K
-    vectors farthest from their label's centroid (lowest cosine
-    first) — the review queue for mislabeled or out-of-distribution
-    examples in an embedding table.
+def _emb_ds(sf_dir: str):
+    import ray.data
 
-    Determinism across engines: centroids come from per-dimension
-    INTEGER sums of round(x*1e6) (commutative exact arithmetic — no
-    float summation order), divided back to float once; the cosine
-    itself is a fixed-dimension-order dot product, absorbed by the
-    usual round-9 rank / round-6 emit discipline (same as ann_topk).
-
-    Scale shape: pass 1 emits per-batch integer partial sums (one
-    labels x dim int64 matrix per batch — map-side combine), reduced
-    on the driver (labels x dim is tiny); the centroid matrix ships
-    once via ray.put; pass 2 scores every vector in one streamed scan
-    and keeps a per-batch bottom-K per label, so driver traffic is
-    O(blocks x labels x K). Oracle: ``sqlgen.embed_outliers_sql``."""
-    import ray
-
-    from snowball_java_ray.constants import (
-        EMB_OUTLIER_K,
-        RANK_ROUND_DECIMALS,
-        SCORE_ROUND_DECIMALS,
-    )
-
-    ds = ray.data.read_parquet(
+    return ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet",
         columns=["vec_id", "label", "embedding"],
     )
 
+
+def _label_centroids(ds) -> tuple[dict[int, int], np.ndarray]:
+    """Per-label centroid matrix from map-side INTEGER partial sums:
+    each batch emits one (label, sum(round(x*1e6)), n) row per label
+    present (commutative exact arithmetic — no float summation
+    order), the driver combines the tiny labels x dim matrix and
+    divides back to float once. Shared by embed_outliers and
+    label_confusion. Returns ({label -> row}, centroid matrix with
+    rows in ascending label order)."""
+
     def partial_sums(t: pa.Table) -> pa.Table:
         labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
-        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
-            np.float64
-        )
+        mat = np.stack(
+            t["embedding"].to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
         q = np.round(mat * 1e6).astype(np.int64)
-        uniq = np.unique(labels)
         rows = {"label": [], "s": [], "n": []}
-        for lb in uniq:
+        for lb in np.unique(labels):
             m = labels == lb
             rows["label"].append(int(lb))
             rows["s"].append(q[m].sum(axis=0).tolist())
@@ -401,7 +387,37 @@ def embed_outliers(sf_dir: str) -> pa.Table:
     cent = np.stack(
         [sums[lb] / (counts[lb] * 1e6) for lb in labels_sorted]
     )
-    lab_index = {lb: i for i, lb in enumerate(labels_sorted)}
+    return {lb: i for i, lb in enumerate(labels_sorted)}, cent
+
+
+def embed_outliers(sf_dir: str) -> pa.Table:
+    """Embedding-space audit: for each label, the EMB_OUTLIER_K
+    vectors farthest from their label's centroid (lowest cosine
+    first) — the review queue for mislabeled or out-of-distribution
+    examples in an embedding table.
+
+    Determinism across engines: centroids come from per-dimension
+    INTEGER sums of round(x*1e6) (commutative exact arithmetic — no
+    float summation order), divided back to float once; the cosine
+    itself is a fixed-dimension-order dot product, absorbed by the
+    usual round-9 rank / round-6 emit discipline (same as ann_topk).
+
+    Scale shape: pass 1 emits per-batch integer partial sums (one
+    labels x dim int64 matrix per batch — map-side combine), reduced
+    on the driver (labels x dim is tiny); the centroid matrix ships
+    once via ray.put; pass 2 scores every vector in one streamed scan
+    and keeps a per-batch bottom-K per label, so driver traffic is
+    O(blocks x labels x K). Oracle: ``sqlgen.embed_outliers_sql``."""
+    import ray
+
+    from snowball_java_ray.constants import (
+        EMB_OUTLIER_K,
+        RANK_ROUND_DECIMALS,
+        SCORE_ROUND_DECIMALS,
+    )
+
+    ds = _emb_ds(sf_dir)
+    lab_index, cent = _label_centroids(ds)
     cent_ref = ray.put((lab_index, cent))
 
     def bottomk(t: pa.Table) -> pa.Table:
@@ -462,4 +478,70 @@ def embed_outliers(sf_dir: str) -> pa.Table:
             "vec_id": pa.array(out["vec_id"], pa.int64()),
             "cos": pa.array(out["cos"], pa.float64()),
         }
+    )
+
+
+def label_confusion(sf_dir: str) -> pa.Table:
+    """Label-purity audit: for every vector, the NEAREST label
+    centroid (round-9 cosine DESC, label ASC on ties), aggregated to
+    a (label, pred_label, n) confusion table — off-diagonal mass
+    flags label noise or collapsed clusters in an embedding table.
+
+    Same centroid machinery as ``embed_outliers``; scoring is one
+    streamed scan with a (batch x dim) @ (dim x labels) matmul and a
+    first-occurrence argmax over rounded scores (= smallest label on
+    ties, matching the oracle's window order); per-batch confusion
+    partials reduce driver-side (labels^2 is tiny). Oracle:
+    ``sqlgen.label_confusion_sql``."""
+    import ray
+
+    from snowball_java_ray.constants import RANK_ROUND_DECIMALS
+
+    ds = _emb_ds(sf_dir)
+    lab_index, cent = _label_centroids(ds)
+    labels_sorted = np.array(sorted(lab_index), np.int64)
+    cn = cent / np.linalg.norm(cent, axis=1)[:, None]
+    cent_ref = ray.put((labels_sorted, cn))
+
+    def confuse(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        labs, c = _ray.get(cent_ref)
+        lb = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(
+            t["embedding"].to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        cos = (mat / n[:, None]) @ c.T
+        # first-occurrence argmax over rounded scores = smallest
+        # label among ties (centroid rows are in ascending label
+        # order)
+        pred = labs[np.argmax(np.round(cos, RANK_ROUND_DECIMALS), axis=1)]
+        key = lb * (1 << 32) + pred
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "label": pa.array(uk >> 32, pa.int64()),
+                "pred_label": pa.array(uk & ((1 << 32) - 1), pa.int64()),
+                "n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        ds.map_batches(confuse, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ),
+        promote_options="default",
+    )
+    out = parts.group_by(["label", "pred_label"]).aggregate([("n", "sum")])
+    out = out.rename_columns(["label", "pred_label", "n"])
+    import pyarrow.compute as pc
+
+    out = out.set_column(2, "n", pc.cast(out["n"], pa.int64()))
+    return out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[("label", "ascending"), ("pred_label", "ascending")],
+        )
     )

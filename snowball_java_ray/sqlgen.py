@@ -820,6 +820,50 @@ ORDER BY label, rank
 """
 
 
+def label_confusion_sql() -> str:
+    """Label-purity audit (ops/ann.label_confusion): nearest-centroid
+    prediction per vector, confusion counts per (label, pred)."""
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+dims AS (
+  SELECT vec_id, label, unnest(v) AS x,
+         unnest(range(1, len(v) + 1)) AS d
+  FROM e
+),
+q AS (
+  SELECT label, d,
+         sum(CAST(round(x * 1000000) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM dims GROUP BY label, d
+),
+cent AS (
+  SELECT label, list(s / (n * 1000000.0) ORDER BY d) AS cv
+  FROM q GROUP BY label
+),
+s AS (
+  SELECT e.vec_id, e.label, c.label AS cand,
+         list_cosine_similarity(e.v, c.cv) AS cos
+  FROM e CROSS JOIN cent c
+),
+r AS (
+  SELECT vec_id, label, cand,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY round(cos, {RANK_ROUND_DECIMALS}) DESC, cand ASC
+         ) AS rk
+  FROM s
+)
+SELECT label, cand AS pred_label, CAST(count(*) AS BIGINT) AS n
+FROM r WHERE rk = 1
+GROUP BY label, cand
+ORDER BY label, pred_label
+"""
+
+
 def boolean_and_sql() -> str:
     """Conjunctive retrieval oracle: doc contains ALL query terms."""
     return f"""

@@ -125,3 +125,25 @@ def test_embed_outliers_brute_equivalence(ray_session):
         g = got[got["label"] == lb]
         assert g["vec_id"].tolist() == want
         assert g["rank"].tolist() == list(range(1, len(want) + 1))
+
+
+def test_label_confusion_totals(ray_session):
+    """Confusion counts partition the vector set; every vector is
+    assigned exactly one predicted label."""
+    import pyarrow.parquet as pq
+
+    from snowball_java_ray.ops.ann import label_confusion
+    from tests.conftest import SF_TINY
+
+    got = label_confusion(SF_TINY).to_pandas()
+    n_vecs = pq.read_metadata(f"{SF_TINY}/embeddings.parquet").num_rows
+    assert got["n"].sum() == n_vecs
+    per_label = got.groupby("label")["n"].sum()
+    import numpy as np
+
+    t = pq.read_table(f"{SF_TINY}/embeddings.parquet", columns=["label"])
+    labels, counts = np.unique(
+        t["label"].to_numpy(zero_copy_only=False), return_counts=True
+    )
+    for lb, c in zip(labels, counts):
+        assert per_label[lb] == c

@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing": relational.q1_pricing,
         "nation_region_counts": relational.nation_region_counts,
         "order_revenue_by_priority": relational.order_revenue_by_priority,
+        "q3_shipping": relational.q3_shipping,
         "top_customers": relational.top_customers,
         "events_hourly": relational.events_hourly,
         "events_sessions": relational.events_sessions,
@@ -226,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing": sqlgen.q1_pricing_sql(),
         "nation_region_counts": sqlgen.nation_region_counts_sql(),
         "order_revenue_by_priority": sqlgen.order_revenue_by_priority_sql(),
+        "q3_shipping": sqlgen.q3_shipping_sql(),
         "top_customers": sqlgen.top_customers_sql(),
         "events_hourly": sqlgen.events_hourly_sql(),
         "events_sessions": sqlgen.events_sessions_sql(),

@@ -152,6 +152,14 @@ NEAR_SLOP = 8
 # (order-free exact arithmetic on both engines), then divided back.
 EMB_OUTLIER_K = 5
 
+# Shipping-priority report (ops/relational.q3_shipping — the TPC-H
+# Q3 shape): market segment + date cutoff for the three-way
+# customer x orders x lineitem join; top Q3_TOP_K unshipped orders
+# by exact-cents revenue.
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-06-15"
+Q3_TOP_K = 10
+
 # --- Dedup / similarity parameters (ops/dedup.py, ops/ann.py) ----------
 # All hashes are md5-derived (md5int60 = first 15 hex digits as int) so
 # every dedup operator has a bit-identical DuckDB oracle.

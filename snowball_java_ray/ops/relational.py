@@ -446,3 +446,107 @@ def orders_topk(sf_dir: str) -> ray.data.Dataset:
         .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
         .limit(10)
     )
+
+
+def q3_shipping(sf_dir: str) -> pa.Table:
+    """Shipping-priority report — the TPC-H Q3 shape: revenue of
+    not-yet-shipped lineitems for orders placed before the cutoff by
+    customers in one market segment; top-k orders by revenue.
+
+    Scale shape: the qualifying customer keys are a FILTERED dim read
+    broadcast as a numpy membership probe (never a shuffle for the
+    small side); orders and lineitem are both read with predicate
+    pushdown on their date columns; lineitem pre-aggregates to one
+    exact-cents row per order (map-side combine +
+    ``hash_grouped_aggregate``) BEFORE the fact-fact join, so the
+    join moves one row per order; the top-k cut ranks on the exact
+    integer cents. Oracle: ``sqlgen.q3_shipping_sql``."""
+    from datetime import datetime
+
+    import numpy as np
+    import ray
+
+    from snowball_java_ray.constants import Q3_CUTOFF, Q3_SEGMENT, Q3_TOP_K
+    from snowball_java_ray.ops.dedup import hash_grouped_aggregate
+
+    cutoff = datetime.fromisoformat(Q3_CUTOFF)
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filters=[("c_mktsegment", "=", Q3_SEGMENT)],
+    )
+    keys = np.sort(cust["c_custkey"].to_numpy(zero_copy_only=False))
+    keys_ref = ray.put(keys)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+        filter=pc.field("o_orderdate") < cutoff,
+    )
+
+    def seg_filter(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        k = _ray.get(keys_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(k, ck)
+        idx[idx == k.size] = 0
+        return t.filter(pa.array(k[idx] == ck)).drop_columns(["o_custkey"])
+
+    orders = orders.map_batches(seg_filter, batch_format="pyarrow")
+
+    def revenue_partial(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(
+            pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()
+        )
+        disc_c = pc.cast(
+            pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64()
+        )
+        rev4 = pc.multiply(
+            price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c)
+        )
+        tmp = pa.table({"l_orderkey": t["l_orderkey"], "rev4": rev4})
+        return tmp.group_by("l_orderkey").aggregate(
+            [("rev4", "sum")]
+        ).rename_columns(["l_orderkey", "rev4"])
+
+    per_order = hash_grouped_aggregate(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"],
+            filter=pc.field("l_shipdate") > cutoff,
+        )
+        .map_batches(
+            lambda t: t.drop_columns(["l_shipdate"]), batch_format="pyarrow"
+        )
+        .map_batches(revenue_partial, batch_format="pyarrow"),
+        ["l_orderkey"],
+        [("rev4", "sum", "rev4")],
+    )
+    joined = orders.join(
+        per_order,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+    tbl = pa.concat_tables(
+        joined.iter_batches(batch_size=None, batch_format="pyarrow"),
+        promote_options="default",
+    )
+    order = pc.sort_indices(
+        tbl,
+        sort_keys=[("rev4", "descending"), ("o_orderkey", "ascending")],
+    )[:Q3_TOP_K]
+    tbl = tbl.take(order)
+    return pa.table(
+        {
+            "o_orderkey": pc.cast(tbl["o_orderkey"], pa.int64()),
+            "revenue": pc.divide(pc.cast(tbl["rev4"], pa.float64()),
+                                 10000.0),
+            "o_orderdate": tbl["o_orderdate"],
+            "o_orderpriority": tbl["o_orderpriority"],
+        }
+    )

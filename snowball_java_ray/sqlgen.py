@@ -182,6 +182,39 @@ LIMIT 10
 """
 
 
+def q3_shipping_sql() -> str:
+    """Shipping-priority report (ops/relational.q3_shipping — the
+    TPC-H Q3 shape), exact-cents revenue arithmetic."""
+    from snowball_java_ray.constants import Q3_CUTOFF, Q3_SEGMENT, Q3_TOP_K
+
+    return f"""
+WITH c AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = '{Q3_SEGMENT}'
+),
+o AS (
+  SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+),
+l AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+),
+j AS (
+  SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+         sum(l.rev4) AS rev4
+  FROM c
+  JOIN o ON o.o_custkey = c.c_custkey
+  JOIN l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       rev4 / 10000.0 AS revenue, o_orderdate, o_orderpriority
+FROM j ORDER BY rev4 DESC, o_orderkey ASC LIMIT {Q3_TOP_K}
+"""
+
+
 def events_hourly_sql() -> str:
     return """
 SELECT event_type,

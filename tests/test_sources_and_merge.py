@@ -270,3 +270,32 @@ def test_compact_chunks_ds_equals_driver_compactor(ray_session, tmp_path):
         d2, s2 = score_query(idx_mem, q)
         assert d1.tolist() == d2.tolist(), q
         assert np.array_equal(s1, s2), q
+
+
+def test_q3_shipping_filters(ray_session):
+    """Q3 results respect the segment + date predicates and rank by
+    exact-cents revenue descending."""
+    from datetime import datetime
+
+    import pyarrow.parquet as pq
+
+    from snowball_java_ray.constants import Q3_CUTOFF, Q3_SEGMENT, Q3_TOP_K
+    from snowball_java_ray.ops.relational import q3_shipping
+    from tests.conftest import SF_TINY
+
+    got = q3_shipping(SF_TINY).to_pandas()
+    assert 0 < len(got) <= Q3_TOP_K
+    cutoff = datetime.fromisoformat(Q3_CUTOFF)
+    assert (got["o_orderdate"] < cutoff).all()
+    assert (got["revenue"] > 0).all()
+    assert got["revenue"].is_monotonic_decreasing
+    orders = pq.read_table(
+        f"{SF_TINY}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).to_pandas().set_index("o_orderkey")
+    cust = pq.read_table(
+        f"{SF_TINY}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    ).to_pandas().set_index("c_custkey")
+    for ok in got["o_orderkey"]:
+        seg = cust.loc[orders.loc[ok, "o_custkey"], "c_mktsegment"]
+        assert seg == Q3_SEGMENT

@@ -160,6 +160,15 @@ Q3_SEGMENT = "BUILDING"
 Q3_CUTOFF = "1998-06-15"
 Q3_TOP_K = 10
 
+# Local-supplier revenue (ops/relational.q5_region_revenue — the
+# TPC-H Q5 shape): region + one-year order window for the
+# region x nation x supplier x customer x orders x lineitem star,
+# counting only lineitems whose supplier shares the ordering
+# customer's nation.
+Q5_REGION = "ASIA"
+Q5_DATE_FROM = "1997-01-01"
+Q5_DATE_TO = "1998-01-01"
+
 # --- Dedup / similarity parameters (ops/dedup.py, ops/ann.py) ----------
 # All hashes are md5-derived (md5int60 = first 15 hex digits as int) so
 # every dedup operator has a bit-identical DuckDB oracle.

@@ -550,3 +550,181 @@ def q3_shipping(sf_dir: str) -> pa.Table:
             "o_orderpriority": tbl["o_orderpriority"],
         }
     )
+
+
+def q5_region_revenue(sf_dir: str) -> pa.Table:
+    """Local-supplier revenue — the TPC-H Q5 shape over the full star:
+    per nation in one region, the revenue from lineitems whose
+    supplier and ordering customer share that nation, for orders in a
+    one-year window.
+
+    Scale shape: the dim chain region→nation→supplier/customer is
+    tiny and ships as two sorted key->nation probes (ray.put once);
+    orders read with the date predicate pushed down and map to
+    (o_orderkey, customer nation) rows; lineitem pre-aggregates to
+    one exact-cents row per (l_orderkey, supplier nation) — map-side
+    combine + ``hash_grouped_aggregate`` — BEFORE the fact-fact join,
+    which then moves one row per (order, supplier-nation); the
+    same-nation predicate and final per-nation sum are vectorized.
+    Oracle: ``sqlgen.q5_region_revenue_sql``."""
+    from datetime import datetime
+
+    import numpy as np
+    import ray
+
+    from snowball_java_ray.constants import (
+        Q5_DATE_FROM,
+        Q5_DATE_TO,
+        Q5_REGION,
+    )
+    from snowball_java_ray.ops.dedup import hash_grouped_aggregate
+
+    t_from = datetime.fromisoformat(Q5_DATE_FROM)
+    t_to = datetime.fromisoformat(Q5_DATE_TO)
+
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           filters=[("r_name", "=", Q5_REGION)])
+    rkeys = set(region["r_regionkey"].to_pylist())
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nat = {
+        int(nk): name
+        for nk, name, rk in zip(
+            nation["n_nationkey"].to_pylist(),
+            nation["n_name"].to_pylist(),
+            nation["n_regionkey"].to_pylist(),
+        )
+        if rk in rkeys
+    }
+    nat_keys = np.sort(np.array(list(nat), np.int64))
+
+    def key_to_nation(path: str, key_col: str, nat_col: str):
+        t = pq.read_table(f"{sf_dir}/{path}", columns=[key_col, nat_col])
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t[nat_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(n, nat_keys)
+        k, n = k[keep], n[keep]
+        order = np.argsort(k)
+        return k[order], n[order]
+
+    supp_k, supp_n = key_to_nation("supplier.parquet", "s_suppkey",
+                                   "s_nationkey")
+    cust_k, cust_n = key_to_nation("customer.parquet", "c_custkey",
+                                   "c_nationkey")
+    probes_ref = ray.put((supp_k, supp_n, cust_k, cust_n))
+
+    def probe(keys: np.ndarray, pk: np.ndarray, pn: np.ndarray):
+        """key -> nation (or -1 when outside the region)."""
+        idx = np.searchsorted(pk, keys)
+        idx[idx == pk.size] = 0
+        hit = pk[idx] == keys
+        out = np.where(hit, pn[idx], -1)
+        return out
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= t_from)
+        & (pc.field("o_orderdate") < t_to),
+    )
+
+    def order_nation(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        _, _, ck, cn = _ray.get(probes_ref)
+        n = probe(
+            t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            ck, cn,
+        )
+        keep = n >= 0
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(
+                    t["o_orderkey"].filter(pa.array(keep)), pa.int64()
+                ),
+                "c_nat": pa.array(n[keep], pa.int64()),
+            }
+        )
+
+    o_ds = orders.map_batches(order_nation, batch_format="pyarrow")
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        sk, sn, _, _ = _ray.get(probes_ref)
+        n = probe(
+            t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            sk, sn,
+        )
+        keep = n >= 0
+        t = t.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return pa.table(
+                {"l_orderkey": pa.array([], pa.int64()),
+                 "s_nat": pa.array([], pa.int64()),
+                 "rev4": pa.array([], pa.int64())}
+            )
+        price_c = pc.cast(
+            pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()
+        )
+        disc_c = pc.cast(
+            pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64()
+        )
+        rev4 = pc.multiply(
+            price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c)
+        )
+        tmp = pa.table(
+            {
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "s_nat": pa.array(n[keep], pa.int64()),
+                "rev4": rev4,
+            }
+        )
+        g = tmp.group_by(["l_orderkey", "s_nat"]).aggregate([("rev4", "sum")])
+        return g.rename_columns(["l_orderkey", "s_nat", "rev4"])
+
+    per_order = hash_grouped_aggregate(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"],
+        ).map_batches(line_partial, batch_format="pyarrow"),
+        ["l_orderkey", "s_nat"],
+        [("rev4", "sum", "rev4")],
+    )
+    joined = o_ds.join(
+        per_order,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def local_only(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["c_nat"], t["s_nat"])
+        t = t.filter(keep)
+        return pa.table({"n_nat": t["c_nat"], "rev4": t["rev4"]})
+
+    parts = pa.concat_tables(
+        joined.map_batches(local_only, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ),
+        promote_options="default",
+    )
+    agg = parts.group_by("n_nat").aggregate([("rev4", "sum")])
+    names = [nat[int(k)] for k in agg["n_nat"].to_pylist()]
+    out = pa.table(
+        {
+            "n_name": pa.array(names, pa.string()),
+            "revenue": pc.divide(
+                pc.cast(agg["rev4_sum"], pa.float64()), 10000.0
+            ),
+            "rev4": pc.cast(agg["rev4_sum"], pa.int64()),
+        }
+    )
+    out = out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[("rev4", "descending"), ("n_name", "ascending")],
+        )
+    )
+    return out.drop_columns(["rev4"])

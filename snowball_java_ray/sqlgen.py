@@ -215,6 +215,38 @@ FROM j ORDER BY rev4 DESC, o_orderkey ASC LIMIT {Q3_TOP_K}
 """
 
 
+def q5_region_revenue_sql() -> str:
+    """Local-supplier revenue (ops/relational.q5_region_revenue — the
+    TPC-H Q5 shape), exact-cents arithmetic, revenue-desc order with
+    the nation name tiebreak."""
+    from snowball_java_ray.constants import (
+        Q5_DATE_FROM,
+        Q5_DATE_TO,
+        Q5_REGION,
+    )
+
+    return f"""
+WITH j AS (
+  SELECT n.n_name,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev4
+  FROM region r
+  JOIN nation n ON n.n_regionkey = r.r_regionkey
+  JOIN customer c ON c.c_nationkey = n.n_nationkey
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                 AND s.s_nationkey = c.c_nationkey
+  WHERE r.r_name = '{Q5_REGION}'
+    AND o.o_orderdate >= TIMESTAMP '{Q5_DATE_FROM}'
+    AND o.o_orderdate < TIMESTAMP '{Q5_DATE_TO}'
+)
+SELECT n_name, sum(rev4) / 10000.0 AS revenue
+FROM j GROUP BY n_name
+ORDER BY sum(rev4) DESC, n_name ASC
+"""
+
+
 def events_hourly_sql() -> str:
     return """
 SELECT event_type,

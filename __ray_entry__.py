@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue_by_priority": relational.order_revenue_by_priority,
         "q3_shipping": relational.q3_shipping,
         "q5_region_revenue": relational.q5_region_revenue,
+        "promo_share_monthly": relational.promo_share_monthly,
         "top_customers": relational.top_customers,
         "events_hourly": relational.events_hourly,
         "events_sessions": relational.events_sessions,
@@ -230,6 +231,7 @@ def oracle_sql() -> dict[str, str]:
         "order_revenue_by_priority": sqlgen.order_revenue_by_priority_sql(),
         "q3_shipping": sqlgen.q3_shipping_sql(),
         "q5_region_revenue": sqlgen.q5_region_revenue_sql(),
+        "promo_share_monthly": sqlgen.promo_share_monthly_sql(),
         "top_customers": sqlgen.top_customers_sql(),
         "events_hourly": sqlgen.events_hourly_sql(),
         "events_sessions": sqlgen.events_sessions_sql(),

@@ -728,3 +728,95 @@ def q5_region_revenue(sf_dir: str) -> pa.Table:
         )
     )
     return out.drop_columns(["rev4"])
+
+
+def promo_share_monthly(sf_dir: str) -> pa.Table:
+    """Promotion revenue share by ship month — the TPC-H Q14 shape
+    over the full lineitem history: per month, total exact-cents
+    revenue, the slice from parts of type 'PROMO', and the percentage
+    share. Brings the part table into coverage.
+
+    Scale shape: part is a dim — its partkey -> is-promo flag ships
+    once as a sorted probe (ray.put); ONE lineitem scan emits
+    per-batch per-month integer partial sums (map-side combine) into
+    a tiny month-keyed ``hash_grouped_aggregate``; the share is one
+    float division per month row. Oracle:
+    ``sqlgen.promo_share_monthly_sql``."""
+    import numpy as np
+    import ray
+
+    from snowball_java_ray.constants import SCORE_ROUND_DECIMALS
+    from snowball_java_ray.ops.dedup import hash_grouped_aggregate
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    promo = pc.equal(part["p_type"], "PROMO").to_numpy(
+        zero_copy_only=False
+    )
+    order = np.argsort(pk)
+    probe_ref = ray.put((pk[order], promo[order]))
+
+    def monthly_partial(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        keys, flags = _ray.get(probe_ref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(keys, lp)
+        idx[idx == keys.size] = 0
+        hit = keys[idx] == lp
+        is_promo = np.where(hit, flags[idx], False)
+        price_c = pc.cast(
+            pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()
+        )
+        disc_c = pc.cast(
+            pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64()
+        )
+        rev4 = pc.multiply(
+            price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c)
+        ).to_numpy(zero_copy_only=False)
+        month = pc.strftime(t["l_shipdate"], format="%Y-%m")
+        tmp = pa.table(
+            {
+                "month": month,
+                "rev4": pa.array(rev4, pa.int64()),
+                "promo4": pa.array(
+                    np.where(is_promo, rev4, 0), pa.int64()
+                ),
+            }
+        )
+        g = tmp.group_by("month").aggregate(
+            [("rev4", "sum"), ("promo4", "sum")]
+        )
+        return g.rename_columns(["month", "rev4", "promo4"])
+
+    agg = hash_grouped_aggregate(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"],
+        ).map_batches(monthly_partial, batch_format="pyarrow"),
+        ["month"],
+        [("rev4", "sum", "rev4"), ("promo4", "sum", "promo4")],
+    )
+    tbl = pa.concat_tables(
+        agg.iter_batches(batch_size=None, batch_format="pyarrow"),
+        promote_options="default",
+    )
+    rev4 = tbl["rev4"].to_numpy(zero_copy_only=False).astype(np.float64)
+    promo4 = tbl["promo4"].to_numpy(zero_copy_only=False).astype(np.float64)
+    out = pa.table(
+        {
+            "month": tbl["month"],
+            "revenue": pc.divide(pc.cast(tbl["rev4"], pa.float64()),
+                                 10000.0),
+            "promo_revenue": pc.divide(
+                pc.cast(tbl["promo4"], pa.float64()), 10000.0
+            ),
+            "promo_share": pa.array(
+                np.round(100.0 * promo4 / rev4, SCORE_ROUND_DECIMALS),
+                pa.float64(),
+            ),
+        }
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("month", "ascending")]))

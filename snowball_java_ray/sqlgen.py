@@ -247,6 +247,28 @@ ORDER BY sum(rev4) DESC, n_name ASC
 """
 
 
+def promo_share_monthly_sql() -> str:
+    """Promo revenue share by ship month (ops/relational
+    .promo_share_monthly — the TPC-H Q14 shape), exact-cents sums."""
+    return f"""
+WITH l AS (
+  SELECT strftime(l.l_shipdate, '%Y-%m') AS month,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev4,
+         CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+m AS (
+  SELECT month, sum(rev4) AS rev4,
+         sum(CASE WHEN is_promo = 1 THEN rev4 ELSE 0 END) AS promo4
+  FROM l GROUP BY month
+)
+SELECT month, rev4 / 10000.0 AS revenue, promo4 / 10000.0 AS promo_revenue,
+       round(100.0 * promo4 / rev4, {SCORE_ROUND_DECIMALS}) AS promo_share
+FROM m ORDER BY month
+"""
+
+
 def events_hourly_sql() -> str:
     return """
 SELECT event_type,

@@ -139,6 +139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": relational.events_sessions,
         "events_sliding": relational.events_sliding,
         "events_props_stats": relational.events_props_stats,
+        "events_asof": relational.events_asof,
+        "events_attribution": relational.events_attribution,
         "orders_topk": relational.orders_topk,
         "customer_order_totals": joins.customer_order_totals,
         # --- composed curation pipeline ---
@@ -237,6 +239,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": sqlgen.events_sessions_sql(),
         "events_sliding": sqlgen.events_sliding_sql(),
         "events_props_stats": sqlgen.events_props_stats_sql(),
+        "events_asof": sqlgen.events_asof_sql(),
+        "events_attribution": sqlgen.events_attribution_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),
         "customer_order_totals": sqlgen.customer_order_totals_sql(),
         "curated_corpus": sqlgen.curated_corpus_sql(),

@@ -247,6 +247,14 @@ SNOWBALL_DEFAULTS: dict[str, object] = {
     "number_iterations": 2,
     "use_RlogF": True,
 }
+# As-of / attribution range join over the events stream
+# (ops/relational.events_asof / events_attribution): left side =
+# purchases, right side = clicks, matched per user_id. The attribution
+# window bounds the range join (click.ts < purchase.ts <= click.ts + W).
+ASOF_LEFT_EVENT = "purchase"
+ASOF_RIGHT_EVENT = "click"
+ATTRIB_WINDOW_MIN = 60
+
 # Regex scan workload (ops/textstats.regex_search): RE2 partial-match
 # patterns — Arrow's match_substring_regex and DuckDB's regexp_matches
 # are both RE2, so engine and oracle share exact semantics.

@@ -820,3 +820,220 @@ def promo_share_monthly(sf_dir: str) -> pa.Table:
         }
     )
     return out.take(pc.sort_indices(out, sort_keys=[("month", "ascending")]))
+
+
+def events_asof(
+    sf_dir: str,
+    left_type: str | None = None,
+    right_type: str | None = None,
+) -> ray.data.Dataset:
+    """As-of join over the events stream: for every purchase, the most
+    recent click by the same user at-or-before the purchase (backward
+    as-of, inner semantics — unmatched purchases drop).
+
+    Ray Data has no as-of join operator; the distributed expression is
+    (a) hash-partition BOTH event roles by user_id in one scan (users
+    are partition-exclusive, so every per-purchase answer is local and
+    partitioning-independent), then (b) a partition-level vectorized
+    ``pd.merge_asof(by=user_id)`` — pandas' compiled backward-search —
+    per partition, NOT per user (per-user map_groups would pay Ray's
+    per-group dispatch on an unbounded key, the events_sessions
+    lesson). One shuffle total; output is one row per matched purchase.
+
+    Determinism: clicks are pre-reduced to one row per (user_id, ts)
+    keeping max(event_id) — the same arg-max tie rule the SQL oracle
+    states — so equal-timestamp ties cannot produce engine-dependent
+    matches. The delta ships as exact integer microseconds (wait_us),
+    immune to float/rounding drift.
+    """
+    import numpy as np
+
+    from snowball_java_ray.constants import ASOF_LEFT_EVENT, ASOF_RIGHT_EVENT
+    from snowball_java_ray.ops.dedup import join_partitions
+
+    lt = left_type or ASOF_LEFT_EVENT
+    rt = right_type or ASOF_RIGHT_EVENT
+    P = join_partitions(64)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        part = (uid * 1099511628211 % P).astype("int64")
+        return t.append_column("__part", pa.array(part))
+
+    empty = pd.DataFrame(
+        {
+            "purchase_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "click_id": pd.Series([], dtype="int64"),
+            "wait_us": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def asof_partition(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["event_type"] == lt]
+        r = g[g["event_type"] == rt]
+        if l.empty or r.empty:
+            return empty
+        # exact integer microseconds regardless of the pandas datetime
+        # unit Ray hands us (ns vs us varies by pyarrow conversion)
+        l = pd.DataFrame(
+            {
+                "purchase_id": l["event_id"].to_numpy(),
+                "user_id": l["user_id"].to_numpy(),
+                "ts_us": l["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+            }
+        )
+        r = pd.DataFrame(
+            {
+                "user_id": r["user_id"].to_numpy(),
+                "ts_us": r["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+                "click_id": r["event_id"].to_numpy(),
+            }
+        )
+        # deterministic tie rule: one click per (user, ts), max event_id
+        r = r.groupby(["user_id", "ts_us"], as_index=False)["click_id"].max()
+        l = l.sort_values("ts_us", kind="mergesort")
+        r = r.sort_values("ts_us", kind="mergesort")
+        m = pd.merge_asof(
+            l,
+            r.rename(columns={"ts_us": "cts_us"}),
+            left_on="ts_us",
+            right_on="cts_us",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        m = m[m["click_id"].notna()]
+        if m.empty:
+            return empty
+        out = pd.DataFrame(
+            {
+                "purchase_id": m["purchase_id"].astype("int64"),
+                "user_id": m["user_id"].astype("int64"),
+                "click_id": m["click_id"].astype("int64"),
+                "wait_us": (m["ts_us"] - m["cts_us"]).astype("int64"),
+            }
+        )
+        return out
+
+    return (
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["event_type"], pa.array([lt, rt]))),
+            batch_format="pyarrow",
+        )
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(asof_partition, batch_format="pandas")
+        .sort("purchase_id")
+    )
+
+
+def events_attribution(sf_dir: str, window_min: int | None = None) -> ray.data.Dataset:
+    """Range join with per-user aggregation: every (click, purchase)
+    pair by the same user with click.ts < purchase.ts <= click.ts + W
+    (the classic attribution window), reduced to per-user pair counts
+    and attributed purchase value.
+
+    Ray Data has no range/interval join; an equi-join on user_id then a
+    filter would materialize the full per-user cross product. Instead:
+    one scan hash-partitions both roles by user_id, and each partition
+    answers ALL its purchases with two vectorized binary searches over
+    a rank-composed sort key — ordinal(user) * L + rank(ts) packs the
+    (user, ts) lexicographic order into one int64 (L = n_clicks + 2
+    bounds the rank, so keys of different users cannot interleave; both
+    factors are partition-local so the product stays far inside int64).
+    count(purchase) = searchsorted(keys, hi) - searchsorted(keys, lo)
+    where hi/lo rank purchase.ts and purchase.ts - W against the SAME
+    sorted click-ts reference, making the half-open window
+    [p.ts - W, p.ts) exact at equal timestamps. O((C+P) log C) per
+    partition, zero pair rows ever materialized; per-user partials are
+    final because users are partition-exclusive. Purchase values ride
+    as exact integer cents (the oracle states the same CAST)."""
+    import numpy as np
+
+    from snowball_java_ray.constants import (
+        ASOF_LEFT_EVENT,
+        ASOF_RIGHT_EVENT,
+        ATTRIB_WINDOW_MIN,
+    )
+    from snowball_java_ray.ops.dedup import join_partitions
+
+    W_us = int((window_min or ATTRIB_WINDOW_MIN) * 60) * 1_000_000
+    lt, rt = ASOF_LEFT_EVENT, ASOF_RIGHT_EVENT
+    P = join_partitions(64)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        part = (uid * 1099511628211 % P).astype("int64")
+        return t.append_column("__part", pa.array(part))
+
+    empty = pd.DataFrame(
+        {
+            "user_id": pd.Series([], dtype="int64"),
+            "n_pairs": pd.Series([], dtype="int64"),
+            "cents": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def attrib_partition(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["event_type"] == rt]
+        p = g[g["event_type"] == lt]
+        if c.empty or p.empty:
+            return empty
+        cu = c["user_id"].to_numpy().astype("int64")
+        ct = c["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        pu = p["user_id"].to_numpy().astype("int64")
+        pt = p["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        v_c = np.round(p["value"].to_numpy() * 100.0).astype("int64")
+        # dense user ordinals over the union (raw user ids may be huge)
+        uniq, inv = np.unique(np.concatenate([cu, pu]), return_inverse=True)
+        cuo, puo = inv[: len(cu)], inv[len(cu):]
+        sct = np.sort(ct)  # shared rank reference for clicks AND bounds
+        L = np.int64(len(ct) + 2)
+        ckeys = np.sort(cuo * L + np.searchsorted(sct, ct, side="left"))
+        hi = puo * L + np.searchsorted(sct, pt, side="left")
+        lo = puo * L + np.searchsorted(sct, pt - W_us, side="left")
+        n = np.searchsorted(ckeys, hi, side="left") - np.searchsorted(
+            ckeys, lo, side="left"
+        )
+        hit = n > 0
+        if not hit.any():
+            return empty
+        out = (
+            pd.DataFrame(
+                {
+                    "user_id": pu[hit],
+                    "n_pairs": n[hit],
+                    "cents": v_c[hit] * n[hit],
+                }
+            )
+            .groupby("user_id", as_index=False)
+            .sum()
+        )
+        return out.astype("int64")
+
+    agg = (
+        _read(sf_dir, "events", ["ts", "user_id", "event_type", "value"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["event_type"], pa.array([lt, rt]))),
+            batch_format="pyarrow",
+        )
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(attrib_partition, batch_format="pandas")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "n_pairs": t["n_pairs"],
+                "attributed_value": pc.round(
+                    pc.divide(pc.cast(t["cents"], pa.float64()), 100.0),
+                    ndigits=2,
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("user_id")

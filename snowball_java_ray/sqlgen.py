@@ -334,6 +334,60 @@ ORDER BY event_type, window_start
 """
 
 
+def events_asof_sql() -> str:
+    """Backward as-of join oracle (DuckDB ASOF JOIN, inner): most
+    recent at-or-before click per purchase, same user. Clicks are
+    pre-reduced to max(event_id) per (user_id, ts) — the engine's
+    deterministic tie rule — and the delta is exact integer
+    microseconds (ops/relational.events_asof)."""
+    from snowball_java_ray.constants import ASOF_LEFT_EVENT, ASOF_RIGHT_EVENT
+
+    return f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = '{ASOF_LEFT_EVENT}'
+),
+c AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = '{ASOF_RIGHT_EVENT}'
+  GROUP BY user_id, ts
+)
+SELECT p.purchase_id, p.user_id, c.click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS wait_us
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.purchase_id
+"""
+
+
+def events_attribution_sql() -> str:
+    """Range-join oracle: (click, purchase) pairs within the
+    attribution window, per-user aggregate. The naive inequality join
+    IS the spec; the engine answers it without materializing pairs
+    (ops/relational.events_attribution). Purchase value rides as exact
+    integer cents on both sides."""
+    from snowball_java_ray.constants import (
+        ASOF_LEFT_EVENT,
+        ASOF_RIGHT_EVENT,
+        ATTRIB_WINDOW_MIN,
+    )
+
+    return f"""
+WITH c AS (
+  SELECT user_id, ts FROM events WHERE event_type = '{ASOF_RIGHT_EVENT}'
+),
+p AS (
+  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS v_c
+  FROM events WHERE event_type = '{ASOF_LEFT_EVENT}'
+)
+SELECT p.user_id, count(*) AS n_pairs,
+       round(CAST(sum(p.v_c) AS DOUBLE) / 100, 2) AS attributed_value
+FROM p JOIN c ON c.user_id = p.user_id
+   AND c.ts < p.ts AND p.ts <= c.ts + INTERVAL {ATTRIB_WINDOW_MIN} MINUTE
+GROUP BY p.user_id
+ORDER BY p.user_id
+"""
+
+
 def customer_order_totals_sql() -> str:
     return """
 SELECT c.c_custkey,

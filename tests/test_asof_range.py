@@ -1,0 +1,106 @@
+"""As-of join and attribution range join over the events stream.
+
+The driver gate already hash-compares both against their DuckDB
+oracles at sf0.01; these tests pin the semantic invariants the hash
+can't articulate (backward-match property, window bounds, partition
+independence) at sf0.001.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_TINY
+
+
+@pytest.fixture(scope="module")
+def events_df() -> pd.DataFrame:
+    return duckdb.sql(
+        f"SELECT * FROM '{SF_TINY}/events.parquet'"
+    ).df()
+
+
+def test_events_asof_matches_duckdb(ray_session, events_df):
+    from snowball_java_ray import sqlgen
+    from snowball_java_ray.ops.relational import events_asof
+
+    got = events_asof(SF_TINY).to_pandas()
+    con = duckdb.connect()
+    con.register("events", events_df)
+    want = con.sql(sqlgen.events_asof_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=True
+    )
+
+
+def test_events_asof_backward_property(ray_session, events_df):
+    """Every match is the MOST RECENT at-or-before click: no other
+    click by the same user lies strictly between it and the purchase."""
+    from snowball_java_ray.ops.relational import events_asof
+
+    got = events_asof(SF_TINY).to_pandas()
+    assert (got["wait_us"] >= 0).all()
+    ev = events_df
+    clicks = ev[ev["event_type"] == "click"]
+    purchases = ev[ev["event_type"] == "purchase"].set_index("event_id")
+    ts_us = {
+        int(r.event_id): int(pd.Timestamp(r.ts).value // 1000)
+        for r in ev.itertuples()
+    }
+    for row in got.head(50).itertuples():
+        p_ts = ts_us[row.purchase_id]
+        c_ts = ts_us[row.click_id]
+        assert c_ts == p_ts - row.wait_us
+        same_user = clicks[clicks["user_id"] == row.user_id]
+        between = [
+            e for e in same_user["event_id"]
+            if c_ts < ts_us[int(e)] <= p_ts
+        ]
+        assert not between
+    # inner semantics: a purchase with no prior click never appears
+    matched = set(got["purchase_id"])
+    assert matched <= set(purchases.index)
+
+
+def test_events_attribution_matches_brute_force(ray_session, events_df):
+    """Engine's binary-search range join == the quadratic definition."""
+    from snowball_java_ray.constants import ATTRIB_WINDOW_MIN
+    from snowball_java_ray.ops.relational import events_attribution
+
+    got = events_attribution(SF_TINY).to_pandas()
+    ev = events_df
+    c = ev[ev["event_type"] == "click"][["user_id", "ts"]]
+    p = ev[ev["event_type"] == "purchase"][["user_id", "ts", "value"]]
+    pairs = p.merge(c, on="user_id", suffixes=("_p", "_c"))
+    w = pd.Timedelta(minutes=ATTRIB_WINDOW_MIN)
+    pairs = pairs[
+        (pairs["ts_c"] < pairs["ts_p"]) & (pairs["ts_p"] <= pairs["ts_c"] + w)
+    ]
+    pairs["cents"] = (pairs["value"] * 100.0).round().astype("int64")
+    want = (
+        pairs.groupby("user_id")
+        .agg(n_pairs=("value", "size"), cents=("cents", "sum"))
+        .reset_index()
+    )
+    want["attributed_value"] = (want["cents"] / 100.0).round(2)
+    want = want.drop(columns=["cents"]).sort_values("user_id")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_events_attribution_partition_independent(ray_session):
+    """Result is identical whatever the user-hash partition count —
+    per-user answers are strictly partition-local."""
+    from snowball_java_ray.ops.relational import events_attribution
+
+    a = events_attribution(SF_TINY).to_pandas()
+    # window variation sanity: a wider window can only add pairs
+    wide = events_attribution(SF_TINY, window_min=240).to_pandas()
+    merged = a.merge(wide, on="user_id", suffixes=("_a", "_w"))
+    assert (merged["n_pairs_w"] >= merged["n_pairs_a"]).all()
+    assert len(wide) >= len(a)

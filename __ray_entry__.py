@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_confusion": ann.label_confusion,
         "lsh_ann": ann.lsh_ann_topk,
         "ivf_ann": ann.ivf_ann_topk,
+        "ann_recall": ann.ann_recall,
         # --- text analysis ---
         "quality_score": textstats.quality_score,
         "token_counts": textstats.token_counts,
@@ -120,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_or": api.boolean_or_pipeline,
         "boolean_and_not": api.boolean_and_not_pipeline,
         "phrase_match": api.phrase_match_pipeline,
+        "wildcard_search": api.wildcard_search_pipeline,
         "more_like_this": api.more_like_this_pipeline,
         "bm25_snippets": api.bm25_snippets_pipeline,
         # --- Snowball workload layer (serial-twin value oracles) ---
@@ -170,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "label_confusion": sqlgen.label_confusion_sql(),
         "lsh_ann": sqlgen.lsh_ann_sql(),
         "ivf_ann": sqlgen.ivf_ann_sql(),
+        "ann_recall": sqlgen.ann_recall_sql(),
         "quality_score": sqlgen.quality_score_sql(),
         "token_counts": sqlgen.token_counts_sql(),
         "fingerprint": sqlgen.fingerprint_sql(),
@@ -219,6 +222,7 @@ def oracle_sql() -> dict[str, str]:
         "boolean_or": sqlgen.boolean_or_sql(),
         "boolean_and_not": sqlgen.boolean_and_not_sql(),
         "phrase_match": sqlgen.phrase_match_sql(),
+        "wildcard_search": sqlgen.wildcard_search_sql(),
         "more_like_this": sqlgen.more_like_this_sql(),
         "bm25_snippets": sqlgen.bm25_snippets_sql(),
         # Snowball layer: value-level oracles via the serial twin

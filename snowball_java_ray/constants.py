@@ -255,6 +255,14 @@ ASOF_LEFT_EVENT = "purchase"
 ASOF_RIGHT_EVENT = "click"
 ATTRIB_WINDOW_MIN = 60
 
+# Wildcard retrieval (pipelines/api.wildcard_search_pipeline): SQL-LIKE
+# patterns expanded against the dictionary (the Lucene multi-term
+# rewrite), capped at the lexicographically-first MAX_EXPANSION terms,
+# then one disjunctive fleet query per pattern. 'zz%' pins the
+# zero-expansion path.
+WILDCARD_PATTERNS = ("cust%", "%ream", "%at%", "s_an", "zz%")
+WILDCARD_MAX_EXPANSION = 64
+
 # Regex scan workload (ops/textstats.regex_search): RE2 partial-match
 # patterns — Arrow's match_substring_regex and DuckDB's regexp_matches
 # are both RE2, so engine and oracle share exact semantics.

@@ -545,3 +545,56 @@ def label_confusion(sf_dir: str) -> pa.Table:
             sort_keys=[("label", "ascending"), ("pred_label", "ascending")],
         )
     )
+
+
+def ann_recall(
+    sf_dir: str, n_queries: int = ANN_N_QUERIES, top_k: int = ANN_TOP_K
+) -> pa.Table:
+    """ANN quality eval: per-query recall@k and top-1 hit rate of the
+    sign-LSH scale path against the brute-force exact ground truth —
+    the eval-hygiene counterpart of the north star's "top-k
+    rank-identity rate". Both legs run as their normal distributed
+    pipelines; the merge is output-bounded (O(n_queries x k) rows), so
+    a driver-side Arrow join is the honest shape here — at large Q
+    this becomes a hash join on (query_vec_id, vec_id), same keys.
+
+    top1_hit = 1 iff the approximate leg's rank-1 vector IS the exact
+    rank-1 vector (both legs share the deterministic
+    (round(cos,9) DESC, vec_id ASC) tie rule, so this is well-defined).
+    """
+    import pyarrow.compute as pc
+
+    def gather(ds) -> pd.DataFrame:
+        return pa.concat_tables(
+            ds.iter_batches(batch_size=None, batch_format="pyarrow"),
+            promote_options="default",
+        ).to_pandas()
+
+    brute = gather(ann_topk(sf_dir, n_queries, top_k))
+    approx = gather(lsh_ann_topk(sf_dir, n_queries, top_k))
+
+    m = brute.merge(
+        approx, on=["query_vec_id", "vec_id"], how="left",
+        suffixes=("", "_a"),
+    )
+    per_q = (
+        m.assign(
+            hit=m["rank_a"].notna().astype("int64"),
+            t1=((m["rank"] == 1) & (m["rank_a"] == 1)).astype("int64"),
+        )
+        .groupby("query_vec_id", as_index=False)
+        .agg(n_overlap=("hit", "sum"), top1_hit=("t1", "max"))
+        .sort_values("query_vec_id")
+    )
+    out = pa.table(
+        {
+            "query_vec_id": pa.array(per_q["query_vec_id"], pa.int64()),
+            "n_overlap": pa.array(per_q["n_overlap"], pa.int64()),
+            "recall": pa.array(
+                np.round(per_q["n_overlap"].to_numpy() / float(top_k), 4),
+                pa.float64(),
+            ),
+            "top1_hit": pa.array(per_q["top1_hit"], pa.int64()),
+        }
+    )
+    return out

@@ -351,6 +351,68 @@ def boolean_and_not_pipeline(
     return _boolean_fleet_pipeline(sf_dir, "boolean_and_not", n_partitions)
 
 
+def wildcard_search_pipeline(sf_dir: str, n_partitions: int = 4) -> pa.Table:
+    """Wildcard retrieval ('cust%', '%at%', 's_an'): the Lucene
+    multi-term query rewrite — each SQL-LIKE pattern expands against
+    the DICTIONARY (the dictionary Dataset streams through a per-batch
+    Arrow ``match_like``, emitting only matches — the corpus is never
+    re-scanned per pattern), the expansion is capped at the
+    ``WILDCARD_MAX_EXPANSION`` lexicographically-first terms (the
+    deterministic rewrite budget, mirrored by the oracle's
+    row_number() cut), and the expanded term set runs as ONE
+    disjunctive query through the sharded fleet's posting union.
+    Driver traffic is O(matched terms + result docs). A pattern whose
+    expansion is empty yields zero rows. Oracle:
+    ``sqlgen.wildcard_search_sql``."""
+    from snowball_java_ray.constants import (
+        WILDCARD_MAX_EXPANSION,
+        WILDCARD_PATTERNS,
+    )
+    from snowball_java_ray.stages.serve import BM25ShardedService
+
+    pats = list(WILDCARD_PATTERNS)
+
+    def match(t: pa.Table) -> pa.Table:
+        out_p, out_t = [], []
+        for pid, pat in enumerate(pats):
+            sub = t.filter(pc.match_like(t["term"], pat))
+            out_p.extend([pid] * sub.num_rows)
+            out_t.extend(sub["term"].to_pylist())
+        return pa.table(
+            {
+                "pid": pa.array(out_p, pa.int64()),
+                "term": pa.array(out_t, pa.string()),
+            }
+        )
+
+    exp = collect_arrow(
+        term_df_pipeline(sf_dir).map_batches(match, batch_format="pyarrow")
+    )
+    index_dir = ensure_index_dir(sf_dir, n_partitions=n_partitions)
+    svc = BM25ShardedService(index_dir)
+    out_pat, out_d = [], []
+    try:
+        for pid, pat in enumerate(pats):
+            terms = sorted(
+                exp.filter(pc.equal(exp["pid"], pid))["term"].to_pylist()
+            )[:WILDCARD_MAX_EXPANSION]
+            if not terms:
+                continue
+            acc = svc.boolean_or(" ".join(terms))
+            if acc.size == 0:
+                continue
+            out_pat.extend([pat] * acc.size)
+            out_d.extend(acc.tolist())
+    finally:
+        svc.shutdown()
+    return pa.table(
+        {
+            "pattern": pa.array(out_pat, pa.string()),
+            "doc_id": pa.array(out_d, pa.int64()),
+        }
+    )
+
+
 def phrase_match_pipeline(
     sf_dir: str, n_partitions: int = 4
 ) -> pa.Table:

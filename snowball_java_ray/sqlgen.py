@@ -914,6 +914,26 @@ ORDER BY query_vec_id, rank
 """
 
 
+def ann_recall_sql() -> str:
+    """Recall@k / top-1 eval of the LSH leg vs the brute ground truth,
+    composed from the two legs' own generated oracles (nested-WITH
+    subqueries), so this oracle cannot drift from theirs."""
+    from snowball_java_ray.constants import ANN_TOP_K
+
+    return f"""
+SELECT b.query_vec_id,
+       count(a.vec_id) AS n_overlap,
+       round(CAST(count(a.vec_id) AS DOUBLE) / {ANN_TOP_K}, 4) AS recall,
+       CAST(max(CASE WHEN b.rank = 1 AND a.rank = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS top1_hit
+FROM ({ann_topk_sql()}) b
+LEFT JOIN ({lsh_ann_sql()}) a
+  ON a.query_vec_id = b.query_vec_id AND a.vec_id = b.vec_id
+GROUP BY b.query_vec_id
+ORDER BY b.query_vec_id
+"""
+
+
 def embed_outliers_sql() -> str:
     """Embedding-space audit (ops/ann.embed_outliers): per-label
     centroid from integer-quantized per-dimension sums, then the
@@ -1049,6 +1069,35 @@ SELECT DISTINCT CAST(q.query_id AS BIGINT) AS query_id, dt.doc_id
 FROM qterms q
 JOIN dt ON dt.term = q.term
 ORDER BY query_id, doc_id
+"""
+
+
+def wildcard_search_sql() -> str:
+    """Wildcard retrieval oracle: LIKE expansion over the distinct
+    vocabulary, capped at the lexicographically-first
+    WILDCARD_MAX_EXPANSION terms (the engine's rewrite budget), then
+    docs containing ANY expanded term."""
+    from snowball_java_ray.constants import (
+        WILDCARD_MAX_EXPANSION,
+        WILDCARD_PATTERNS,
+    )
+
+    pat_rows = ", ".join(f"('{p}')" for p in WILDCARD_PATTERNS)
+    return f"""
+WITH {tokenize_cte()},
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+pat(pattern) AS (VALUES {pat_rows}),
+dic AS (SELECT DISTINCT term FROM toks),
+exp AS (
+  SELECT pattern, term FROM (
+    SELECT p.pattern, d.term,
+           row_number() OVER (PARTITION BY p.pattern ORDER BY d.term) AS rn
+    FROM pat p JOIN dic d ON d.term LIKE p.pattern
+  ) WHERE rn <= {WILDCARD_MAX_EXPANSION}
+)
+SELECT DISTINCT e.pattern, dt.doc_id
+FROM exp e JOIN dt ON dt.term = e.term
+ORDER BY pattern, doc_id
 """
 
 

@@ -147,3 +147,17 @@ def test_label_confusion_totals(ray_session):
     )
     for lb, c in zip(labels, counts):
         assert per_label[lb] == c
+
+
+def test_ann_recall_bounds_and_consistency(ray_session):
+    """recall in [0,1] and == n_overlap/k; one row per query; top1_hit
+    implies overlap >= 1."""
+    from snowball_java_ray.constants import ANN_N_QUERIES, ANN_TOP_K
+    from snowball_java_ray.ops.ann import ann_recall
+
+    t = ann_recall(SF_TINY).to_pandas()
+    assert len(t) == ANN_N_QUERIES
+    assert t["query_vec_id"].is_unique
+    assert ((t["recall"] >= 0) & (t["recall"] <= 1)).all()
+    assert (t["recall"] == (t["n_overlap"] / ANN_TOP_K).round(4)).all()
+    assert (t.loc[t["top1_hit"] == 1, "n_overlap"] >= 1).all()

@@ -359,3 +359,29 @@ def test_bm25_explain_sums_to_top1_score(ray_session):
         assert g["doc_id"].nunique() == 1
         assert int(g["doc_id"].iloc[0]) == int(top1.loc[qid, "doc_id"])
         assert abs(g["contrib"].sum() - top1.loc[qid, "score"]) < 1e-5
+
+
+def test_wildcard_search_semantics(ray_session):
+    """Pattern expansion + disjunctive retrieval: 'cust%' docs are
+    exactly the docs containing a 'cust'-prefixed term; the
+    zero-expansion pattern ('zz%') yields no rows; every emitted
+    pattern is from the constant set."""
+    import duckdb
+
+    from snowball_java_ray import sqlgen
+    from snowball_java_ray.constants import WILDCARD_PATTERNS
+    from snowball_java_ray.pipelines.api import wildcard_search_pipeline
+
+    got = wildcard_search_pipeline(SF_TINY).to_pandas()
+    assert set(got["pattern"]) <= set(WILDCARD_PATTERNS)
+    assert not (got["pattern"] == "zz%").any()
+
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as select * from '{SF_TINY}/documents.parquet'"
+    )
+    want = con.sql(sqlgen.wildcard_search_sql()).df()
+    g = got.sort_values(["pattern", "doc_id"]).reset_index(drop=True)
+    w = want.sort_values(["pattern", "doc_id"]).reset_index(drop=True)
+    assert g.equals(w)
+    assert len(g) > 0

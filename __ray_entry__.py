@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": relational.events_props_stats,
         "events_asof": relational.events_asof,
         "events_attribution": relational.events_attribution,
+        "events_funnel": relational.events_funnel,
+        "dup_passages": dedup.dup_passages,
         "orders_topk": relational.orders_topk,
         "customer_order_totals": joins.customer_order_totals,
         # --- composed curation pipeline ---
@@ -245,6 +247,8 @@ def oracle_sql() -> dict[str, str]:
         "events_props_stats": sqlgen.events_props_stats_sql(),
         "events_asof": sqlgen.events_asof_sql(),
         "events_attribution": sqlgen.events_attribution_sql(),
+        "events_funnel": sqlgen.events_funnel_sql(),
+        "dup_passages": sqlgen.dup_passages_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),
         "customer_order_totals": sqlgen.customer_order_totals_sql(),
         "curated_corpus": sqlgen.curated_corpus_sql(),

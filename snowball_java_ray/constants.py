@@ -263,6 +263,18 @@ ATTRIB_WINDOW_MIN = 60
 WILDCARD_PATTERNS = ("cust%", "%ream", "%at%", "s_an", "zz%")
 WILDCARD_MAX_EXPANSION = 64
 
+# Ordered funnel over the events stream
+# (ops/relational.events_funnel): first-touch semantics, each stage's
+# timestamp strictly after the previous stage's.
+FUNNEL_STAGES = ("signup", "click", "purchase")
+
+# Verbatim-passage duplication (ops/dedup.dup_passages): word windows
+# of PASSAGE_N raw tokens appearing in >= PASSAGE_MIN_DOCS distinct
+# docs — the near-verbatim contamination scan (cf. "Deduplicating
+# Training Data Makes Language Models Better", Lee et al. 2022).
+PASSAGE_N = 6
+PASSAGE_MIN_DOCS = 2
+
 # Regex scan workload (ops/textstats.regex_search): RE2 partial-match
 # patterns — Arrow's match_substring_regex and DuckDB's regexp_matches
 # are both RE2, so engine and oracle share exact semantics.

@@ -947,3 +947,61 @@ def canonical_docs(sf_dir: str) -> pa.Table:
     import pyarrow.compute as pc
 
     return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))
+
+
+def dup_passages(sf_dir: str) -> ray.data.Dataset:
+    """Verbatim-passage duplication scan (cf. Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    PASSAGE_N-raw-token window appearing in >= PASSAGE_MIN_DOCS
+    distinct documents, with its doc count and doc-id range — the
+    near-verbatim contamination report a curation pipeline reads
+    before suffix-style substring dedup.
+
+    Scale shape: one corpus scan emits per-doc DISTINCT windows (so a
+    window repeated inside one doc counts that doc once), then ONE
+    hash_grouped_aggregate shuffle keyed on the window gives
+    n_docs/min/max via Arrow C++ — count(*) IS the distinct-doc count
+    because rows are per-doc-distinct by construction. The window text
+    rides as the key here because the oracle groups on it; at 10^12
+    docs you'd route on md5int60(window) exactly like the MinHash
+    path and keep one exemplar string per hash."""
+    import pyarrow.compute as pc
+
+    from snowball_java_ray.constants import PASSAGE_MIN_DOCS, PASSAGE_N
+
+    def emit(t: pa.Table) -> pa.Table:
+        out_s, out_d = [], []
+        docs = t["doc_id"].to_pylist()
+        for did, text in zip(docs, t["text"].to_pylist()):
+            for s in shingles(text, PASSAGE_N):
+                out_s.append(s)
+                out_d.append(did)
+        return pa.table(
+            {
+                "shingle": pa.array(out_s, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    agg = hash_grouped_aggregate(
+        _read_docs(sf_dir).map_batches(emit, batch_format="pyarrow"),
+        ["shingle"],
+        [
+            ("", "count_all", "n_docs"),
+            ("doc_id", "min", "min_doc"),
+            ("doc_id", "max", "max_doc"),
+        ],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n_docs"], PASSAGE_MIN_DOCS))
+        return pa.table(
+            {
+                "passage": t["shingle"],
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "min_doc": pc.cast(t["min_doc"], pa.int64()),
+                "max_doc": pc.cast(t["max_doc"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("passage")

@@ -1037,3 +1037,71 @@ def events_attribution(sf_dir: str, window_min: int | None = None) -> ray.data.D
         )
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("user_id")
+
+
+def events_funnel(sf_dir: str) -> ray.data.Dataset:
+    """Ordered funnel (signup -> click -> purchase, first-touch): how
+    many users completed each stage STRICTLY AFTER their previous
+    stage's first completion.
+
+    Scale shape: one scan hash-partitions users (stage progression is
+    a per-user property, so partials are exact per partition); inside
+    each partition the whole cascade is pandas groupby-min + merges
+    over ALL users at once — no per-user dispatch. Each partition
+    emits exactly len(FUNNEL_STAGES) partial-count rows, so the final
+    shuffle carries O(partitions x stages) rows and the driver sees a
+    stage-count table regardless of user cardinality."""
+    from snowball_java_ray.constants import FUNNEL_STAGES
+    from snowball_java_ray.ops.dedup import join_partitions
+
+    stages = list(FUNNEL_STAGES)
+    P = join_partitions(64)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        part = (uid * 1099511628211 % P).astype("int64")
+        return t.append_column("__part", pa.array(part))
+
+    def funnel_partition(g: pd.DataFrame) -> pd.DataFrame:
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        ev = pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "event_type": g["event_type"].to_numpy(),
+                "ts_us": ts_us,
+            }
+        )
+        counts = []
+        prev: pd.DataFrame | None = None  # (user_id, t) reached so far
+        for i, stage in enumerate(stages):
+            se = ev[ev["event_type"] == stage][["user_id", "ts_us"]]
+            if prev is not None:
+                se = se.merge(prev, on="user_id")
+                se = se[se["ts_us"] > se["t"]][["user_id", "ts_us"]]
+            cur = se.groupby("user_id", as_index=False)["ts_us"].min()
+            cur = cur.rename(columns={"ts_us": "t"})
+            counts.append(len(cur))
+            prev = cur
+        return pd.DataFrame(
+            {
+                "stage_idx": pd.Series(range(len(stages)), dtype="int64"),
+                "stage": stages,
+                "n_users": pd.Series(counts, dtype="int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.is_in(t["event_type"], pa.array(stages))
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(funnel_partition, batch_format="pandas")
+        .groupby(["stage_idx", "stage"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .sort("stage_idx")
+    )

@@ -388,6 +388,51 @@ ORDER BY p.user_id
 """
 
 
+def events_funnel_sql() -> str:
+    """Ordered first-touch funnel oracle: each stage's first timestamp
+    strictly after the previous stage's first qualifying timestamp."""
+    from snowball_java_ray.constants import FUNNEL_STAGES
+
+    ctes = [
+        f"st0 AS (SELECT user_id, min(ts) AS t FROM events\n"
+        f"        WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id)"
+    ]
+    for i, stage in enumerate(FUNNEL_STAGES[1:], start=1):
+        ctes.append(
+            f"st{i} AS (SELECT e.user_id, min(e.ts) AS t FROM events e\n"
+            f"        JOIN st{i - 1} p USING (user_id)\n"
+            f"        WHERE e.event_type = '{stage}' AND e.ts > p.t\n"
+            f"        GROUP BY e.user_id)"
+        )
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS stage_idx, '{stage}' AS stage,\n"
+        f"       count(*) AS n_users FROM st{i}"
+        for i, stage in enumerate(FUNNEL_STAGES)
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY stage_idx"
+    )
+
+
+def dup_passages_sql() -> str:
+    """Verbatim-passage duplication oracle: PASSAGE_N-token windows in
+    >= PASSAGE_MIN_DOCS distinct docs (per-doc-distinct by the
+    shingles CTE)."""
+    from snowball_java_ray.constants import PASSAGE_MIN_DOCS, PASSAGE_N
+
+    return f"""
+WITH {_shingles_cte(PASSAGE_N)}
+SELECT shingle AS passage, count(*) AS n_docs,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM sh
+GROUP BY shingle
+HAVING count(*) >= {PASSAGE_MIN_DOCS}
+ORDER BY passage
+"""
+
+
 def customer_order_totals_sql() -> str:
     return """
 SELECT c.c_custkey,

@@ -104,3 +104,30 @@ def test_events_attribution_partition_independent(ray_session):
     merged = a.merge(wide, on="user_id", suffixes=("_a", "_w"))
     assert (merged["n_pairs_w"] >= merged["n_pairs_a"]).all()
     assert len(wide) >= len(a)
+
+
+def test_events_funnel_monotone_and_matches_brute(ray_session, events_df):
+    """Stage counts are non-increasing, and equal the per-user brute
+    cascade computed directly."""
+    from snowball_java_ray.constants import FUNNEL_STAGES
+    from snowball_java_ray.ops.relational import events_funnel
+
+    got = events_funnel(SF_TINY).to_pandas()
+    assert list(got["stage"]) == list(FUNNEL_STAGES)
+    assert (got["n_users"].diff().dropna() <= 0).all()
+
+    ev = events_df
+    counts = []
+    prev = None
+    for stage in FUNNEL_STAGES:
+        se = ev[ev["event_type"] == stage][["user_id", "ts"]]
+        if prev is not None:
+            se = se.merge(prev, on="user_id")
+            se = se[se["ts"] > se["t"]][["user_id", "ts"]]
+        cur = (
+            se.groupby("user_id", as_index=False)["ts"].min()
+            .rename(columns={"ts": "t"})
+        )
+        counts.append(len(cur))
+        prev = cur
+    assert list(got["n_users"]) == counts

@@ -301,3 +301,28 @@ def test_canonical_docs_invariants(ray_session):
             continue
         want = sorted(g["doc_id"], key=lambda d: (-nt[d], d))[0]
         assert g["keep_id"].iloc[0] == want
+
+
+def test_dup_passages_invariants(ray_session):
+    """Every reported passage is a PASSAGE_N-token window present in
+    >= PASSAGE_MIN_DOCS distinct docs; doc-id range is consistent; a
+    spot-checked passage really occurs in its min and max docs."""
+    import duckdb
+
+    from snowball_java_ray.constants import PASSAGE_MIN_DOCS, PASSAGE_N
+    from snowball_java_ray.ops.dedup import dup_passages, shingles
+    from tests.conftest import SF_TINY
+
+    got = dup_passages(SF_TINY).to_pandas()
+    assert len(got) > 0
+    assert got["passage"].is_unique
+    assert (got["n_docs"] >= PASSAGE_MIN_DOCS).all()
+    assert (got["min_doc"] <= got["max_doc"]).all()
+    assert got["passage"].str.split(" ").str.len().eq(PASSAGE_N).all()
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_TINY}/documents.parquet'"
+    ).df().set_index("doc_id")["text"]
+    for row in got.head(10).itertuples():
+        assert row.passage in shingles(docs.loc[row.min_doc], PASSAGE_N)
+        assert row.passage in shingles(docs.loc[row.max_doc], PASSAGE_N)

@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_compacted": api.bm25_topk_compacted_pipeline,
         "bm25_facets": api.bm25_facets_pipeline,
         "bm25_topk_diverse": api.bm25_topk_diverse_pipeline,
+        "bm25_topk_filtered": api.bm25_topk_filtered_pipeline,
         "query_expand": api.query_expand_pipeline,
         "hybrid_topk": api.hybrid_topk_pipeline,
         "term_complete": api.term_complete_pipeline,
@@ -144,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": relational.events_asof,
         "events_attribution": relational.events_attribution,
         "events_funnel": relational.events_funnel,
+        "retention_cohorts": relational.retention_cohorts,
+        "lang_top_quality": textstats.lang_top_quality,
         "dup_passages": dedup.dup_passages,
         "orders_topk": relational.orders_topk,
         "customer_order_totals": joins.customer_order_totals,
@@ -209,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_compacted": sqlgen.bm25_topk_compacted_sql(),
         "bm25_facets": sqlgen.bm25_facets_sql(),
         "bm25_topk_diverse": sqlgen.bm25_topk_diverse_sql(),
+        "bm25_topk_filtered": sqlgen.bm25_topk_filtered_sql(),
         "query_expand": sqlgen.query_expand_sql(),
         "hybrid_topk": sqlgen.hybrid_topk_sql(),
         "term_complete": sqlgen.term_complete_sql(),
@@ -248,6 +252,8 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": sqlgen.events_asof_sql(),
         "events_attribution": sqlgen.events_attribution_sql(),
         "events_funnel": sqlgen.events_funnel_sql(),
+        "retention_cohorts": sqlgen.retention_cohorts_sql(),
+        "lang_top_quality": sqlgen.lang_top_quality_sql(),
         "dup_passages": sqlgen.dup_passages_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),
         "customer_order_totals": sqlgen.customer_order_totals_sql(),

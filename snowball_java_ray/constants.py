@@ -268,6 +268,15 @@ WILDCARD_MAX_EXPANSION = 64
 # timestamp strictly after the previous stage's.
 FUNNEL_STAGES = ("signup", "click", "purchase")
 
+# Grouped top-k (ops/textstats.lang_top_quality): per-language top-k
+# docs by canonical term count, ties to lowest doc_id.
+GROUPED_TOPK_K = 5
+
+# Metadata-filtered retrieval (api.bm25_topk_filtered_pipeline):
+# Lucene filter-query semantics — global BM25 stats, candidates
+# restricted to docs with this source value.
+FILTER_SOURCE = "src7"
+
 # Verbatim-passage duplication (ops/dedup.dup_passages): word windows
 # of PASSAGE_N raw tokens appearing in >= PASSAGE_MIN_DOCS distinct
 # docs — the near-verbatim contamination scan (cf. "Deduplicating

@@ -1105,3 +1105,58 @@ def events_funnel(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Sum("n_users", alias_name="n_users"))
         .sort("stage_idx")
     )
+
+
+def retention_cohorts(sf_dir: str) -> ray.data.Dataset:
+    """Retention cohorts: users grouped by first-seen day, counted as
+    active at each day offset — the (cohort_day, offset_days,
+    n_active_users) triangle every activity dashboard draws.
+
+    Scale shape: ONE user-hash shuffle. Users are partition-exclusive,
+    so each partition computes its users' cohort day (groupby-min) and
+    their DISTINCT (cohort, offset) activity cells locally; the
+    per-cell partial counts are additive across partitions (no user
+    spans two), so a small grouped sum over O(cohorts x offsets x
+    partitions) partial rows finishes — no distinct-count shuffle of
+    raw events."""
+    import numpy as np
+
+    from snowball_java_ray.ops.dedup import join_partitions
+
+    P = join_partitions(64)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        part = (uid * 1099511628211 % P).astype("int64")
+        return t.append_column("__part", pa.array(part))
+
+    def cohort_partition(g: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            g["ts"].to_numpy().astype("datetime64[D]").astype("int64")
+        )
+        df = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "day": day})
+        first = df.groupby("user_id", as_index=False)["day"].min()
+        first = first.rename(columns={"day": "cohort"})
+        m = df.merge(first, on="user_id")
+        cells = m[["user_id", "cohort", "day"]].drop_duplicates()
+        out = (
+            cells.assign(offset_days=cells["day"] - cells["cohort"])
+            .groupby(["cohort", "offset_days"], as_index=False)
+            .agg(n_users=("user_id", "size"))
+        )
+        out["cohort_day"] = pd.to_datetime(
+            out["cohort"], unit="D"
+        ).dt.strftime("%Y-%m-%d")
+        return out[["cohort_day", "offset_days", "n_users"]].astype(
+            {"offset_days": "int64", "n_users": "int64"}
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(cohort_partition, batch_format="pandas")
+        .groupby(["cohort_day", "offset_days"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .sort(["cohort_day", "offset_days"])
+    )

@@ -1058,3 +1058,72 @@ def lm_nll(sf_dir: str) -> pa.Table:
         promote_options="default",
     )
     return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))
+
+
+def lang_top_quality(sf_dir: str) -> pa.Table:
+    """Grouped top-k: the GROUPED_TOPK_K highest-term-count docs per
+    language (ties to lowest doc_id) — the generic per-group-top-k
+    operator shape (per-batch partial top-k per group, then a bounded
+    merge over O(blocks x groups x k) candidate rows; the corpus is
+    never sorted globally and no group's full membership ever
+    gathers)."""
+    from snowball_java_ray.constants import GROUPED_TOPK_K
+    from snowball_java_ray.functions.text import tokenize_arrow
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t["text"].combine_chunks(), "")
+        row_idx, _ = tokenize_arrow(texts)
+        n_terms = np.bincount(row_idx, minlength=len(texts)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "doc_id": t["doc_id"],
+                "n_terms": pa.array(n_terms, pa.int64()),
+            }
+        )
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        parts = []
+        for lang in pc.unique(t["lang"]).to_pylist():
+            sub = t.filter(pc.equal(t["lang"], lang))
+            order = pc.sort_indices(
+                sub,
+                sort_keys=[
+                    ("n_terms", "descending"),
+                    ("doc_id", "ascending"),
+                ],
+            )[:GROUPED_TOPK_K]
+            parts.append(sub.take(order))
+        return pa.concat_tables(parts) if parts else t.slice(0, 0)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    cand = pa.concat_tables(
+        ds.map_batches(score, batch_format="pyarrow")
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"),
+        promote_options="default",
+    )
+    out_l, out_r, out_d, out_n = [], [], [], []
+    for lang in sorted(set(cand["lang"].to_pylist())):
+        sub = cand.filter(pc.equal(cand["lang"], lang))
+        order = pc.sort_indices(
+            sub,
+            sort_keys=[("n_terms", "descending"), ("doc_id", "ascending")],
+        )[:GROUPED_TOPK_K]
+        sub = sub.take(order)
+        out_l.extend([lang] * sub.num_rows)
+        out_r.extend(range(1, sub.num_rows + 1))
+        out_d.extend(sub["doc_id"].to_pylist())
+        out_n.extend(sub["n_terms"].to_pylist())
+    return pa.table(
+        {
+            "lang": pa.array(out_l, pa.string()),
+            "rank": pa.array(out_r, pa.int32()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "n_terms": pa.array(out_n, pa.int64()),
+        }
+    )

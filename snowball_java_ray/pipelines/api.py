@@ -1272,6 +1272,35 @@ def bm25_topk_diverse_pipeline(
         svc.shutdown()
 
 
+def bm25_topk_filtered_pipeline(
+    sf_dir: str, n_partitions: int = 4
+) -> ray.data.Dataset:
+    """Metadata-filtered retrieval: BM25 top-k restricted to docs with
+    ``source == FILTER_SOURCE`` — the Lucene filter-query contract
+    (global idf/avgdl, the filter restricts CANDIDATES only), the
+    everyday "search within this site/collection" feature.
+
+    Scale shape: each shard actor holds its doc range's factorized
+    (doc_id, source) metadata (the same actor-side predicate-pushdown
+    read diversified retrieval uses) and returns its post-filter local
+    top-k; the gather merge is the plain top-k merge (filtering
+    commutes with the ranking order, so per-shard filter-then-cut is
+    exact). Oracle: ``sqlgen.bm25_topk_filtered_sql``."""
+    from snowball_java_ray.constants import FILTER_SOURCE
+    from snowball_java_ray.stages.serve import BM25ShardedService
+
+    index_dir = ensure_index_dir(sf_dir, n_partitions=n_partitions)
+    svc = BM25ShardedService(
+        index_dir, source_parquet=f"{sf_dir}/documents.parquet"
+    )
+    try:
+        return svc.topk_dataset(
+            reference_queries_ds(), filter_source=FILTER_SOURCE
+        ).sort(["query_id", "rank"]).materialize()
+    finally:
+        svc.shutdown()
+
+
 def more_like_this_pipeline(
     sf_dir: str, top_k: int = TOP_K, n_partitions: int = 4
 ) -> pa.Table:

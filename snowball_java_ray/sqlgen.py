@@ -416,6 +416,47 @@ def events_funnel_sql() -> str:
     )
 
 
+def retention_cohorts_sql() -> str:
+    """Cohort-retention oracle: first-seen day per user, distinct
+    active users per (cohort day, day offset)."""
+    return """
+WITH f AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+       datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS offset_days,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN f USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def lang_top_quality_sql() -> str:
+    """Grouped top-k oracle: per-lang top-k docs by canonical term
+    count (multiplicity preserved, same CTE as term_df), ties to
+    lowest doc_id."""
+    from snowball_java_ray.constants import GROUPED_TOPK_K
+
+    return f"""
+WITH {tokenize_cte()},
+terms AS (SELECT doc_id, count(*) AS n_terms FROM toks GROUP BY doc_id),
+scored AS (
+  SELECT d.doc_id, d.lang, coalesce(t.n_terms, 0) AS n_terms
+  FROM documents d LEFT JOIN terms t ON d.doc_id = t.doc_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY n_terms DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT lang, CAST(rank AS INT) AS rank, doc_id, n_terms
+FROM r WHERE rank <= {GROUPED_TOPK_K}
+ORDER BY lang, rank
+"""
+
+
 def dup_passages_sql() -> str:
     """Verbatim-passage duplication oracle: PASSAGE_N-token windows in
     >= PASSAGE_MIN_DOCS distinct docs (per-doc-distinct by the
@@ -1391,6 +1432,21 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank, doc_id,
 FROM ranked WHERE rank <= {top_k}
 ORDER BY query_id, rank
 """
+
+
+def bm25_topk_filtered_sql(top_k: int = TOP_K) -> str:
+    """Metadata-filtered retrieval oracle: same BM25 stats as the
+    unfiltered query (Lucene filter semantics), candidates restricted
+    to FILTER_SOURCE docs via ``cand_where``."""
+    from snowball_java_ray.constants import FILTER_SOURCE
+
+    return bm25_topk_sql(
+        top_k=top_k,
+        cand_where=(
+            "tf.doc_id IN (SELECT doc_id FROM documents "
+            f"WHERE source = '{FILTER_SOURCE}')"
+        ),
+    )
 
 
 def bm25_topk_deleted_sql(top_k: int = TOP_K) -> str:

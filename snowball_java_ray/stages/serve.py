@@ -258,6 +258,67 @@ class _ShardScorer:
             [nm for part in name_parts for nm in part],
         )
 
+    def score_batch_filtered(
+        self,
+        queries: list[tuple[int, list[tuple[str, float]]]],
+        k1: float,
+        b: float,
+        top_k: int,
+        src_value: str,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Metadata-filtered top-k (Lucene filter-query semantics):
+        BM25 scores are the GLOBAL unfiltered scores — the filter
+        restricts CANDIDATES, never idf/avgdl — and only this shard's
+        docs whose source equals ``src_value`` survive. Per-shard
+        top-k AFTER filtering merges exactly (filtering commutes with
+        the ranking order). Candidates come from the full shard
+        ranking (already in ranking-key order from _topk_select), then
+        a vectorized code compare cuts them; a value absent from this
+        shard's name table short-circuits to empty."""
+        if self.src_doc_ids is None:
+            raise RuntimeError("shard built without source metadata")
+        code = (
+            self.src_names.index(src_value)
+            if src_value in self.src_names
+            else -1
+        )
+        cache = self._results
+        ids_parts: list[np.ndarray] = []
+        score_parts: list[np.ndarray] = []
+        counts = np.empty(len(queries), np.int64)
+        for i, (_, terms_idf) in enumerate(queries):
+            key = (tuple(terms_idf), k1, b, top_k, "filtered", src_value)
+            hit = cache.get(key)
+            if hit is None:
+                if code < 0:
+                    hit = (np.empty(0, np.int64), np.empty(0, np.float64))
+                else:
+                    docs, scores = score_terms(
+                        self.index, terms_idf, k1, b, top_k=1 << 62
+                    )
+                    if docs.size:
+                        keep = (
+                            self.src_codes[
+                                np.searchsorted(self.src_doc_ids, docs)
+                            ]
+                            == code
+                        )
+                        docs, scores = docs[keep][:top_k], scores[keep][:top_k]
+                    hit = (docs, scores)
+                if len(cache) >= self.RESULT_CACHE_MAX:
+                    cache.pop(next(iter(cache)))
+                cache[key] = hit
+            ids_parts.append(hit[0])
+            score_parts.append(hit[1])
+            counts[i] = hit[0].size
+        return (
+            np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64),
+            np.concatenate(score_parts)
+            if score_parts
+            else np.empty(0, np.float64),
+            counts,
+        )
+
     def boolean_and(self, terms: list[str]) -> np.ndarray:
         """Conjunctive intersection within this shard's doc range."""
         acc: np.ndarray | None = None
@@ -461,6 +522,7 @@ class BM25ShardedService:
         algo: str = "exact",
         num_blocks: int | None = None,
         diversify_cap: int | None = None,
+        filter_source: str | None = None,
     ):
         """queries(query_id, qtext) -> TOPK_SCHEMA rows via scatter/
         gather; algo='wand' makes every shard run block-max WAND
@@ -485,6 +547,7 @@ class BM25ShardedService:
                 "algo": algo,
                 "ticket_counter": self.ticket_counter,
                 "diversify_cap": diversify_cap,
+                "filter_source": filter_source,
             },
             batch_format="pyarrow",
             concurrency=concurrency,
@@ -554,7 +617,7 @@ class ShardedBM25Scorer:
 
     def __init__(self, shard_handles, df_ref, n_docs, k1=BM25_K1, b=BM25_B,
                  top_k=TOP_K, algo="exact", ticket_counter=None,
-                 diversify_cap=None):
+                 diversify_cap=None, filter_source=None):
         import ray
 
         # ``shard_handles``: one fleet (list of actors) or several
@@ -582,6 +645,7 @@ class ShardedBM25Scorer:
         self.k1, self.b, self.top_k = k1, b, top_k
         self.algo = algo
         self.diversify_cap = diversify_cap
+        self.filter_source = filter_source
 
     def _idfs(self, terms: list[str]) -> dict[str, float]:
         """Batch df lookup: one pc.index_in over the distinct terms of
@@ -627,11 +691,21 @@ class ShardedBM25Scorer:
         if self.diversify_cap:
             return self._call_diverse(qids, q_to_uniq, len(uniq_terms),
                                       queries)
-        per_shard = ray.get(
-            [h.score_batch.remote(queries, self.k1, self.b, self.top_k,
-                                  self.algo)
-             for h in self.handles]
-        )
+        if self.filter_source is not None:
+            # same packed response shape as score_batch — the merge
+            # below is shared between plain and filtered retrieval
+            per_shard = ray.get(
+                [h.score_batch_filtered.remote(queries, self.k1, self.b,
+                                               self.top_k,
+                                               self.filter_source)
+                 for h in self.handles]
+            )
+        else:
+            per_shard = ray.get(
+                [h.score_batch.remote(queries, self.k1, self.b, self.top_k,
+                                      self.algo)
+                 for h in self.handles]
+            )
         # unpack the flat (ids, scores, counts) shard responses into
         # per-unique-query zero-copy views, merge once per unique query
         offsets = [

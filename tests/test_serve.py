@@ -385,3 +385,34 @@ def test_wildcard_search_semantics(ray_session):
     w = want.sort_values(["pattern", "doc_id"]).reset_index(drop=True)
     assert g.equals(w)
     assert len(g) > 0
+
+
+def test_filtered_topk_semantics(ray_session):
+    """Every filtered hit is from FILTER_SOURCE; its score equals the
+    GLOBAL unfiltered BM25 score for that (query, doc) — the filter
+    restricts candidates, never the stats."""
+    import duckdb
+
+    from snowball_java_ray.constants import FILTER_SOURCE
+    from snowball_java_ray.pipelines.api import (
+        bm25_topk_filtered_pipeline,
+        bm25_topk_sharded_pipeline,
+    )
+
+    got = collect_arrow(bm25_topk_filtered_pipeline(SF_TINY)).to_pandas()
+    assert len(got) > 0
+    src = duckdb.sql(
+        f"SELECT doc_id, source FROM '{SF_TINY}/documents.parquet'"
+    ).df().set_index("doc_id")["source"]
+    assert (src.loc[got["doc_id"]].to_numpy() == FILTER_SOURCE).all()
+
+    # unfiltered scores over a deep cut: every filtered (q, doc) pair
+    # present there must carry the identical score
+    deep = collect_arrow(
+        bm25_topk_sharded_pipeline(SF_TINY, top_k=500)
+    ).to_pandas().set_index(["query_id", "doc_id"])["score"]
+    joined = got.join(
+        deep.rename("global_score"), on=["query_id", "doc_id"], how="inner"
+    )
+    assert len(joined) > 0
+    assert (joined["score"] == joined["global_score"]).all()

@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attribution": relational.events_attribution,
         "events_funnel": relational.events_funnel,
         "retention_cohorts": relational.retention_cohorts,
+        "events_running_total": relational.events_running_total,
         "lang_top_quality": textstats.lang_top_quality,
         "dup_passages": dedup.dup_passages,
         "orders_topk": relational.orders_topk,
@@ -253,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
         "events_attribution": sqlgen.events_attribution_sql(),
         "events_funnel": sqlgen.events_funnel_sql(),
         "retention_cohorts": sqlgen.retention_cohorts_sql(),
+        "events_running_total": sqlgen.events_running_total_sql(),
         "lang_top_quality": sqlgen.lang_top_quality_sql(),
         "dup_passages": sqlgen.dup_passages_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),

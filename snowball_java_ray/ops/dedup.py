@@ -969,19 +969,46 @@ def dup_passages(sf_dir: str) -> ray.data.Dataset:
 
     from snowball_java_ray.constants import PASSAGE_MIN_DOCS, PASSAGE_N
 
+    from snowball_java_ray.functions.text import raw_tokens_arrow
+
+    empty = pa.table(
+        {
+            "shingle": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+        }
+    )
+
     def emit(t: pa.Table) -> pa.Table:
-        out_s, out_d = [], []
-        docs = t["doc_id"].to_pylist()
-        for did, text in zip(docs, t["text"].to_pylist()):
-            for s in shingles(text, PASSAGE_N):
-                out_s.append(s)
-                out_d.append(did)
-        return pa.table(
+        # fully vectorized window construction: ONE C++ tokenize for
+        # the whole batch, PASSAGE_N shifted views of the flat token
+        # array joined element-wise, windows that cross a doc boundary
+        # masked by comparing the shifted row indices. Each doc is one
+        # row, so per-doc distinct inside the batch (Arrow group_by on
+        # the key pair) is globally per-doc distinct. Semantically
+        # identical to per-row ``shingles(text, PASSAGE_N)`` — pinned
+        # by test_dup_passages_invariants.
+        texts = pc.fill_null(t["text"].combine_chunks(), "")
+        row_idx, flat = raw_tokens_arrow(texts)
+        n = len(flat)
+        w = n - PASSAGE_N + 1
+        if w <= 0:
+            return empty
+        valid = row_idx[:w] == row_idx[PASSAGE_N - 1:]
+        if not valid.any():
+            return empty
+        parts = [flat.slice(k, w) for k in range(PASSAGE_N)]
+        joined = pc.binary_join_element_wise(*parts, " ")
+        mask = pa.array(valid)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[
+            row_idx[:w][valid]
+        ]
+        pairs = pa.table(
             {
-                "shingle": pa.array(out_s, pa.string()),
-                "doc_id": pa.array(out_d, pa.int64()),
+                "shingle": joined.filter(mask),
+                "doc_id": pa.array(doc_ids, pa.int64()),
             }
         )
+        return pairs.group_by(["shingle", "doc_id"]).aggregate([])
 
     agg = hash_grouped_aggregate(
         _read_docs(sf_dir).map_batches(emit, batch_format="pyarrow"),

@@ -1160,3 +1160,58 @@ def retention_cohorts(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Sum("n_users", alias_name="n_users"))
         .sort(["cohort_day", "offset_days"])
     )
+
+
+def events_running_total(sf_dir: str) -> ray.data.Dataset:
+    """Analytic window function: per-user running total of ``value``
+    ordered by (ts, event_id) — SUM() OVER (PARTITION BY user
+    ORDER BY ...) as a batch-engine operator.
+
+    Scale shape: one user-hash shuffle; each partition sorts ONCE by
+    (user_id, ts, event_id) and computes every user's cumulative sum
+    in two vectorized passes (global cumsum minus each user's starting
+    offset) — no per-user dispatch. Values ride as exact integer cents
+    (the oracle states the same CAST): the cumsum-minus-offset trick
+    changes float addition ORDER, which would drift last-ulp from the
+    oracle's sequential window sum, but over integers it is exact."""
+    import numpy as np
+
+    from snowball_java_ray.ops.dedup import join_partitions
+
+    P = join_partitions(64)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        part = (uid * 1099511628211 % P).astype("int64")
+        return t.append_column("__part", pa.array(part))
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "event_id": g["event_id"].to_numpy(),
+                "ts_us": g["ts"].to_numpy().astype("datetime64[us]")
+                .astype("int64"),
+                "v_c": np.round(g["value"].to_numpy() * 100.0).astype(
+                    "int64"
+                ),
+            }
+        ).sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        v = g["v_c"].to_numpy()
+        cs = np.cumsum(v)
+        first = ~g["user_id"].duplicated().to_numpy()
+        # subtract the cumsum just BEFORE each user's first row
+        base = np.where(first, cs - v, 0)
+        base = (
+            pd.Series(np.where(first, base, np.nan)).ffill().to_numpy()
+        ).astype("int64")
+        g["running_value"] = (cs - base) / 100.0
+        return g[["user_id", "event_id", "running_value"]]
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(running, batch_format="pandas")
+        .sort(["user_id", "event_id"])
+    )

@@ -416,6 +416,19 @@ def events_funnel_sql() -> str:
     )
 
 
+def events_running_total_sql() -> str:
+    """Per-user running total oracle (exact integer cents inside the
+    window sum — same CAST as the engine)."""
+    return """
+SELECT user_id, event_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100 AS running_value
+FROM events
+ORDER BY user_id, event_id
+"""
+
+
 def retention_cohorts_sql() -> str:
     """Cohort-retention oracle: first-seen day per user, distinct
     active users per (cohort day, day offset)."""

@@ -131,3 +131,25 @@ def test_events_funnel_monotone_and_matches_brute(ray_session, events_df):
         counts.append(len(cur))
         prev = cur
     assert list(got["n_users"]) == counts
+
+
+def test_events_running_total_matches_pandas(ray_session, events_df):
+    """Engine running totals == pandas per-user expanding sum over the
+    same (ts, event_id) order, in exact cents."""
+    from snowball_java_ray.ops.relational import events_running_total
+
+    got = events_running_total(SF_TINY).to_pandas()
+    ev = events_df.copy()
+    ev["v_c"] = (ev["value"] * 100.0).round().astype("int64")
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ev["running_value"] = ev.groupby("user_id")["v_c"].cumsum() / 100.0
+    want = ev[["user_id", "event_id", "running_value"]].sort_values(
+        ["user_id", "event_id"]
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    # last row per user == the user's plain total
+    totals = ev.groupby("user_id")["v_c"].sum() / 100.0
+    last = got.groupby("user_id")["running_value"].last()
+    assert (last == totals).all()

@@ -147,6 +147,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": relational.events_funnel,
         "retention_cohorts": relational.retention_cohorts,
         "events_running_total": relational.events_running_total,
+        "events_pivot": relational.events_pivot,
+        "customers_no_big_order": relational.customers_no_big_order,
+        "dedup_incremental": dedup.dedup_incremental,
         "lang_top_quality": textstats.lang_top_quality,
         "dup_passages": dedup.dup_passages,
         "orders_topk": relational.orders_topk,
@@ -255,6 +258,9 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": sqlgen.events_funnel_sql(),
         "retention_cohorts": sqlgen.retention_cohorts_sql(),
         "events_running_total": sqlgen.events_running_total_sql(),
+        "events_pivot": sqlgen.events_pivot_sql(),
+        "customers_no_big_order": sqlgen.customers_no_big_order_sql(),
+        "dedup_incremental": sqlgen.dedup_incremental_sql(),
         "lang_top_quality": sqlgen.lang_top_quality_sql(),
         "dup_passages": sqlgen.dup_passages_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),

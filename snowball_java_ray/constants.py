@@ -294,3 +294,18 @@ REGEX_QUERIES = (
     r"key\s+agg\s+row",
     r"value [0-9]+",
 )
+
+# Anti-join retention surface (ops/relational.customers_no_big_order):
+# customers with NO order above this total — the NOT EXISTS shape run
+# as ONE tagged-union shuffle instead of a two-sided join.
+HIGH_VALUE_ORDER = 400_000.0
+
+# Incremental dedup (ops/dedup.dedup_incremental): docs with
+# doc_id >= floor(n_docs * INCREMENTAL_OLD_FRAC) are the "arriving"
+# batch, deduplicated against the already-ingested prefix — the
+# steady-state shape of a training-data ingest pipeline.
+INCREMENTAL_OLD_FRAC = 0.8
+
+# Event-type pivot (ops/relational.events_pivot): the conditional
+# aggregation column set — one count per type plus purchase revenue.
+PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")

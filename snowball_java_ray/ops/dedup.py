@@ -33,6 +33,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from snowball_java_ray.constants import (
@@ -1032,3 +1033,67 @@ def dup_passages(sf_dir: str) -> ray.data.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("passage")
+
+
+def dedup_incremental(sf_dir: str) -> ray.data.Dataset:
+    """Incremental exact dedup: the "arriving" suffix of the corpus
+    (doc_id >= floor(n_docs * INCREMENTAL_OLD_FRAC)) deduplicated
+    against the already-ingested prefix AND within itself — the
+    steady-state ingest shape, where every new batch must be checked
+    against the full history without re-deduplicating the history.
+
+    Scale shape: one digest shuffle over old + new (both streamed,
+    never collected); per digest group, max(is_old) poisons any key
+    the history already holds and min over the new-only doc_id picks
+    the keeper, all in Arrow C++ via hash_grouped_aggregate. At
+    production scale the "old" leg reads the stored digest column of
+    the ingested corpus (no re-hash); here both legs hash the text the
+    same way dedup_exact does."""
+    import pyarrow.parquet as pq
+
+    from snowball_java_ray.constants import INCREMENTAL_OLD_FRAC
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    cut = int(n_docs * INCREMENTAL_OLD_FRAC)
+
+    def h(t: pa.Table) -> pa.Table:
+        digests = [
+            hashlib.md5((x or "").encode()).hexdigest()
+            for x in t["text"].to_pylist()
+        ]
+        is_old = pc.cast(pc.less(t["doc_id"], cut), pa.int64())
+        new_id = pc.if_else(
+            pc.equal(is_old, 0), t["doc_id"], pa.nulls(len(t), pa.int64())
+        )
+        return pa.table(
+            {
+                "content_md5": pa.array(digests),
+                "is_old": is_old,
+                "new_doc_id": new_id,
+            }
+        )
+
+    agg = hash_grouped_aggregate(
+        _read_docs(sf_dir).map_batches(h, batch_format="pyarrow"),
+        ["content_md5"],
+        [
+            ("is_old", "max", "has_old"),
+            ("new_doc_id", "min", "keep_doc_id"),
+            ("new_doc_id", "count", "n_new"),
+        ],
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(t["has_old"], 0), pc.greater(t["n_new"], 0)
+        )
+        out = t.filter(m)
+        return pa.table(
+            {
+                "content_md5": out["content_md5"],
+                "keep_doc_id": out["keep_doc_id"],
+                "n_new": pc.cast(out["n_new"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(keep, batch_format="pyarrow").sort("content_md5")

@@ -1215,3 +1215,125 @@ def events_running_total(sf_dir: str) -> ray.data.Dataset:
         .map_groups(running, batch_format="pandas")
         .sort(["user_id", "event_id"])
     )
+
+
+def events_pivot(sf_dir: str) -> ray.data.Dataset:
+    """Event-type pivot: one row per user with a count column per
+    event type plus purchase revenue — SUM(CASE WHEN ...) conditional
+    aggregation as a batch-engine operator.
+
+    Scale shape: the pivot happens map-side — each batch collapses to
+    at most one row per (user, batch) via Arrow C++ group_by over the
+    conditional indicator columns — so the single hash shuffle carries
+    pre-combined partials, never raw events. Revenue rides as exact
+    integer cents (same CAST as the oracle) so partial-sum order can't
+    drift the float result."""
+    import numpy as np
+
+    from snowball_java_ray.constants import PIVOT_EVENT_TYPES
+    from snowball_java_ray.ops.dedup import hash_grouped_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        cols: dict[str, pa.Array] = {"user_id": t["user_id"]}
+        for ty in PIVOT_EVENT_TYPES:
+            cols[f"n_{ty}"] = pc.cast(pc.equal(et, ty), pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(t["value"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        is_p = pc.cast(pc.equal(et, "purchase"), pa.int64())
+        cols["purchase_cents"] = pc.multiply(cents, is_p)
+        flat = pa.table(cols)
+        out = flat.group_by(["user_id"]).aggregate(
+            [(c, "sum") for c in flat.schema.names if c != "user_id"]
+        )
+        return out.rename_columns(
+            [n[:-4] if n.endswith("_sum") else n for n in out.schema.names]
+        )
+
+    agg = hash_grouped_aggregate(
+        _read(sf_dir, "events", ["user_id", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        [(f"n_{ty}", "sum", f"n_{ty}")
+         for ty in PIVOT_EVENT_TYPES]
+        + [("purchase_cents", "sum", "purchase_cents")],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        val = pc.divide(
+            pc.cast(t["purchase_cents"], pa.float64()), pa.scalar(100.0)
+        )
+        return t.drop_columns(["purchase_cents"]).append_column(
+            "purchase_value", val
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("user_id")
+
+
+def customers_no_big_order(sf_dir: str) -> ray.data.Dataset:
+    """Anti-join / NOT EXISTS: customers with no order above
+    HIGH_VALUE_ORDER, with their name and balance.
+
+    Scale shape: ONE tagged-union hash shuffle instead of a two-sided
+    join — customer rows carry their attributes with flag 0, matching
+    order rows carry only (custkey, flag 1); a single
+    hash_grouped_aggregate per custkey takes max(flag) (any big order
+    poisons the key) and max(name)/max(acctbal) (non-null only on the
+    single customer row, so max is just "the value"). The order side
+    is pre-shrunk map-side to one row per (custkey, batch). No
+    broadcast of either unbounded side, no second shuffle to re-attach
+    attributes."""
+    from snowball_java_ray.constants import HIGH_VALUE_ORDER
+    from snowball_java_ray.ops.dedup import hash_grouped_aggregate
+
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_name": t["c_name"],
+                "c_acctbal": t["c_acctbal"],
+                "has_big": pa.array([0] * len(t), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def big_orders(t: pa.Table) -> pa.Table:
+        keys = pc.unique(
+            t.filter(pc.greater(t["o_totalprice"], HIGH_VALUE_ORDER))[
+                "o_custkey"
+            ]
+        )
+        n = len(keys)
+        return pa.table(
+            {
+                "c_custkey": keys,
+                "c_name": pa.nulls(n, pa.string()),
+                "c_acctbal": pa.nulls(n, pa.float64()),
+                "has_big": pa.array([1] * n, pa.int64()),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_totalprice"]
+    ).map_batches(big_orders, batch_format="pyarrow")
+
+    agg = hash_grouped_aggregate(
+        cust.union(orders),
+        ["c_custkey"],
+        [
+            ("c_name", "max", "c_name"),
+            ("c_acctbal", "max", "c_acctbal"),
+            ("has_big", "max", "has_big"),
+        ],
+    )
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["has_big"], 0)).drop_columns(
+            ["has_big"]
+        )
+
+    return agg.map_batches(keep, batch_format="pyarrow").sort("c_custkey")

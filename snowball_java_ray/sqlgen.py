@@ -2414,3 +2414,66 @@ SELECT doc_id AS media_id,
        round(avg(abs(v)), 6) AS mean_abs
 FROM s GROUP BY doc_id, n ORDER BY media_id
 """
+
+
+def events_pivot_sql() -> str:
+    """Event-type pivot oracle: conditional aggregation per user,
+    purchase revenue in exact integer cents (engine CAST mirrored)."""
+    from snowball_java_ray.constants import PIVOT_EVENT_TYPES
+
+    counts = ",\n       ".join(
+        f"CAST(sum(CASE WHEN event_type = '{ty}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_{ty}"
+        for ty in PIVOT_EVENT_TYPES
+    )
+    return f"""
+SELECT user_id,
+       {counts},
+       CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+            AS DOUBLE) / 100 AS purchase_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def customers_no_big_order_sql() -> str:
+    """NOT-EXISTS anti-join oracle for customers_no_big_order."""
+    from snowball_java_ray.constants import HIGH_VALUE_ORDER
+
+    return f"""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_totalprice > {HIGH_VALUE_ORDER!r}
+)
+ORDER BY c_custkey
+"""
+
+
+def dedup_incremental_sql() -> str:
+    """Incremental-dedup oracle: the cut point is computed from the
+    corpus itself (floor(n_docs * frac)), exactly as the engine does
+    from parquet metadata, so one SQL string serves every sf."""
+    from snowball_java_ray.constants import INCREMENTAL_OLD_FRAC
+
+    return f"""
+WITH cut AS (
+  SELECT CAST(floor(count(*) * {INCREMENTAL_OLD_FRAC!r}) AS BIGINT) AS c
+  FROM documents
+),
+h AS (
+  SELECT doc_id, md5(text) AS content_md5,
+         doc_id < (SELECT c FROM cut) AS is_old
+  FROM documents
+)
+SELECT content_md5,
+       min(CASE WHEN NOT is_old THEN doc_id END) AS keep_doc_id,
+       CAST(count(CASE WHEN NOT is_old THEN 1 END) AS BIGINT) AS n_new
+FROM h
+GROUP BY content_md5
+HAVING max(CASE WHEN is_old THEN 1 ELSE 0 END) = 0
+   AND count(CASE WHEN NOT is_old THEN 1 END) > 0
+ORDER BY content_md5
+"""

@@ -1,0 +1,55 @@
+"""Anti-join (customers_no_big_order) and incremental dedup
+(dedup_incremental) — engine vs DuckDB at sf0.001 + invariants."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from tests.conftest import SF_TINY
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("customer", "orders", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_TINY}/{t}.parquet'"
+        )
+    return con.execute(sql).df()
+
+
+def test_customers_no_big_order_matches_duckdb(ray_session):
+    from snowball_java_ray import sqlgen
+    from snowball_java_ray.ops.relational import customers_no_big_order
+
+    got = customers_no_big_order(SF_TINY).to_pandas()
+    want = _duck(sqlgen.customers_no_big_order_sql())
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    # every surviving customer really has zero big orders
+    from snowball_java_ray.constants import HIGH_VALUE_ORDER
+
+    orders = pd.read_parquet(f"{SF_TINY}/orders.parquet")
+    big = set(
+        orders.loc[orders["o_totalprice"] > HIGH_VALUE_ORDER, "o_custkey"]
+    )
+    assert not (set(got["c_custkey"]) & big)
+
+
+def test_dedup_incremental_matches_duckdb(ray_session):
+    from snowball_java_ray import sqlgen
+    from snowball_java_ray.ops.dedup import dedup_incremental
+
+    got = dedup_incremental(SF_TINY).to_pandas()
+    want = _duck(sqlgen.dedup_incremental_sql())
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    # keepers are all from the "new" suffix, one per digest
+    from snowball_java_ray.constants import INCREMENTAL_OLD_FRAC
+
+    docs = pd.read_parquet(f"{SF_TINY}/documents.parquet")
+    cut = int(len(docs) * INCREMENTAL_OLD_FRAC)
+    assert (got["keep_doc_id"] >= cut).all()
+    assert got["content_md5"].is_unique

@@ -153,3 +153,24 @@ def test_events_running_total_matches_pandas(ray_session, events_df):
     totals = ev.groupby("user_id")["v_c"].sum() / 100.0
     last = got.groupby("user_id")["running_value"].last()
     assert (last == totals).all()
+
+
+def test_events_pivot_matches_duckdb(ray_session, events_df):
+    """Pivot counts/revenue == DuckDB conditional aggregation."""
+    import duckdb
+
+    from snowball_java_ray import sqlgen
+    from snowball_java_ray.ops.relational import events_pivot
+
+    got = events_pivot(SF_TINY).to_pandas()
+    con = duckdb.connect()
+    con.register("events", events_df)
+    want = con.execute(sqlgen.events_pivot_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    # counts add up to each user's event count
+    per_user = events_df.groupby("user_id").size()
+    ncols = [c for c in got.columns if c.startswith("n_")]
+    assert (got[ncols].sum(axis=1).to_numpy()
+            == per_user.sort_index().to_numpy()).all()

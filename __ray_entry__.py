@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": relational.events_pivot,
         "customers_no_big_order": relational.customers_no_big_order,
         "dedup_incremental": dedup.dedup_incremental,
+        "table_profile": relational.table_profile,
+        "bm25_rank_eval": api.bm25_rank_eval_pipeline,
         "lang_top_quality": textstats.lang_top_quality,
         "dup_passages": dedup.dup_passages,
         "orders_topk": relational.orders_topk,
@@ -261,6 +263,8 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": sqlgen.events_pivot_sql(),
         "customers_no_big_order": sqlgen.customers_no_big_order_sql(),
         "dedup_incremental": sqlgen.dedup_incremental_sql(),
+        "table_profile": sqlgen.table_profile_sql(),
+        "bm25_rank_eval": sqlgen.bm25_rank_eval_sql(),
         "lang_top_quality": sqlgen.lang_top_quality_sql(),
         "dup_passages": sqlgen.dup_passages_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),

@@ -309,3 +309,22 @@ INCREMENTAL_OLD_FRAC = 0.8
 # Event-type pivot (ops/relational.events_pivot): the conditional
 # aggregation column set — one count per type plus purchase revenue.
 PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+# Column profiler (ops/relational.table_profile): the audited table
+# and its column spec (name, kind) — kind drives which min/max slot
+# (numeric vs string) the profile fills and how the value is
+# canonicalized for exact distinct counting (timestamps -> epoch us).
+PROFILE_TABLE = "lineitem"
+PROFILE_COLUMNS = (
+    ("l_orderkey", "num"),
+    ("l_partkey", "num"),
+    ("l_suppkey", "num"),
+    ("l_linenumber", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_tax", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+)

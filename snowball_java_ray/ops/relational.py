@@ -1337,3 +1337,138 @@ def customers_no_big_order(sf_dir: str) -> ray.data.Dataset:
         )
 
     return agg.map_batches(keep, batch_format="pyarrow").sort("c_custkey")
+
+
+def table_profile(sf_dir: str) -> pa.Table:
+    """Column-level data-quality profile of PROFILE_TABLE: per column
+    the row count, null count, EXACT distinct count, and min/max
+    (numeric columns in ``min_num``/``max_num`` — timestamps as epoch
+    microseconds — strings in ``min_str``/``max_str``).
+
+    Scale shape: two streamed scans. (1) The stats leg collapses each
+    batch to ONE row per column (vectorized ``pc.min_max`` /
+    null_count) and combines with a tiny per-column shuffle. (2) The
+    distinct leg canonicalizes every value to its injective string
+    form (Arrow shortest-roundtrip for floats, epoch us for
+    timestamps), dedups per batch, dedups globally via ONE
+    hash_grouped_aggregate routed by a vectorized surrogate hash
+    (``pd.util.hash_array`` — no per-row Python md5), and counts per
+    column. Exact distinct over 100 TB is inherently a value-level
+    shuffle; everything around it is map-side-combined. The final
+    merge touches 11 rows on the driver."""
+    import numpy as np
+
+    from snowball_java_ray.constants import PROFILE_COLUMNS, PROFILE_TABLE
+    from snowball_java_ray.ops.dedup import hash_grouped_aggregate
+    from snowball_java_ray.pipelines.api import collect_arrow
+
+    cols = [c for c, _ in PROFILE_COLUMNS]
+
+    def batch_stats(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {
+            "column_name": [], "n_rows": [], "n_nulls": [],
+            "min_num": [], "max_num": [], "min_str": [], "max_str": [],
+        }
+        for name, kind in PROFILE_COLUMNS:
+            col = t[name]
+            out["column_name"].append(name)
+            out["n_rows"].append(len(col))
+            out["n_nulls"].append(col.null_count)
+            if kind == "str":
+                mm = pc.min_max(col)
+                out["min_num"].append(None)
+                out["max_num"].append(None)
+                out["min_str"].append(mm["min"].as_py())
+                out["max_str"].append(mm["max"].as_py())
+            else:
+                if kind == "ts":
+                    col = col.cast(pa.int64())
+                mm = pc.min_max(col)
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                out["min_num"].append(None if lo is None else float(lo))
+                out["max_num"].append(None if hi is None else float(hi))
+                out["min_str"].append(None)
+                out["max_str"].append(None)
+        return pa.table(
+            {
+                "column_name": pa.array(out["column_name"]),
+                "n_rows": pa.array(out["n_rows"], pa.int64()),
+                "n_nulls": pa.array(out["n_nulls"], pa.int64()),
+                "min_num": pa.array(out["min_num"], pa.float64()),
+                "max_num": pa.array(out["max_num"], pa.float64()),
+                "min_str": pa.array(out["min_str"], pa.string()),
+                "max_str": pa.array(out["max_str"], pa.string()),
+            }
+        )
+
+    stats = collect_arrow(
+        hash_grouped_aggregate(
+            _read(sf_dir, PROFILE_TABLE, cols).map_batches(
+                batch_stats, batch_format="pyarrow"
+            ),
+            ["column_name"],
+            [
+                ("n_rows", "sum", "n_rows"),
+                ("n_nulls", "sum", "n_nulls"),
+                ("min_num", "min", "min_num"),
+                ("max_num", "max", "max_num"),
+                ("min_str", "min", "min_str"),
+                ("max_str", "max", "max_str"),
+            ],
+        )
+    ).to_pandas()
+
+    def explode(t: pa.Table) -> pa.Table:
+        parts = []
+        for name, kind in PROFILE_COLUMNS:
+            col = t[name]
+            if kind == "ts":
+                col = col.cast(pa.int64())
+            u = pc.unique(pc.cast(col, pa.string()).drop_null())
+            parts.append(
+                pa.table(
+                    {
+                        "column_name": pa.array(
+                            [name] * len(u), pa.string()
+                        ),
+                        "val": u,
+                    }
+                )
+            )
+        out = pa.concat_tables(parts)
+        h = pd.util.hash_array(
+            out["val"].to_numpy(zero_copy_only=False)
+        ).astype("int64")
+        return out.append_column("val_h", pa.array(h, pa.int64()))
+
+    distinct_vals = hash_grouped_aggregate(
+        _read(sf_dir, PROFILE_TABLE, cols).map_batches(
+            explode, batch_format="pyarrow"
+        ),
+        ["column_name", "val"],
+        [("", "count_all", "n")],
+        hash_keys=["val_h"],
+    )
+
+    def count_part(t: pa.Table) -> pa.Table:
+        out = t.group_by(["column_name"]).aggregate([([], "count_all")])
+        return out.rename_columns(["column_name", "n_distinct"])
+
+    nd = (
+        collect_arrow(
+            distinct_vals.map_batches(count_part, batch_format="pyarrow")
+        )
+        .to_pandas()
+        .groupby("column_name", as_index=False)["n_distinct"]
+        .sum()
+    )
+
+    merged = stats.merge(nd, on="column_name", how="left")
+    merged["n_distinct"] = (
+        merged["n_distinct"].fillna(0).astype("int64")
+    )
+    merged = merged[
+        ["column_name", "n_rows", "n_nulls", "n_distinct",
+         "min_num", "max_num", "min_str", "max_str"]
+    ].sort_values("column_name")
+    return pa.Table.from_pandas(merged, preserve_index=False)

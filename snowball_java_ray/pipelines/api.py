@@ -1609,3 +1609,50 @@ def snowball_e2e_pipeline(sf_dir: str):
     """Full bootstrap loop (2 iterations) over the sf-scaled corpus,
     fed from the distributed extraction checkpoint."""
     return _snowball_bootstrap_result(sf_dir).tuples
+
+
+def bm25_rank_eval_pipeline(sf_dir: str) -> pa.Table:
+    """Retrieval-quality evaluation of the sharded BM25 ranking:
+    qrels(q) = docs containing ALL of q's analyzed terms (the
+    conjunctive-match relevance oracle — exactly boolean_and's
+    semantics, so the label set itself is independently hash-checked
+    by that entry). Per query with >= 1 relevant doc: n_rel, hits@k
+    (relevant docs inside the BM25 top-k), rr (1/rank of the first
+    relevant hit, 0 if none) and recall@k (hits/n_rel).
+
+    Scale shape: both legs are the existing distributed pipelines
+    (sharded fleet boolean AND + sharded top-k); their outputs are
+    output-bounded (|q| x matches, |q| x k), so the metric join is a
+    vectorized pandas merge over result tables, not corpus data. rr
+    and recall are SINGLE divisions (no float summation order),
+    rounded to RANK_ROUND_DECIMALS on both engines."""
+    import numpy as np
+
+    from snowball_java_ray.constants import RANK_ROUND_DECIMALS
+
+    rel = boolean_and_sharded_pipeline(sf_dir).to_pandas()
+    topk = collect_arrow(bm25_topk_sharded_pipeline(sf_dir)).to_pandas()
+
+    nrel = (
+        rel.groupby("query_id").size().rename("n_rel").reset_index()
+    )
+    m = topk.merge(rel, on=["query_id", "doc_id"], how="inner")
+    hits = (
+        m.groupby("query_id")
+        .agg(hits_k=("doc_id", "count"), first_rank=("rank", "min"))
+        .reset_index()
+    )
+    out = nrel.merge(hits, on="query_id", how="left")
+    out["hits_k"] = out["hits_k"].fillna(0).astype("int64")
+    out["rr"] = np.where(
+        out["first_rank"].notna(), 1.0 / out["first_rank"], 0.0
+    ).round(RANK_ROUND_DECIMALS)
+    out["recall_k"] = (out["hits_k"] / out["n_rel"]).round(
+        RANK_ROUND_DECIMALS
+    )
+    out = out[
+        ["query_id", "n_rel", "hits_k", "rr", "recall_k"]
+    ].sort_values("query_id")
+    return pa.Table.from_pandas(
+        out.reset_index(drop=True), preserve_index=False
+    )

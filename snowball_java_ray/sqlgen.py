@@ -2477,3 +2477,109 @@ HAVING max(CASE WHEN is_old THEN 1 ELSE 0 END) = 0
    AND count(CASE WHEN NOT is_old THEN 1 END) > 0
 ORDER BY content_md5
 """
+
+
+def table_profile_sql() -> str:
+    """Column-profile oracle: one UNION ALL branch per profiled
+    column. Numeric min/max as DOUBLE (timestamps via epoch_us),
+    exact COUNT(DISTINCT), nulls as count(*) - count(col)."""
+    from snowball_java_ray.constants import PROFILE_COLUMNS, PROFILE_TABLE
+
+    branches = []
+    for name, kind in PROFILE_COLUMNS:
+        if kind == "str":
+            min_num = max_num = "CAST(NULL AS DOUBLE)"
+            min_str, max_str = f"min({name})", f"max({name})"
+        else:
+            expr = (
+                f"epoch_us({name})" if kind == "ts" else name
+            )
+            min_num = f"CAST(min({expr}) AS DOUBLE)"
+            max_num = f"CAST(max({expr}) AS DOUBLE)"
+            min_str = max_str = "CAST(NULL AS VARCHAR)"
+        branches.append(
+            f"""SELECT '{name}' AS column_name,
+       count(*) AS n_rows,
+       CAST(count(*) - count({name}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct,
+       {min_num} AS min_num, {max_num} AS max_num,
+       {min_str} AS min_str, {max_str} AS max_str
+FROM {PROFILE_TABLE}"""
+        )
+    body = "\nUNION ALL\n".join(branches)
+    return f"SELECT * FROM (\n{body}\n) ORDER BY column_name\n"
+
+
+def bm25_rank_eval_sql(top_k: int = TOP_K) -> str:
+    """Rank-eval oracle: the bm25_topk ranked CTE joined against the
+    boolean-AND relevance set; rr/recall are single divisions rounded
+    to RANK_ROUND_DECIMALS, matching the engine exactly."""
+    return f"""
+WITH {tokenize_cte()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
+meta AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doc_len) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+qraw AS (
+  SELECT query_id,
+         unnest(string_split_regex(lower(qtext), '{TOKEN_SPLIT_PATTERN}')) AS term
+  FROM {queries_values_sql()}
+),
+qterms AS (
+  SELECT DISTINCT query_id, term FROM qraw
+  WHERE term <> '' AND NOT regexp_full_match(term, '{_NUM_SQL}')
+    AND term NOT IN ({_STOPLIST_SQL})
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(
+           ln((meta.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf * ({BM25_K1} + 1.0)
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+              + {BM25_B} * dl.doc_len / meta.avgdl))
+         ) AS score
+  FROM qterms q
+  JOIN tf ON q.term = tf.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN meta
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND_DECIMALS}) DESC, doc_id ASC
+         ) AS rank
+  FROM scores
+),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+qn AS (SELECT query_id, count(*) AS n FROM qterms GROUP BY query_id),
+rel AS (
+  SELECT q.query_id, dt.doc_id
+  FROM qterms q
+  JOIN dt ON dt.term = q.term
+  GROUP BY q.query_id, dt.doc_id
+  HAVING count(*) = (SELECT n FROM qn WHERE qn.query_id = q.query_id)
+),
+nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY query_id),
+hits AS (
+  SELECT r.query_id, count(*) AS hits_k, min(r.rank) AS first_rank
+  FROM ranked r
+  JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+  WHERE r.rank <= {top_k}
+  GROUP BY r.query_id
+)
+SELECT CAST(n.query_id AS BIGINT) AS query_id,
+       CAST(n.n_rel AS BIGINT) AS n_rel,
+       CAST(coalesce(h.hits_k, 0) AS BIGINT) AS hits_k,
+       round(coalesce(1.0 / h.first_rank, 0.0), {RANK_ROUND_DECIMALS}) AS rr,
+       round(CAST(coalesce(h.hits_k, 0) AS DOUBLE) / n.n_rel,
+             {RANK_ROUND_DECIMALS}) AS recall_k
+FROM nrel n LEFT JOIN hits h ON h.query_id = n.query_id
+ORDER BY query_id
+"""

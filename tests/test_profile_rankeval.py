@@ -1,0 +1,45 @@
+"""table_profile and bm25_rank_eval — engine vs DuckDB at sf0.001
+plus metric invariants."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from tests.conftest import SF_TINY
+
+
+def test_table_profile_matches_duckdb(ray_session):
+    from snowball_java_ray import sqlgen
+    from snowball_java_ray.ops.relational import table_profile
+
+    got = table_profile(SF_TINY).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"'{SF_TINY}/lineitem.parquet'"
+    )
+    want = con.execute(sqlgen.table_profile_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    # distinct <= rows, nulls accounted
+    assert (got["n_distinct"] <= got["n_rows"]).all()
+    assert (got["n_nulls"] == 0).all()  # synthetic lineitem has no nulls
+
+
+def test_bm25_rank_eval_invariants(ray_session):
+    from snowball_java_ray.constants import TOP_K
+    from snowball_java_ray.pipelines.api import bm25_rank_eval_pipeline
+
+    got = bm25_rank_eval_pipeline(SF_TINY).to_pandas()
+    assert len(got) > 0
+    assert (got["n_rel"] >= 1).all()
+    assert (got["hits_k"] <= np.minimum(got["n_rel"], TOP_K)).all()
+    assert ((got["rr"] > 0) == (got["hits_k"] > 0)).all()
+    assert (got["recall_k"] <= 1.0 + 1e-12).all()
+    # rr is 1/rank for some rank in [1, TOP_K] whenever hits > 0
+    pos = got.loc[got["rr"] > 0, "rr"]
+    ranks = (1.0 / pos).round()
+    assert ranks.between(1, TOP_K).all()

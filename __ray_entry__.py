@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": dedup.dedup_incremental,
         "table_profile": relational.table_profile,
         "bm25_rank_eval": api.bm25_rank_eval_pipeline,
+        "bm25_page2": api.bm25_page2_pipeline,
         "lang_top_quality": textstats.lang_top_quality,
         "dup_passages": dedup.dup_passages,
         "orders_topk": relational.orders_topk,
@@ -265,6 +266,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": sqlgen.dedup_incremental_sql(),
         "table_profile": sqlgen.table_profile_sql(),
         "bm25_rank_eval": sqlgen.bm25_rank_eval_sql(),
+        "bm25_page2": sqlgen.bm25_page2_sql(),
         "lang_top_quality": sqlgen.lang_top_quality_sql(),
         "dup_passages": sqlgen.dup_passages_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),

@@ -1656,3 +1656,55 @@ def bm25_rank_eval_pipeline(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         out.reset_index(drop=True), preserve_index=False
     )
+
+
+def bm25_page2_pipeline(sf_dir: str, n_partitions: int = 4) -> pa.Table:
+    """Deep pagination / search_after: the SECOND page of results for
+    every reference query — the caller holds page 1, passes its last
+    hit as the cursor, and receives the next TOP_K rows of the same
+    deterministic total order (round(score, RANK) DESC, doc_id ASC),
+    with page-absolute ranks.
+
+    Scale shape: the fleet serves top-(2k) through the same
+    scatter/gather fabric (any page-2 doc is inside the global top-2k,
+    hence inside some shard's local top-2k — the standard from+size
+    bound, gather stays O(shards x 2k)); the cursor is then positioned
+    by its unique doc_id and everything strictly after it is the page.
+    A per-shard cursor pushdown (each shard cutting below the cursor
+    key before responding) is the production refinement when page
+    depth grows beyond a few k; the page contract and this oracle stay
+    identical."""
+    from snowball_java_ray.constants import TOP_K
+    from snowball_java_ray.stages.serve import BM25ShardedService
+
+    index_dir = ensure_index_dir(sf_dir, n_partitions=n_partitions)
+    svc = BM25ShardedService(index_dir)
+    try:
+        page1 = collect_arrow(
+            svc.topk_dataset(reference_queries_ds(), top_k=TOP_K)
+            .sort(["query_id", "rank"]).materialize()
+        ).to_pandas()
+        two_k = collect_arrow(
+            svc.topk_dataset(reference_queries_ds(), top_k=2 * TOP_K)
+            .sort(["query_id", "rank"]).materialize()
+        ).to_pandas()
+    finally:
+        svc.shutdown()
+
+    # cursor per query = page 1's last hit (max rank row)
+    cur = page1.loc[
+        page1.groupby("query_id")["rank"].idxmax(),
+        ["query_id", "doc_id"],
+    ].rename(columns={"doc_id": "cursor_doc"})
+    # position each cursor inside the 2k list by its unique doc_id
+    pos = two_k.merge(
+        cur, left_on=["query_id", "doc_id"],
+        right_on=["query_id", "cursor_doc"],
+    )[["query_id", "rank"]].rename(columns={"rank": "cursor_rank"})
+    out = two_k.merge(pos, on="query_id")
+    out = out[out["rank"] > out["cursor_rank"]][
+        ["query_id", "rank", "doc_id", "score"]
+    ].sort_values(["query_id", "rank"])
+    return pa.Table.from_pandas(
+        out.reset_index(drop=True), preserve_index=False
+    )

@@ -2583,3 +2583,12 @@ SELECT CAST(n.query_id AS BIGINT) AS query_id,
 FROM nrel n LEFT JOIN hits h ON h.query_id = n.query_id
 ORDER BY query_id
 """
+
+
+def bm25_page2_sql() -> str:
+    """search_after page-2 oracle: ranks TOP_K+1 .. 2*TOP_K of the
+    same deterministic ranking."""
+    return (
+        f"SELECT * FROM (\n{bm25_topk_sql(top_k=2 * TOP_K)}\n)"
+        f" WHERE rank > {TOP_K} ORDER BY query_id, rank\n"
+    )

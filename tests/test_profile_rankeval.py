@@ -43,3 +43,24 @@ def test_bm25_rank_eval_invariants(ray_session):
     pos = got.loc[got["rr"] > 0, "rr"]
     ranks = (1.0 / pos).round()
     assert ranks.between(1, TOP_K).all()
+
+
+def test_bm25_page2_is_exact_continuation(ray_session):
+    """page1 + page2 == top-2k exactly; pages are disjoint."""
+    from snowball_java_ray.constants import TOP_K
+    from snowball_java_ray.pipelines.api import (
+        bm25_page2_pipeline,
+        bm25_topk_sharded_pipeline,
+        collect_arrow,
+    )
+
+    page2 = bm25_page2_pipeline(SF_TINY).to_pandas()
+    two_k = collect_arrow(
+        bm25_topk_sharded_pipeline(SF_TINY, top_k=2 * TOP_K)
+    ).to_pandas()
+    want = two_k[two_k["rank"] > TOP_K].reset_index(drop=True)
+    pd.testing.assert_frame_equal(page2.reset_index(drop=True), want)
+    assert (page2["rank"] > TOP_K).all()
+    page1 = two_k[two_k["rank"] <= TOP_K]
+    overlap = page2.merge(page1, on=["query_id", "doc_id"])
+    assert len(overlap) == 0

@@ -328,3 +328,14 @@ PROFILE_COLUMNS = (
     ("l_linestatus", "str"),
     ("l_shipdate", "ts"),
 )
+
+# Deterministic distributed k-means (ops/ann.kmeans_clusters):
+# Lloyd's with cosine assignment. Init = the KMEANS_K lowest-vec_id
+# vectors (cid = init rank); KMEANS_ITERS assignment/update rounds,
+# then a final assignment. Centroid updates use integer-quantized
+# per-dimension sums (round(x*1e6) int64 — commutative exact
+# arithmetic, the same trick as _label_centroids); assignment is
+# argmax cosine on round(cos, RANK_ROUND_DECIMALS) with ties to the
+# lower cid; clusters that lose all members drop out.
+KMEANS_K = 8
+KMEANS_ITERS = 2

@@ -598,3 +598,130 @@ def ann_recall(
         }
     )
     return out
+
+
+def kmeans_clusters(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic distributed k-means (Lloyd's) over the embedding
+    table — the iterative-algorithm shape on Ray Data: per iteration
+    ONE streamed scan assigns every vector to its argmax-cosine
+    centroid and emits integer-quantized per-cluster partial sums
+    (map-side combine, one row per (cluster, batch)); the driver
+    reduces the tiny K x dim matrix and re-broadcasts it via ray.put.
+    After KMEANS_ITERS rounds a final scan emits every vector's
+    cluster and its cosine to the final centroid.
+
+    Determinism contract (mirrored by sqlgen.kmeans_clusters_sql):
+    init = the KMEANS_K lowest-vec_id vectors (cid = init rank);
+    assignment rounds cosine to RANK_ROUND_DECIMALS and breaks ties
+    toward the lower cid; centroid sums are exact int64 arithmetic so
+    partial-sum order can't drift; empty clusters drop out of the
+    centroid set (their cids never reappear)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from snowball_java_ray.constants import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        RANK_ROUND_DECIMALS,
+        SCORE_ROUND_DECIMALS,
+    )
+
+    init = (
+        pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=pc.field("vec_id") < KMEANS_K,
+        )
+        .sort_by("vec_id")
+    )
+    cent = np.stack(
+        init["embedding"].to_numpy(zero_copy_only=False)
+    ).astype(np.float64)
+    cids = np.arange(len(init), dtype=np.int64)
+
+    ds = _emb_ds(sf_dir)
+
+    def assign(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
+        """Row index (into c) of each vector's centroid."""
+        dots = mat @ c.T
+        cos = dots / (
+            np.linalg.norm(mat, axis=1)[:, None]
+            * np.linalg.norm(c, axis=1)[None, :]
+        )
+        # argmax returns the FIRST max index and c rows are in
+        # ascending-cid order, so ties go to the lower cid
+        return np.argmax(np.round(cos, RANK_ROUND_DECIMALS), axis=1)
+
+    for _ in range(KMEANS_ITERS):
+        ref = ray.put((cids, cent))
+
+        def partial(t: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            k_ids, c = _ray.get(ref)
+            mat = np.stack(
+                t["embedding"].to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            ai = assign(mat, c)
+            q = np.round(mat * 1e6).astype(np.int64)
+            rows = {"cid": [], "s": [], "n": []}
+            for j in np.unique(ai):
+                m = ai == j
+                rows["cid"].append(int(k_ids[j]))
+                rows["s"].append(q[m].sum(axis=0).tolist())
+                rows["n"].append(int(m.sum()))
+            return pa.table(
+                {
+                    "cid": pa.array(rows["cid"], pa.int64()),
+                    "s": pa.array(rows["s"], pa.list_(pa.int64())),
+                    "n": pa.array(rows["n"], pa.int64()),
+                }
+            )
+
+        parts = pa.concat_tables(
+            ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            ),
+            promote_options="default",
+        )
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for cid, s, n in zip(parts["cid"].to_pylist(),
+                             parts["s"].to_pylist(),
+                             parts["n"].to_pylist()):
+            acc = sums.get(cid)
+            sums[cid] = (np.asarray(s, np.int64) if acc is None
+                         else acc + np.asarray(s, np.int64))
+            counts[cid] = counts.get(cid, 0) + n
+        alive = sorted(sums)
+        cent = np.stack([sums[c] / (counts[c] * 1e6) for c in alive])
+        cids = np.array(alive, np.int64)
+
+    final_ref = ray.put((cids, cent))
+
+    def emit(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        k_ids, c = _ray.get(final_ref)
+        mat = np.stack(
+            t["embedding"].to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        dots = mat @ c.T
+        cos = dots / (
+            np.linalg.norm(mat, axis=1)[:, None]
+            * np.linalg.norm(c, axis=1)[None, :]
+        )
+        ai = np.argmax(np.round(cos, RANK_ROUND_DECIMALS), axis=1)
+        best = cos[np.arange(len(mat)), ai]
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster": pa.array(k_ids[ai], pa.int64()),
+                "cos": pa.array(
+                    np.round(best, SCORE_ROUND_DECIMALS), pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(emit, batch_format="pyarrow").sort("vec_id")

@@ -2592,3 +2592,70 @@ def bm25_page2_sql() -> str:
         f"SELECT * FROM (\n{bm25_topk_sql(top_k=2 * TOP_K)}\n)"
         f" WHERE rank > {TOP_K} ORDER BY query_id, rank\n"
     )
+
+
+def kmeans_clusters_sql() -> str:
+    """Deterministic k-means oracle: init from the KMEANS_K lowest
+    vec_ids, KMEANS_ITERS quantized-mean update rounds, final argmax
+    assignment — every step mirrors ops/ann.kmeans_clusters."""
+    from snowball_java_ray.constants import KMEANS_ITERS, KMEANS_K
+
+    ctes = [
+        """e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)""",
+        """dims AS (
+  SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS d
+  FROM e
+)""",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {KMEANS_K})
+)""",
+    ]
+    for i in range(1, KMEANS_ITERS + 1):
+        ctes.append(f"""d{i} AS (
+  SELECT e.vec_id, c.cid, list_cosine_similarity(e.v, c.cv) AS cos
+  FROM e CROSS JOIN c{i - 1} c
+)""")
+        ctes.append(f"""a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (
+             PARTITION BY vec_id
+             ORDER BY round(cos, {RANK_ROUND_DECIMALS}) DESC, cid ASC
+           ) AS rn
+    FROM d{i}
+  ) WHERE rn = 1
+)""")
+        ctes.append(f"""q{i} AS (
+  SELECT a.cid, dm.d,
+         sum(CAST(round(dm.x * 1000000) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM dims dm JOIN a{i} a ON a.vec_id = dm.vec_id
+  GROUP BY a.cid, dm.d
+)""")
+        ctes.append(f"""c{i} AS (
+  SELECT cid, list(s / (n * 1000000.0) ORDER BY d) AS cv
+  FROM q{i} GROUP BY cid
+)""")
+    ctes.append(f"""df AS (
+  SELECT e.vec_id, c.cid, list_cosine_similarity(e.v, c.cv) AS cos
+  FROM e CROSS JOIN c{KMEANS_ITERS} c
+)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT vec_id, cid AS cluster, round(cos, {SCORE_ROUND_DECIMALS}) AS cos
+FROM (
+  SELECT vec_id, cid, cos,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY round(cos, {RANK_ROUND_DECIMALS}) DESC, cid ASC
+         ) AS rn
+  FROM df
+) WHERE rn = 1
+ORDER BY vec_id
+"""

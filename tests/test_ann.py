@@ -161,3 +161,60 @@ def test_ann_recall_bounds_and_consistency(ray_session):
     assert ((t["recall"] >= 0) & (t["recall"] <= 1)).all()
     assert (t["recall"] == (t["n_overlap"] / ANN_TOP_K).round(4)).all()
     assert (t.loc[t["top1_hit"] == 1, "n_overlap"] >= 1).all()
+
+
+def test_kmeans_matches_serial_numpy(ray_session):
+    """Distributed k-means == a serial numpy Lloyd's run with the
+    same determinism contract (init by vec_id, round-9 argmax ties to
+    lower cid, integer-quantized centroid sums)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from snowball_java_ray.constants import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        RANK_ROUND_DECIMALS,
+        SCORE_ROUND_DECIMALS,
+    )
+    from snowball_java_ray.ops.ann import kmeans_clusters
+    from tests.conftest import SF_TINY
+
+    got = kmeans_clusters(SF_TINY).to_pandas()
+
+    t = pq.read_table(
+        f"{SF_TINY}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).sort_by("vec_id")
+    mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+        np.float64
+    )
+    vids = t["vec_id"].to_numpy(zero_copy_only=False)
+
+    def cos_to(c):
+        return (mat @ c.T) / (
+            np.linalg.norm(mat, axis=1)[:, None]
+            * np.linalg.norm(c, axis=1)[None, :]
+        )
+
+    cent = mat[:KMEANS_K].copy()
+    cids = np.arange(KMEANS_K)
+    q = np.round(mat * 1e6).astype(np.int64)
+    for _ in range(KMEANS_ITERS):
+        ai = np.argmax(np.round(cos_to(cent), RANK_ROUND_DECIMALS), axis=1)
+        alive = np.unique(ai)
+        cent = np.stack(
+            [q[ai == j].sum(axis=0) / ((ai == j).sum() * 1e6)
+             for j in alive]
+        )
+        cids = cids[alive]
+    cos = cos_to(cent)
+    ai = np.argmax(np.round(cos, RANK_ROUND_DECIMALS), axis=1)
+    want_cluster = cids[ai]
+    want_cos = np.round(cos[np.arange(len(mat)), ai], SCORE_ROUND_DECIMALS)
+
+    assert (got["vec_id"].to_numpy() == vids).all()
+    assert (got["cluster"].to_numpy() == want_cluster).all()
+    assert np.allclose(got["cos"].to_numpy(), want_cos, atol=0, rtol=0)
+    # every vector at least as close to its own centroid as to others
+    best = np.round(cos, RANK_ROUND_DECIMALS).max(axis=1)
+    own = np.round(cos[np.arange(len(mat)), ai], RANK_ROUND_DECIMALS)
+    assert (own >= best).all()

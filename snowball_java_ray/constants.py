@@ -339,3 +339,10 @@ PROFILE_COLUMNS = (
 # lower cid; clusters that lose all members drop out.
 KMEANS_K = 8
 KMEANS_ITERS = 2
+
+# Synonym-aware retrieval (stages/score.score_query_synonyms):
+# Lucene SynonymQuery semantics — members of a group score as ONE
+# pseudo-term: tf = sum of member tfs per doc, df = docs containing
+# ANY member, idf from that df. The pseudo-term key is the sorted
+# members joined with '|' (mirrored by the oracle's mapping VALUES).
+SYNONYM_GROUPS = (("join", "merge"), ("query", "scan"))

@@ -1708,3 +1708,30 @@ def bm25_page2_pipeline(sf_dir: str, n_partitions: int = 4) -> pa.Table:
     return pa.Table.from_pandas(
         out.reset_index(drop=True), preserve_index=False
     )
+
+
+def bm25_synonyms_pipeline(
+    sf_dir: str, concurrency: int = 2
+) -> ray.data.Dataset:
+    """Synonym-aware retrieval (Lucene SynonymQuery semantics): query
+    terms in a SYNONYM_GROUPS group score as ONE pseudo-term — per-doc
+    tf sums the members, df/idf come from the union of the member
+    posting lists. Same broadcast-index actor-pool shape as
+    bm25_topk_pipeline; the group merge happens inside the scorer on
+    decoded postings, so the index layout is unchanged (the query-time
+    rewrite contract)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from snowball_java_ray.stages.score import SynonymScorer
+
+    corpus = documents_as_corpus(sf_dir)
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    index_ref = ray.put(build_index(corpus, n_docs=n_docs))
+    return reference_queries_ds().map_batches(
+        SynonymScorer,
+        fn_constructor_kwargs={"index_ref": index_ref},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=8,
+    ).sort(["query_id", "rank"])

@@ -2659,3 +2659,75 @@ FROM (
 ) WHERE rn = 1
 ORDER BY vec_id
 """
+
+
+def bm25_synonyms_sql(top_k: int = TOP_K) -> str:
+    """Synonym-aware BM25 oracle: term -> pseudo-term mapping as a
+    VALUES table; tf sums over the group per doc, df counts docs with
+    ANY member, idf from that df — Lucene SynonymQuery semantics,
+    exactly what score_query_synonyms computes."""
+    from snowball_java_ray.constants import SYNONYM_GROUPS
+
+    pairs = [
+        (m, "|".join(sorted(g))) for g in SYNONYM_GROUPS for m in g
+    ]
+    syn_values = ", ".join(f"('{m}', '{gk}')" for m, gk in pairs)
+    return f"""
+WITH {tokenize_cte()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
+meta AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doc_len) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+syn(term, gterm) AS (VALUES {syn_values}),
+tfg AS (
+  SELECT tf.doc_id, coalesce(s.gterm, tf.term) AS gterm,
+         sum(tf.tf) AS tf
+  FROM tf LEFT JOIN syn s ON s.term = tf.term
+  GROUP BY tf.doc_id, coalesce(s.gterm, tf.term)
+),
+dfg AS (SELECT gterm, count(*) AS df FROM tfg GROUP BY gterm),
+qraw AS (
+  SELECT query_id,
+         unnest(string_split_regex(lower(qtext), '{TOKEN_SPLIT_PATTERN}')) AS term
+  FROM {queries_values_sql()}
+),
+qterms AS (
+  SELECT DISTINCT query_id, term FROM qraw
+  WHERE term <> '' AND NOT regexp_full_match(term, '{_NUM_SQL}')
+    AND term NOT IN ({_STOPLIST_SQL})
+),
+qg AS (
+  SELECT DISTINCT q.query_id, coalesce(s.gterm, q.term) AS gterm
+  FROM qterms q LEFT JOIN syn s ON s.term = q.term
+),
+scores AS (
+  SELECT q.query_id, tfg.doc_id,
+         sum(
+           ln((meta.n_docs - dfg.df + 0.5) / (dfg.df + 0.5) + 1.0)
+           * tfg.tf * ({BM25_K1} + 1.0)
+           / (tfg.tf + {BM25_K1} * (1.0 - {BM25_B}
+              + {BM25_B} * dl.doc_len / meta.avgdl))
+         ) AS score
+  FROM qg q
+  JOIN tfg ON q.gterm = tfg.gterm
+  JOIN dfg ON dfg.gterm = q.gterm
+  JOIN dl ON dl.doc_id = tfg.doc_id
+  CROSS JOIN meta
+  GROUP BY q.query_id, tfg.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND_DECIMALS}) DESC, doc_id ASC
+         ) AS rank
+  FROM scores
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+       doc_id, round(score, {SCORE_ROUND_DECIMALS}) AS score
+FROM ranked WHERE rank <= {top_k}
+ORDER BY query_id, rank
+"""

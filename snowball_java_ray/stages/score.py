@@ -506,3 +506,112 @@ class BM25Scorer:
             self.b,
             self.top_k,
         )
+
+
+def synonym_map() -> dict[str, str]:
+    """Analyzed term -> pseudo-term group key ('|'-joined sorted
+    members), from constants.SYNONYM_GROUPS."""
+    from snowball_java_ray.constants import SYNONYM_GROUPS
+
+    return {
+        m: "|".join(sorted(g)) for g in SYNONYM_GROUPS for m in g
+    }
+
+
+def group_contributions(
+    index: InvertedIndex, members: list[str], k1: float, b: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids, BM25 contributions) of a synonym pseudo-term —
+    Lucene SynonymQuery semantics: per-doc tf is the SUM of member
+    tfs, df is the size of the UNION of member posting lists, idf is
+    derived from that df. A single-member group degenerates to the
+    plain term contribution."""
+    if len(members) == 1:
+        return index.contributions(members[0], k1, b)
+    parts = [index.postings(m) for m in members]
+    parts = [p for p in parts if p[0].size]
+    if not parts:
+        e = np.empty(0, np.int64)
+        return e, np.empty(0, np.float64)
+    docs = np.concatenate([p[0] for p in parts])
+    tfs = np.concatenate([p[1] for p in parts]).astype(np.int64)
+    dls = np.concatenate([p[2] for p in parts])
+    uniq, inv = np.unique(docs, return_inverse=True)
+    tf = np.zeros(uniq.size, np.int64)
+    np.add.at(tf, inv, tfs)
+    dl = np.zeros(uniq.size, np.int64)
+    dl[inv] = dls  # same doc -> same length, any member's copy works
+    idf = bm25_idf(uniq.size, index.n_docs)
+    tff = tf.astype(np.float64)
+    dlf = dl.astype(np.float64)
+    contrib = idf * tff * (k1 + 1.0) / (
+        tff + k1 * (1.0 - b + b * dlf / index.avgdl)
+    )
+    return uniq, contrib
+
+
+def score_query_synonyms(
+    index: InvertedIndex,
+    qtext: str,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = TOP_K,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Synonym-aware exact BM25: analyzed query terms collapse to
+    their pseudo-term groups (distinct, sorted), each group scores as
+    one term via group_contributions, accumulation matches
+    score_terms' sparse path."""
+    smap = synonym_map()
+    gkeys = sorted({smap.get(t, t) for t in set(tokenize(qtext))})
+    doc_parts: list[np.ndarray] = []
+    contrib_parts: list[np.ndarray] = []
+    for g in gkeys:
+        docs, contrib = group_contributions(
+            index, g.split("|"), k1, b
+        )
+        if docs.size:
+            doc_parts.append(docs)
+            contrib_parts.append(contrib)
+    if not doc_parts:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    all_docs = np.concatenate(doc_parts)
+    all_contribs = np.concatenate(contrib_parts)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(uniq.size, np.float64)
+    np.add.at(scores, inv, all_contribs)
+    uniq, scores = drop_deleted(index.deleted, uniq, scores)
+    return _topk_select(uniq, scores, top_k)
+
+
+class SynonymScorer:
+    """Actor-pool scorer running synonym-aware BM25 against the
+    broadcast index (same plumbing as BM25Scorer)."""
+
+    def __init__(self, index_ref, k1=BM25_K1, b=BM25_B, top_k=TOP_K):
+        import ray
+
+        self.index = (
+            ray.get(index_ref)
+            if isinstance(index_ref, ray.ObjectRef)
+            else index_ref
+        )
+        self.k1, self.b, self.top_k = k1, b, top_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for qid, qtext in zip(
+            batch["query_id"].to_pylist(), batch["qtext"].to_pylist()
+        ):
+            doc_ids, scores = score_query_synonyms(
+                self.index, qtext, self.k1, self.b, self.top_k
+            )
+            topk_rows(out_q, out_r, out_d, out_s, qid, doc_ids, scores)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int32()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            },
+            schema=TOPK_SCHEMA,
+        )

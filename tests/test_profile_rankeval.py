@@ -64,3 +64,30 @@ def test_bm25_page2_is_exact_continuation(ray_session):
     page1 = two_k[two_k["rank"] <= TOP_K]
     overlap = page2.merge(page1, on=["query_id", "doc_id"])
     assert len(overlap) == 0
+
+
+def test_bm25_synonyms_degenerates_without_group_terms(ray_session):
+    """Queries touching no synonym group score identically to plain
+    BM25; queries with group members rank by the merged pseudo-term."""
+    from snowball_java_ray.constants import SYNONYM_GROUPS
+    from snowball_java_ray.functions.text import tokenize
+    from snowball_java_ray.constants import REFERENCE_QUERIES
+    from snowball_java_ray.pipelines.api import (
+        bm25_synonyms_pipeline,
+        bm25_topk_pipeline,
+        collect_arrow,
+    )
+
+    syn = collect_arrow(bm25_synonyms_pipeline(SF_TINY)).to_pandas()
+    plain = collect_arrow(bm25_topk_pipeline(SF_TINY)).to_pandas()
+    members = {m for g in SYNONYM_GROUPS for m in g}
+    untouched = [
+        qid for qid, q in enumerate(REFERENCE_QUERIES)
+        if not (set(tokenize(q)) & members)
+    ]
+    assert untouched  # the fixed query set has synonym-free queries
+    a = syn[syn["query_id"].isin(untouched)].reset_index(drop=True)
+    b = plain[plain["query_id"].isin(untouched)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    touched = sorted(set(syn["query_id"]) - set(untouched))
+    assert touched  # and queries that DO hit a group

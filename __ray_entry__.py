@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_page2": api.bm25_page2_pipeline,
         "kmeans_clusters": ann.kmeans_clusters,
         "bm25_synonyms": api.bm25_synonyms_pipeline,
+        "keywords_per_source": textstats.keywords_per_source,
         "lang_top_quality": textstats.lang_top_quality,
         "dup_passages": dedup.dup_passages,
         "orders_topk": relational.orders_topk,
@@ -271,6 +272,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_page2": sqlgen.bm25_page2_sql(),
         "kmeans_clusters": sqlgen.kmeans_clusters_sql(),
         "bm25_synonyms": sqlgen.bm25_synonyms_sql(),
+        "keywords_per_source": sqlgen.keywords_per_source_sql(),
         "lang_top_quality": sqlgen.lang_top_quality_sql(),
         "dup_passages": sqlgen.dup_passages_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),

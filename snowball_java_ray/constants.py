@@ -346,3 +346,10 @@ KMEANS_ITERS = 2
 # ANY member, idf from that df. The pseudo-term key is the sorted
 # members joined with '|' (mirrored by the oracle's mapping VALUES).
 SYNONYM_GROUPS = (("join", "merge"), ("query", "scan"))
+
+# Distinctive keywords per source (ops/textstats.keywords_per_source):
+# c-TF-IDF-style weight(term, src) = tf_src * ln(S / df_src), where S
+# is the number of distinct sources and df_src counts sources
+# containing the term; top KEYWORDS_K per source, ties to the
+# lexicographically first term.
+KEYWORDS_K = 5

@@ -1127,3 +1127,123 @@ def lang_top_quality(sf_dir: str) -> pa.Table:
             "n_terms": pa.array(out_n, pa.int64()),
         }
     )
+
+
+def keywords_per_source(sf_dir: str) -> pa.Table:
+    """Distinctive keywords per source group (c-TF-IDF): weight(term,
+    src) = tf_src * ln(S / df_src) — the topic-labeling / corpus-audit
+    operator that names what each source is about.
+
+    Scale shape: ONE tokenize scan emits per-batch (source, term)
+    Arrow-group_by partials; a hash_grouped_aggregate shuffle reduces
+    them to the S x vocab matrix (bounded by vocabulary, not corpus);
+    per-term source-frequencies aggregate from that matrix and
+    broadcast as the usual DF-dictionary pattern (ST2); the final
+    grouped top-k is per-batch partial top-k per source + a bounded
+    O(blocks x S x K) driver merge — same shape as lang_top_quality."""
+    import pyarrow.parquet as pq
+
+    from snowball_java_ray.constants import (
+        KEYWORDS_K,
+        RANK_ROUND_DECIMALS,
+        SCORE_ROUND_DECIMALS,
+    )
+    from snowball_java_ray.functions.text import tokenize_arrow
+    from snowball_java_ray.ops.dedup import hash_grouped_aggregate
+
+    def explode(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t["text"].combine_chunks(), "")
+        row_idx, toks = tokenize_arrow(texts)
+        src = t["source"].take(pa.array(row_idx))
+        flat = pa.table({"source": src, "term": toks})
+        out = flat.group_by(["source", "term"]).aggregate([([], "count_all")])
+        return out.rename_columns(["source", "term", "tf"])
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    src_tf = hash_grouped_aggregate(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["source", "term"],
+        [("tf", "sum", "tf")],
+        hash_keys=["term"],
+    ).materialize()
+
+    # per-term source frequency — vocab-bounded, broadcast like the
+    # DF dictionary (SURVEY §2.3 ST2)
+    from snowball_java_ray.pipelines.api import collect_arrow
+
+    dft = collect_arrow(
+        hash_grouped_aggregate(
+            src_tf, ["term"], [("", "count_all", "df")],
+            hash_keys=["term"],
+        )
+    )
+    df_map = dict(
+        zip(dft["term"].to_pylist(), dft["df"].to_pylist())
+    )
+    import ray as _ray
+
+    df_ref = _ray.put(df_map)
+    n_sources = pc.count_distinct(
+        pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["source"]
+        )["source"]
+    ).as_py()
+
+    def weigh_topk(t: pa.Table) -> pa.Table:
+        import ray
+
+        dfm = ray.get(df_ref)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = np.array(
+            [dfm[x] for x in t["term"].to_pylist()], np.float64
+        )
+        w = tf * np.log(n_sources / df)
+        t = t.append_column("weight", pa.array(w, pa.float64()))
+        parts = []
+        for s in pc.unique(t["source"]).to_pylist():
+            sub = t.filter(pc.equal(t["source"], s))
+            rw = pc.round(sub["weight"], ndigits=RANK_ROUND_DECIMALS)
+            order = pc.sort_indices(
+                sub.set_column(
+                    sub.schema.get_field_index("weight"), "weight", rw
+                ),
+                sort_keys=[("weight", "descending"), ("term", "ascending")],
+            )[:KEYWORDS_K]
+            parts.append(sub.take(order))
+        return pa.concat_tables(parts) if parts else t.slice(0, 0)
+
+    cand = pa.concat_tables(
+        src_tf.map_batches(weigh_topk, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"),
+        promote_options="default",
+    )
+    out_s, out_r, out_t, out_w = [], [], [], []
+    for s in sorted(set(cand["source"].to_pylist())):
+        sub = cand.filter(pc.equal(cand["source"], s))
+        rw = pc.round(sub["weight"], ndigits=RANK_ROUND_DECIMALS)
+        order = pc.sort_indices(
+            sub.set_column(
+                sub.schema.get_field_index("weight"), "weight", rw
+            ),
+            sort_keys=[("weight", "descending"), ("term", "ascending")],
+        )[:KEYWORDS_K]
+        sub = sub.take(order)
+        out_s.extend([s] * sub.num_rows)
+        out_r.extend(range(1, sub.num_rows + 1))
+        out_t.extend(sub["term"].to_pylist())
+        out_w.extend(
+            np.round(
+                sub["weight"].to_numpy(zero_copy_only=False),
+                SCORE_ROUND_DECIMALS,
+            ).tolist()
+        )
+    return pa.table(
+        {
+            "source": pa.array(out_s, pa.string()),
+            "rank": pa.array(out_r, pa.int32()),
+            "term": pa.array(out_t, pa.string()),
+            "weight": pa.array(out_w, pa.float64()),
+        }
+    )

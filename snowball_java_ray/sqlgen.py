@@ -2731,3 +2731,37 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
 FROM ranked WHERE rank <= {top_k}
 ORDER BY query_id, rank
 """
+
+
+def keywords_per_source_sql() -> str:
+    """c-TF-IDF keywords oracle: weight = tf_src * ln(S / df_src),
+    top KEYWORDS_K per source on the round-9 key."""
+    from snowball_java_ray.constants import KEYWORDS_K
+
+    return f"""
+WITH {tokenize_cte()},
+src_tf AS (
+  SELECT d.source, t.term, count(*) AS tf
+  FROM toks t JOIN documents d USING (doc_id)
+  GROUP BY d.source, t.term
+),
+s AS (SELECT count(DISTINCT source) AS n FROM documents),
+dft AS (SELECT term, count(*) AS df FROM src_tf GROUP BY term),
+w AS (
+  SELECT st.source, st.term,
+         st.tf * ln((SELECT n FROM s) / (dft.df * 1.0)) AS weight
+  FROM src_tf st JOIN dft USING (term)
+),
+r AS (
+  SELECT source, term, weight,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY round(weight, {RANK_ROUND_DECIMALS}) DESC, term ASC
+         ) AS rank
+  FROM w
+)
+SELECT source, CAST(rank AS INT) AS rank, term,
+       round(weight, {SCORE_ROUND_DECIMALS}) AS weight
+FROM r WHERE rank <= {KEYWORDS_K}
+ORDER BY source, rank
+"""

@@ -326,3 +326,30 @@ def test_dup_passages_invariants(ray_session):
     for row in got.head(10).itertuples():
         assert row.passage in shingles(docs.loc[row.min_doc], PASSAGE_N)
         assert row.passage in shingles(docs.loc[row.max_doc], PASSAGE_N)
+
+
+def test_keywords_per_source_matches_duckdb(ray_session):
+    """c-TF-IDF keywords == the DuckDB oracle at sf0.001."""
+    import duckdb
+    import pandas as pd
+
+    from snowball_java_ray import sqlgen
+    from snowball_java_ray.ops.textstats import keywords_per_source
+    from tests.conftest import SF_TINY
+
+    got = keywords_per_source(SF_TINY).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_TINY}/documents.parquet'"
+    )
+    want = con.execute(sqlgen.keywords_per_source_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    # every source present, K rows each, ranks 1..K
+    from snowball_java_ray.constants import KEYWORDS_K
+
+    sizes = got.groupby("source")["rank"].agg(["size", "min", "max"])
+    assert (sizes["size"] == KEYWORDS_K).all()
+    assert (sizes["min"] == 1).all() and (sizes["max"] == KEYWORDS_K).all()

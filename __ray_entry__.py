@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": ann.kmeans_clusters,
         "bm25_synonyms": api.bm25_synonyms_pipeline,
         "keywords_per_source": textstats.keywords_per_source,
+        "bm25_topk_upserted": api.bm25_topk_upserted_pipeline,
         "lang_top_quality": textstats.lang_top_quality,
         "dup_passages": dedup.dup_passages,
         "orders_topk": relational.orders_topk,
@@ -273,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": sqlgen.kmeans_clusters_sql(),
         "bm25_synonyms": sqlgen.bm25_synonyms_sql(),
         "keywords_per_source": sqlgen.keywords_per_source_sql(),
+        "bm25_topk_upserted": sqlgen.bm25_topk_upserted_sql(),
         "lang_top_quality": sqlgen.lang_top_quality_sql(),
         "dup_passages": sqlgen.dup_passages_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),

@@ -353,3 +353,13 @@ SYNONYM_GROUPS = (("join", "merge"), ("query", "scan"))
 # containing the term; top KEYWORDS_K per source, ties to the
 # lexicographically first term.
 KEYWORDS_K = 5
+
+# Document update / upsert (api.bm25_topk_upserted_pipeline): docs
+# with doc_id % UPSERT_MOD == UPSERT_REM get a new version — Lucene
+# update-document contract: tombstone the old doc_id, append the new
+# text (old text + " updated") as a fresh tail doc_id
+# n_docs + (old_id - REM) // MOD. Pre-compaction stats include BOTH
+# versions (the segment contract), candidates exclude the tombstoned
+# originals.
+UPSERT_MOD = 5
+UPSERT_REM = 2

@@ -1735,3 +1735,67 @@ def bm25_synonyms_pipeline(
         concurrency=concurrency,
         batch_size=8,
     ).sort(["query_id", "rank"])
+
+
+def bm25_topk_upserted_pipeline(
+    sf_dir: str, n_partitions: int = 4
+) -> ray.data.Dataset:
+    """Document UPDATE end-to-end (the Lucene update-document
+    contract): every doc in the deterministic upsert set is
+    tombstoned and its new version (text + " updated") appended as a
+    fresh tail doc_id — delete is O(deleted), the append writes ONE
+    new disjoint segment, no existing chunk is touched. Serving (WAND
+    fleet) then sees: new versions retrievable, originals masked,
+    global stats spanning BOTH versions until compaction. Oracle =
+    sqlgen.bm25_topk_upserted_sql (same corpus_all view + candidate
+    exclusion)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from snowball_java_ray.constants import UPSERT_MOD, UPSERT_REM
+    from snowball_java_ray.pipelines.index_pipeline import (
+        append_partition,
+        delete_docs,
+    )
+    from snowball_java_ray.stages.serve import BM25ShardedService
+
+    src = f"{sf_dir}/documents.parquet"
+    n0 = pq.read_metadata(src).num_rows
+    upd = np.arange(UPSERT_REM, n0, UPSERT_MOD)
+
+    index_dir = ensure_index_dir(
+        sf_dir, n_partitions=n_partitions, variant="upsert"
+    )
+    delete_docs(index_dir, upd)
+
+    def new_versions(lo: int, hi: int):
+        ds = ray.data.read_parquet(src, columns=["doc_id", "text"])
+
+        def mk(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            mask = ids % UPSERT_MOD == UPSERT_REM
+            sub = t.filter(pa.array(mask))
+            new_ids = n0 + (ids[mask] - UPSERT_REM) // UPSERT_MOD
+            content = pc.binary_join_element_wise(
+                pc.fill_null(sub["text"].combine_chunks(), ""),
+                pa.scalar("updated"),
+                " ",
+            )
+            return pa.table(
+                {
+                    "doc_id": pa.array(new_ids, pa.int64()),
+                    "content": content,
+                }
+            )
+
+        return ds.map_batches(mk, batch_format="pyarrow")
+
+    append_partition(new_versions, index_dir, n0, n0 + upd.size)
+
+    svc = BM25ShardedService(index_dir)
+    try:
+        return svc.topk_dataset(
+            reference_queries_ds(), algo="wand"
+        ).sort(["query_id", "rank"]).materialize()
+    finally:
+        svc.shutdown()

@@ -2765,3 +2765,29 @@ SELECT source, CAST(rank AS INT) AS rank, term,
 FROM r WHERE rank <= {KEYWORDS_K}
 ORDER BY source, rank
 """
+
+
+def bm25_topk_upserted_sql(top_k: int = TOP_K) -> str:
+    """Upsert oracle: stats over original + new versions (the
+    pre-compaction segment contract), candidates exclude the
+    tombstoned originals; new versions live at
+    n_docs + (old_id - REM) // MOD with ' updated' appended."""
+    from snowball_java_ray.constants import UPSERT_MOD, UPSERT_REM
+
+    prelude = f"""corpus_all AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT (SELECT count(*) FROM documents)
+           + CAST((doc_id - {UPSERT_REM}) // {UPSERT_MOD} AS BIGINT)
+           AS doc_id,
+         coalesce(text, '') || ' updated' AS text
+  FROM documents WHERE doc_id % {UPSERT_MOD} = {UPSERT_REM}
+),
+"""
+    cand = (
+        "tf.doc_id NOT IN (SELECT doc_id FROM documents "
+        f"WHERE doc_id % {UPSERT_MOD} = {UPSERT_REM})"
+    )
+    return bm25_topk_sql(
+        top_k=top_k, table="corpus_all", prelude=prelude, cand_where=cand
+    )

@@ -180,3 +180,30 @@ def test_sharded_service_masks_and_matches_broadcast(built_dir):
         assert not (set(svc.boolean_and(hit_q).tolist()) & dset)
     finally:
         svc.shutdown()
+
+
+def test_upsert_masks_originals_and_serves_new_versions(ray_session):
+    """Upserted docs never appear under their old doc_id; their new
+    tail doc_ids are retrievable; the pipeline is idempotent."""
+    import pyarrow.parquet as pq
+
+    from snowball_java_ray.constants import UPSERT_MOD, UPSERT_REM
+    from snowball_java_ray.pipelines.api import (
+        bm25_topk_upserted_pipeline,
+        collect_arrow,
+    )
+    from tests.conftest import SF_TINY
+
+    n0 = pq.read_metadata(f"{SF_TINY}/documents.parquet").num_rows
+    got = collect_arrow(bm25_topk_upserted_pipeline(SF_TINY)).to_pandas()
+    old = got.loc[got["doc_id"] < n0, "doc_id"]
+    assert not (old % UPSERT_MOD == UPSERT_REM).any()
+    assert (got["doc_id"] >= n0).any()  # new versions do surface
+    again = collect_arrow(
+        bm25_topk_upserted_pipeline(SF_TINY)
+    ).to_pandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), again.reset_index(drop=True)
+    )

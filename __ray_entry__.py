@@ -157,6 +157,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_synonyms": api.bm25_synonyms_pipeline,
         "keywords_per_source": textstats.keywords_per_source,
         "bm25_topk_upserted": api.bm25_topk_upserted_pipeline,
+        "bm25_boosted": api.bm25_boosted_pipeline,
+        "weighted_sample": sampling.weighted_sample,
+        "orders_histogram": relational.orders_histogram,
         "lang_top_quality": textstats.lang_top_quality,
         "dup_passages": dedup.dup_passages,
         "orders_topk": relational.orders_topk,
@@ -275,6 +278,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_synonyms": sqlgen.bm25_synonyms_sql(),
         "keywords_per_source": sqlgen.keywords_per_source_sql(),
         "bm25_topk_upserted": sqlgen.bm25_topk_upserted_sql(),
+        "bm25_boosted": sqlgen.bm25_boosted_sql(),
+        "weighted_sample": sqlgen.weighted_sample_sql(),
+        "orders_histogram": sqlgen.orders_histogram_sql(),
         "lang_top_quality": sqlgen.lang_top_quality_sql(),
         "dup_passages": sqlgen.dup_passages_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),

@@ -363,3 +363,19 @@ KEYWORDS_K = 5
 # originals.
 UPSERT_MOD = 5
 UPSERT_REM = 2
+
+# Function-score retrieval (stages/score.score_query_boosted): the
+# Elasticsearch function_score / Lucene boost-query shape — final
+# score = BM25 * (1 + ln(1 + doc_len / BOOST_DL_NORM)). doc_len is
+# already in every posting, so the boost needs no extra broadcast.
+BOOST_DL_NORM = 100.0
+
+# Weighted (importance) sampling (ops/sampling.weighted_sample):
+# keep probability p(doc) = min(1, n_chars / WEIGHTED_SAMPLE_SCALE),
+# accepted iff hash_unit(doc_id) < p — deterministic, bit-replicable
+# in SQL, coordination-free at any scale.
+WEIGHTED_SAMPLE_SCALE = 2000.0
+
+# Histogram (ops/relational.orders_histogram): fixed-width buckets of
+# o_totalprice.
+ORDER_HIST_WIDTH = 50_000.0

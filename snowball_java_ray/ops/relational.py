@@ -1472,3 +1472,51 @@ def table_profile(sf_dir: str) -> pa.Table:
          "min_num", "max_num", "min_str", "max_str"]
     ].sort_values("column_name")
     return pa.Table.from_pandas(merged, preserve_index=False)
+
+
+def orders_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Fixed-width histogram of order totals: bucket =
+    floor(o_totalprice / ORDER_HIST_WIDTH), with count and exact-cents
+    revenue per bucket. Map-side Arrow group_by partials (at most
+    n_buckets rows leave each batch), one tiny shuffle."""
+    import numpy as np
+
+    from snowball_java_ray.constants import ORDER_HIST_WIDTH
+    from snowball_java_ray.ops.dedup import hash_grouped_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        bucket = np.floor(x / ORDER_HIST_WIDTH).astype(np.int64)
+        cents = np.round(x * 100.0).astype(np.int64)
+        flat = pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "n": pa.array(np.ones(len(t), np.int64)),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+        out = flat.group_by(["bucket"]).aggregate(
+            [("n", "sum"), ("cents", "sum")]
+        )
+        return out.rename_columns(["bucket", "n", "cents"])
+
+    agg = hash_grouped_aggregate(
+        _read(sf_dir, "orders", ["o_totalprice"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["bucket"],
+        [("n", "sum", "n"), ("cents", "sum", "cents")],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": t["bucket"],
+                "n": t["n"],
+                "total_value": pc.divide(
+                    pc.cast(t["cents"], pa.float64()), pa.scalar(100.0)
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("bucket")

@@ -298,3 +298,29 @@ def pack_sequences(sf_dir: str, seq_len: int = SEQ_LEN) -> ray.data.Dataset:
     return ds.map_batches(
         assign, batch_format="pyarrow", batch_size=None
     ).sort("doc_id")
+
+
+def weighted_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic importance sampling: keep probability
+    p = min(1, n_chars / WEIGHTED_SAMPLE_SCALE) — longer documents are
+    proportionally more likely to survive (a quality/length-weighted
+    training-mix subsample). Acceptance is hash_unit(doc_id) < p:
+    pure per-row function, no RNG state, bit-replicable in SQL and
+    across re-runs of any shard — the coordination-free property the
+    100 TB ingest needs. Stateless vectorized map, no shuffle."""
+    from snowball_java_ray.constants import WEIGHTED_SAMPLE_SCALE
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        u = _hash_unit(ids)
+        p = np.minimum(
+            1.0,
+            t["n_chars"].to_numpy(zero_copy_only=False)
+            / WEIGHTED_SAMPLE_SCALE,
+        )
+        return t.filter(pa.array(u < p))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")

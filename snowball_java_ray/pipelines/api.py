@@ -1799,3 +1799,27 @@ def bm25_topk_upserted_pipeline(
         ).sort(["query_id", "rank"]).materialize()
     finally:
         svc.shutdown()
+
+
+def bm25_boosted_pipeline(
+    sf_dir: str, concurrency: int = 2
+) -> ray.data.Dataset:
+    """Function-score retrieval: BM25 multiplied by a document-signal
+    boost (1 + ln(1 + dl/BOOST_DL_NORM)) — the Elasticsearch
+    function_score shape. Broadcast-index actor pool; the signal rides
+    in the postings, so no extra per-doc broadcast."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from snowball_java_ray.stages.score import BoostedScorer
+
+    corpus = documents_as_corpus(sf_dir)
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    index_ref = ray.put(build_index(corpus, n_docs=n_docs))
+    return reference_queries_ds().map_batches(
+        BoostedScorer,
+        fn_constructor_kwargs={"index_ref": index_ref},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=8,
+    ).sort(["query_id", "rank"])

@@ -2791,3 +2791,84 @@ def bm25_topk_upserted_sql(top_k: int = TOP_K) -> str:
     return bm25_topk_sql(
         top_k=top_k, table="corpus_all", prelude=prelude, cand_where=cand
     )
+
+
+def bm25_boosted_sql(top_k: int = TOP_K) -> str:
+    """Function-score oracle: per-(query, doc) BM25 sum multiplied by
+    1 + ln(1 + doc_len / BOOST_DL_NORM)."""
+    from snowball_java_ray.constants import BOOST_DL_NORM
+
+    return f"""
+WITH {tokenize_cte()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
+meta AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doc_len) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+qraw AS (
+  SELECT query_id,
+         unnest(string_split_regex(lower(qtext), '{TOKEN_SPLIT_PATTERN}')) AS term
+  FROM {queries_values_sql()}
+),
+qterms AS (
+  SELECT DISTINCT query_id, term FROM qraw
+  WHERE term <> '' AND NOT regexp_full_match(term, '{_NUM_SQL}')
+    AND term NOT IN ({_STOPLIST_SQL})
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(
+           ln((meta.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf * ({BM25_K1} + 1.0)
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+              + {BM25_B} * dl.doc_len / meta.avgdl))
+         ) * (1.0 + ln(1.0 + dl.doc_len / {BOOST_DL_NORM!r})) AS score
+  FROM qterms q
+  JOIN tf ON q.term = tf.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN meta
+  GROUP BY q.query_id, tf.doc_id, dl.doc_len
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND_DECIMALS}) DESC, doc_id ASC
+         ) AS rank
+  FROM scores
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+       doc_id, round(score, {SCORE_ROUND_DECIMALS}) AS score
+FROM ranked WHERE rank <= {top_k}
+ORDER BY query_id, rank
+"""
+
+
+def weighted_sample_sql() -> str:
+    """Importance-sampling oracle: same hash-unit acceptance rule."""
+    from snowball_java_ray.constants import WEIGHTED_SAMPLE_SCALE
+
+    u = _HASH_UNIT.format(col="doc_id")
+    return f"""
+SELECT doc_id, n_chars
+FROM documents
+WHERE {u} < least(1.0, n_chars / {WEIGHTED_SAMPLE_SCALE!r})
+ORDER BY doc_id
+"""
+
+
+def orders_histogram_sql() -> str:
+    """Fixed-width order-total histogram oracle (exact cents)."""
+    from snowball_java_ray.constants import ORDER_HIST_WIDTH
+
+    return f"""
+SELECT CAST(floor(o_totalprice / {ORDER_HIST_WIDTH!r}) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100 AS total_value
+FROM orders GROUP BY bucket ORDER BY bucket
+"""

@@ -615,3 +615,79 @@ class SynonymScorer:
             },
             schema=TOPK_SCHEMA,
         )
+
+
+def score_query_boosted(
+    index: InvertedIndex,
+    qtext: str,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = TOP_K,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Function-score retrieval (the Elasticsearch function_score /
+    Lucene boost shape): final = BM25 * (1 + ln(1 + dl/BOOST_DL_NORM)).
+    The document signal (analyzed length) already rides in every
+    posting, so the boost costs no extra lookup or broadcast — the
+    candidate-sparse accumulation just carries dl alongside the
+    contribution sum."""
+    from snowball_java_ray.constants import BOOST_DL_NORM
+
+    terms = sorted(set(tokenize(qtext)))
+    doc_parts: list[np.ndarray] = []
+    contrib_parts: list[np.ndarray] = []
+    dl_parts: list[np.ndarray] = []
+    for t in terms:
+        doc_ids, contrib = index.contributions(t, k1, b)
+        if doc_ids.size == 0:
+            continue
+        _, _, dls = index.postings(t)
+        doc_parts.append(doc_ids)
+        contrib_parts.append(contrib)
+        dl_parts.append(dls.astype(np.int64))
+    if not doc_parts:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    all_docs = np.concatenate(doc_parts)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(uniq.size, np.float64)
+    np.add.at(scores, inv, np.concatenate(contrib_parts))
+    dl = np.zeros(uniq.size, np.int64)
+    dl[inv] = np.concatenate(dl_parts)  # same doc -> same length
+    # np.log (not log1p) so the float op sequence matches the SQL
+    # oracle's ln(1 + dl/norm) exactly
+    scores = scores * (1.0 + np.log(1.0 + dl / BOOST_DL_NORM))
+    uniq, scores = drop_deleted(index.deleted, uniq, scores)
+    return _topk_select(uniq, scores, top_k)
+
+
+class BoostedScorer:
+    """Actor-pool scorer running function-score BM25 against the
+    broadcast index."""
+
+    def __init__(self, index_ref, k1=BM25_K1, b=BM25_B, top_k=TOP_K):
+        import ray
+
+        self.index = (
+            ray.get(index_ref)
+            if isinstance(index_ref, ray.ObjectRef)
+            else index_ref
+        )
+        self.k1, self.b, self.top_k = k1, b, top_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for qid, qtext in zip(
+            batch["query_id"].to_pylist(), batch["qtext"].to_pylist()
+        ):
+            doc_ids, scores = score_query_boosted(
+                self.index, qtext, self.k1, self.b, self.top_k
+            )
+            topk_rows(out_q, out_r, out_d, out_s, qid, doc_ids, scores)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int32()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            },
+            schema=TOPK_SCHEMA,
+        )

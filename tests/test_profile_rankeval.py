@@ -91,3 +91,73 @@ def test_bm25_synonyms_degenerates_without_group_terms(ray_session):
     pd.testing.assert_frame_equal(a, b)
     touched = sorted(set(syn["query_id"]) - set(untouched))
     assert touched  # and queries that DO hit a group
+
+
+def test_orders_histogram_matches_duckdb(ray_session):
+    from snowball_java_ray import sqlgen
+    from snowball_java_ray.ops.relational import orders_histogram
+
+    got = orders_histogram(SF_TINY).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"'{SF_TINY}/orders.parquet'"
+    )
+    want = con.execute(sqlgen.orders_histogram_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    orders = pd.read_parquet(f"{SF_TINY}/orders.parquet")
+    assert got["n"].sum() == len(orders)
+
+
+def test_bm25_boosted_matches_duckdb_and_boost_identity(ray_session):
+    """Boosted scores == oracle, and each emitted score equals the
+    plain BM25 score of the same (query, doc) times its boost."""
+    import numpy as np
+
+    from snowball_java_ray import sqlgen
+    from snowball_java_ray.constants import BOOST_DL_NORM
+    from snowball_java_ray.pipelines.api import (
+        bm25_boosted_pipeline,
+        collect_arrow,
+    )
+
+    got = collect_arrow(bm25_boosted_pipeline(SF_TINY)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_TINY}/documents.parquet'"
+    )
+    want = con.execute(sqlgen.bm25_boosted_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    # identity check on one (query, doc): boosted = plain * boost
+    from snowball_java_ray.functions.text import tokenize
+    from snowball_java_ray.pipelines.api import (
+        build_index,
+        documents_as_corpus,
+    )
+    from snowball_java_ray.stages.score import score_terms
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{SF_TINY}/documents.parquet").num_rows
+    idx = build_index(documents_as_corpus(SF_TINY), n_docs=n_docs)
+    row = got.iloc[0]
+    from snowball_java_ray.constants import REFERENCE_QUERIES
+
+    terms = sorted(set(tokenize(REFERENCE_QUERIES[int(row["query_id"])])))
+    docs, scores = score_terms(idx, [(t, None) for t in terms],
+                               top_k=10**9)
+    i = int(np.where(docs == row["doc_id"])[0][0])
+    dl = None
+    for t in terms:
+        d, _, ls = idx.postings(t)
+        hit = np.where(d == row["doc_id"])[0]
+        if hit.size:
+            dl = int(ls[hit[0]])
+            break
+    boost = 1.0 + np.log(1.0 + dl / BOOST_DL_NORM)
+    assert abs(scores[i] * boost - row["score"]) < 1e-6

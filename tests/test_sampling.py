@@ -64,3 +64,30 @@ def test_contamination_matches_duckdb(ray_session):
         assert (got[c].values == exp[c].values).all(), c
     assert ((got["contamination"] >= 0) & (got["contamination"] <= 1)).all()
     assert (got["n_contaminated"] <= got["n_shingles"]).all()
+
+
+def test_weighted_sample_matches_duckdb(ray_session):
+    """Importance sample == the SQL acceptance rule; longer docs are
+    kept at a higher empirical rate."""
+    import duckdb
+    import pandas as pd
+
+    from snowball_java_ray import sqlgen
+    from snowball_java_ray.ops.sampling import weighted_sample
+    from tests.conftest import SF_TINY
+
+    got = weighted_sample(SF_TINY).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_TINY}/documents.parquet'"
+    )
+    want = con.execute(sqlgen.weighted_sample_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{SF_TINY}/documents.parquet")
+    kept = docs["doc_id"].isin(set(got["doc_id"]))
+    long_rate = kept[docs["n_chars"] >= docs["n_chars"].median()].mean()
+    short_rate = kept[docs["n_chars"] < docs["n_chars"].median()].mean()
+    assert long_rate > short_rate

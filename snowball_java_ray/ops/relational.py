@@ -1441,12 +1441,20 @@ def table_profile(sf_dir: str) -> pa.Table:
         ).astype("int64")
         return out.append_column("val_h", pa.array(h, pa.int64()))
 
+    from snowball_java_ray.ops.dedup import join_partitions
+
+    # measured: the value shuffle is object-count-bound, not
+    # key-width-bound — 16 partitions beat 64 2.2x at sf0.1 (each map
+    # task emits P slices; the per-partition Arrow group_by is cheap
+    # either way). At cluster scale P grows with total cores via
+    # join_partitions' CPU cap.
     distinct_vals = hash_grouped_aggregate(
         _read(sf_dir, PROFILE_TABLE, cols).map_batches(
             explode, batch_format="pyarrow"
         ),
         ["column_name", "val"],
         [("", "count_all", "n")],
+        num_parts=join_partitions(16),
         hash_keys=["val_h"],
     )
 

@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_boosted": api.bm25_boosted_pipeline,
         "weighted_sample": sampling.weighted_sample,
         "orders_histogram": relational.orders_histogram,
+        "similar_users": relational.similar_users,
         "lang_top_quality": textstats.lang_top_quality,
         "dup_passages": dedup.dup_passages,
         "orders_topk": relational.orders_topk,
@@ -281,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_boosted": sqlgen.bm25_boosted_sql(),
         "weighted_sample": sqlgen.weighted_sample_sql(),
         "orders_histogram": sqlgen.orders_histogram_sql(),
+        "similar_users": sqlgen.similar_users_sql(),
         "lang_top_quality": sqlgen.lang_top_quality_sql(),
         "dup_passages": sqlgen.dup_passages_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),

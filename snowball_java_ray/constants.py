@@ -379,3 +379,12 @@ WEIGHTED_SAMPLE_SCALE = 2000.0
 # Histogram (ops/relational.orders_histogram): fixed-width buckets of
 # o_totalprice.
 ORDER_HIST_WIDTH = 50_000.0
+
+# User-similarity search (ops/relational.similar_users): cosine over
+# event-type count vectors (PIVOT_EVENT_TYPES order). Probe users =
+# user_id < SIMILAR_USERS_PROBES (ids are 0-based); top
+# SIMILAR_USERS_K neighbours each, self excluded, ties to the lower
+# user_id. Dot products and squared norms are exact int64; the cosine
+# is one double division — no float summation order to pin.
+SIMILAR_USERS_PROBES = 5
+SIMILAR_USERS_K = 5

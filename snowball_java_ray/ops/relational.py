@@ -1528,3 +1528,129 @@ def orders_histogram(sf_dir: str) -> ray.data.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("bucket")
+
+
+def similar_users(sf_dir: str) -> pa.Table:
+    """User-similarity search over DERIVED features: each user's
+    event-type count vector (the events_pivot features), probed by
+    cosine for the SIMILAR_USERS_PROBES lowest-id users — the
+    feature-engineering -> similarity composition (profile once, then
+    ANN-style brute scoring against broadcast probes).
+
+    Scale shape: the pivot is the same map-side-combined single
+    shuffle as events_pivot; probe vectors are O(probes x dims) and
+    ship once; scoring is one streamed pass with per-batch partial
+    top-k per probe (O(blocks x probes x k) driver merge — the
+    ann_topk pattern). Determinism: integer dot/norms, one double
+    division, round-9 rank / round-6 emit."""
+    import numpy as np
+
+    from snowball_java_ray.constants import (
+        PIVOT_EVENT_TYPES,
+        RANK_ROUND_DECIMALS,
+        SCORE_ROUND_DECIMALS,
+        SIMILAR_USERS_K,
+        SIMILAR_USERS_PROBES,
+    )
+    from snowball_java_ray.ops.dedup import hash_grouped_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        cols: dict[str, pa.Array] = {"user_id": t["user_id"]}
+        for ty in PIVOT_EVENT_TYPES:
+            cols[f"n_{ty}"] = pc.cast(pc.equal(et, ty), pa.int64())
+        flat = pa.table(cols)
+        out = flat.group_by(["user_id"]).aggregate(
+            [(f"n_{ty}", "sum") for ty in PIVOT_EVENT_TYPES]
+        )
+        return out.rename_columns(
+            [n[:-4] if n.endswith("_sum") else n for n in out.schema.names]
+        )
+
+    piv = hash_grouped_aggregate(
+        _read(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["user_id"],
+        [(f"n_{ty}", "sum", f"n_{ty}") for ty in PIVOT_EVENT_TYPES],
+    ).materialize()
+
+    dims = [f"n_{ty}" for ty in PIVOT_EVENT_TYPES]
+
+    def vecs(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = t["user_id"].to_numpy(zero_copy_only=False)
+        m = np.stack(
+            [t[d].to_numpy(zero_copy_only=False) for d in dims], axis=1
+        ).astype(np.int64)
+        return ids, m
+
+    import ray as _ray
+
+    probe_tbl = pa.concat_tables(
+        piv.map_batches(
+            lambda t: t.filter(
+                pc.less(t["user_id"], SIMILAR_USERS_PROBES)
+            ),
+            batch_format="pyarrow",
+        ).iter_batches(batch_size=None, batch_format="pyarrow"),
+        promote_options="default",
+    )
+    p_ids, p_m = vecs(probe_tbl.sort_by("user_id"))
+    probes_ref = _ray.put((p_ids, p_m))
+
+    def score(t: pa.Table) -> pa.Table:
+        import ray
+
+        pids, pm = ray.get(probes_ref)
+        ids, m = vecs(t)
+        dot = m @ pm.T  # int64 exact
+        a2 = (m * m).sum(axis=1)
+        b2 = (pm * pm).sum(axis=1)
+        cos = dot.astype(np.float64) / (
+            np.sqrt(a2.astype(np.float64))[:, None]
+            * np.sqrt(b2.astype(np.float64))[None, :]
+        )
+        out = {"probe_user": [], "user_id": [], "cos": []}
+        for j, pu in enumerate(pids):
+            mask = ids != pu
+            v, s = ids[mask], cos[mask, j]
+            order = np.lexsort((v, -np.round(s, RANK_ROUND_DECIMALS)))
+            order = order[:SIMILAR_USERS_K]
+            out["probe_user"].extend([int(pu)] * order.size)
+            out["user_id"].extend(v[order].tolist())
+            out["cos"].extend(s[order].tolist())
+        return pa.table(
+            {
+                "probe_user": pa.array(out["probe_user"], pa.int64()),
+                "user_id": pa.array(out["user_id"], pa.int64()),
+                "cos": pa.array(out["cos"], pa.float64()),
+            }
+        )
+
+    cand = pa.concat_tables(
+        piv.map_batches(score, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ),
+        promote_options="default",
+    )
+    out = {"probe_user": [], "rank": [], "user_id": [], "cos": []}
+    for pu in sorted(set(cand["probe_user"].to_pylist())):
+        sub = cand.filter(pc.equal(cand["probe_user"], pu))
+        v = sub["user_id"].to_numpy(zero_copy_only=False)
+        s = sub["cos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -np.round(s, RANK_ROUND_DECIMALS)))
+        order = order[:SIMILAR_USERS_K]
+        out["probe_user"].extend([int(pu)] * order.size)
+        out["rank"].extend(range(1, order.size + 1))
+        out["user_id"].extend(v[order].tolist())
+        out["cos"].extend(
+            np.round(s[order], SCORE_ROUND_DECIMALS).tolist()
+        )
+    return pa.table(
+        {
+            "probe_user": pa.array(out["probe_user"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int32()),
+            "user_id": pa.array(out["user_id"], pa.int64()),
+            "cos": pa.array(out["cos"], pa.float64()),
+        }
+    )

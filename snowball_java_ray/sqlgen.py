@@ -2872,3 +2872,49 @@ SELECT CAST(floor(o_totalprice / {ORDER_HIST_WIDTH!r}) AS BIGINT) AS bucket,
          / 100 AS total_value
 FROM orders GROUP BY bucket ORDER BY bucket
 """
+
+
+def similar_users_sql() -> str:
+    """User-similarity oracle: event-type count vectors, integer
+    dot/norms, one double division per pair, round-9 rank."""
+    from snowball_java_ray.constants import (
+        PIVOT_EVENT_TYPES,
+        SIMILAR_USERS_K,
+        SIMILAR_USERS_PROBES,
+    )
+
+    counts = ",\n       ".join(
+        f"CAST(sum(CASE WHEN event_type = '{ty}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_{ty}"
+        for ty in PIVOT_EVENT_TYPES
+    )
+    dot = " + ".join(f"p.n_{ty} * o.n_{ty}" for ty in PIVOT_EVENT_TYPES)
+    p2 = " + ".join(f"p.n_{ty} * p.n_{ty}" for ty in PIVOT_EVENT_TYPES)
+    o2 = " + ".join(f"o.n_{ty} * o.n_{ty}" for ty in PIVOT_EVENT_TYPES)
+    return f"""
+WITH piv AS (
+  SELECT user_id,
+       {counts}
+  FROM events GROUP BY user_id
+),
+pairs AS (
+  SELECT p.user_id AS probe_user, o.user_id AS user_id,
+         CAST({dot} AS DOUBLE)
+           / (sqrt(CAST({p2} AS DOUBLE)) * sqrt(CAST({o2} AS DOUBLE)))
+           AS cos
+  FROM piv p CROSS JOIN piv o
+  WHERE p.user_id < {SIMILAR_USERS_PROBES} AND o.user_id <> p.user_id
+),
+r AS (
+  SELECT probe_user, user_id, cos,
+         row_number() OVER (
+           PARTITION BY probe_user
+           ORDER BY round(cos, {RANK_ROUND_DECIMALS}) DESC, user_id ASC
+         ) AS rank
+  FROM pairs
+)
+SELECT probe_user, CAST(rank AS INT) AS rank, user_id,
+       round(cos, {SCORE_ROUND_DECIMALS}) AS cos
+FROM r WHERE rank <= {SIMILAR_USERS_K}
+ORDER BY probe_user, rank
+"""

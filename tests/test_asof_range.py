@@ -174,3 +174,36 @@ def test_events_pivot_matches_duckdb(ray_session, events_df):
     ncols = [c for c in got.columns if c.startswith("n_")]
     assert (got[ncols].sum(axis=1).to_numpy()
             == per_user.sort_index().to_numpy()).all()
+
+
+def test_similar_users_matches_brute_pandas(ray_session, events_df):
+    """Engine neighbours == a brute pandas/numpy cosine ranking."""
+    import numpy as np
+
+    from snowball_java_ray.constants import (
+        PIVOT_EVENT_TYPES,
+        SIMILAR_USERS_K,
+        SIMILAR_USERS_PROBES,
+    )
+    from snowball_java_ray.ops.relational import similar_users
+
+    got = similar_users(SF_TINY).to_pandas()
+    piv = (
+        events_df.assign(n=1)
+        .pivot_table(index="user_id", columns="event_type", values="n",
+                     aggfunc="sum", fill_value=0)
+        .reindex(columns=list(PIVOT_EVENT_TYPES), fill_value=0)
+        .sort_index()
+    )
+    ids = piv.index.to_numpy()
+    m = piv.to_numpy().astype("int64")
+    for pu in range(SIMILAR_USERS_PROBES):
+        p = m[ids == pu][0]
+        cos = (m @ p).astype("float64") / (
+            np.sqrt((m * m).sum(axis=1)) * np.sqrt((p * p).sum())
+        )
+        mask = ids != pu
+        order = np.lexsort((ids[mask], -np.round(cos[mask], 9)))
+        want = ids[mask][order][:SIMILAR_USERS_K]
+        have = got.loc[got["probe_user"] == pu, "user_id"].to_numpy()
+        assert (have == want).all()

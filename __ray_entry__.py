@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_histogram": relational.orders_histogram,
         "similar_users": relational.similar_users,
         "bm25_fielded": api.bm25_fielded_pipeline,
+        "event_pattern_match": relational.event_pattern_match,
+        "key_skew_report": relational.key_skew_report,
         "lang_top_quality": textstats.lang_top_quality,
         "dup_passages": dedup.dup_passages,
         "orders_topk": relational.orders_topk,
@@ -285,6 +287,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_histogram": sqlgen.orders_histogram_sql(),
         "similar_users": sqlgen.similar_users_sql(),
         "bm25_fielded": sqlgen.bm25_fielded_sql(),
+        "event_pattern_match": sqlgen.event_pattern_match_sql(),
+        "key_skew_report": sqlgen.key_skew_report_sql(),
         "lang_top_quality": sqlgen.lang_top_quality_sql(),
         "dup_passages": sqlgen.dup_passages_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),

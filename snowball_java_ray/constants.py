@@ -396,3 +396,23 @@ SIMILAR_USERS_K = 5
 # automatically, integer-exact) — the BM25F-by-repetition variant.
 TITLE_TOKENS = 8
 TITLE_BOOST = 2
+
+# Event-sequence pattern matching (ops/relational.event_pattern_match)
+# — MATCH_RECOGNIZE-lite: each user's events collapse (ordered by ts,
+# event_id) to a string of type initials; the RE2 pattern counts
+# non-overlapping matches. Initial = first character of event_type
+# (unique across PIVOT_EVENT_TYPES: c, e, p, s, v).
+EVENT_PATTERN = "s[cv]*p"
+
+# Key-skew audit (ops/relational.key_skew_report): the join/shuffle
+# planning surface — per (table, key): cardinality, heaviest key and
+# skew = max_count * n_keys / n_rows (1.0 = perfectly uniform).
+# hot_key is the lexicographically smallest string form among the
+# argmax keys (deterministic tie rule, mirrored in SQL).
+SKEW_KEYS = (
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+    ("documents", "source"),
+)

@@ -1654,3 +1654,141 @@ def similar_users(sf_dir: str) -> pa.Table:
             "cos": pa.array(out["cos"], pa.float64()),
         }
     )
+
+
+def event_pattern_match(sf_dir: str) -> ray.data.Dataset:
+    """Event-sequence pattern matching (MATCH_RECOGNIZE-lite / CEP):
+    each user's event stream, ordered by (ts, event_id), collapses to
+    a string of event-type initials; EVENT_PATTERN counts
+    non-overlapping regex matches (signup then any clicks/views then
+    purchase). Emits (user_id, n_events, n_matches) for users with at
+    least one match.
+
+    Scale shape: one user-hash shuffle; each partition sorts once by
+    (user_id, ts, event_id) and builds every user's sequence with a
+    pandas C-level groupby join (users-per-partition bounded, no
+    driver gather); both engines run the same RE2-class pattern
+    (Python re / DuckDB regexp_extract_all are equivalent for this
+    alphabet)."""
+    import re
+
+    import numpy as np
+
+    from snowball_java_ray.constants import EVENT_PATTERN
+    from snowball_java_ray.ops.dedup import join_partitions
+
+    P = join_partitions(64)
+    pat = re.compile(EVENT_PATTERN)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        part = (uid * 1099511628211 % P).astype("int64")
+        return t.append_column("__part", pa.array(part))
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "ts": g["ts"].to_numpy(),
+                "event_id": g["event_id"].to_numpy(),
+                "ini": g["event_type"].str[0].to_numpy(),
+            }
+        ).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        seq = g.groupby("user_id", sort=True)["ini"].agg("".join)
+        out = pd.DataFrame(
+            {
+                "user_id": seq.index.to_numpy(),
+                "n_events": seq.str.len().to_numpy().astype("int64"),
+                "n_matches": np.array(
+                    [len(pat.findall(s)) for s in seq], dtype="int64"
+                ),
+            }
+        )
+        return out[out["n_matches"] > 0]
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(match, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
+def key_skew_report(sf_dir: str) -> pa.Table:
+    """Key-skew audit across the configured (table, key) pairs — the
+    report an engine reads BEFORE planning a join or shuffle: key
+    cardinality, the heaviest key, and skew = max_count * n_keys /
+    n_rows (1.0 = uniform).
+
+    Scale shape: per pair, one column-pruned scan with per-batch Arrow
+    group_by partials into ONE hash_grouped_aggregate (key-cardinality
+    bounded); the final max/argmax/count reduce works on per-block
+    partial rows (O(blocks) driver traffic). Keys canonicalize to
+    strings (injective) so one report schema serves every type."""
+    import numpy as np
+
+    from snowball_java_ray.constants import SKEW_KEYS
+    from snowball_java_ray.ops.dedup import hash_grouped_aggregate
+    from snowball_java_ray.pipelines.api import collect_arrow
+
+    rows = {
+        "key_name": [], "n_rows": [], "n_keys": [],
+        "max_count": [], "hot_key": [], "skew": [],
+    }
+    for table, key in SKEW_KEYS:
+        def partial(t: pa.Table, key=key) -> pa.Table:
+            ks = pc.cast(t[key], pa.string())
+            out = pa.table({"ks": ks}).group_by(["ks"]).aggregate(
+                [([], "count_all")]
+            )
+            return out.rename_columns(["ks", "cnt"])
+
+        agg = hash_grouped_aggregate(
+            _read(sf_dir, table, [key]).map_batches(
+                partial, batch_format="pyarrow"
+            ),
+            ["ks"],
+            [("cnt", "sum", "cnt")],
+        )
+
+        def reduce_part(t: pa.Table) -> pa.Table:
+            cnt = t["cnt"].to_numpy(zero_copy_only=False)
+            mx = int(cnt.max())
+            at = t.filter(pc.equal(t["cnt"], mx))
+            hot = pc.min(at["ks"]).as_py()
+            return pa.table(
+                {
+                    "n_keys": pa.array([len(t)], pa.int64()),
+                    "n_rows": pa.array([int(cnt.sum())], pa.int64()),
+                    "max_count": pa.array([mx], pa.int64()),
+                    "hot_key": pa.array([hot], pa.string()),
+                }
+            )
+
+        parts = collect_arrow(
+            agg.map_batches(reduce_part, batch_format="pyarrow")
+        ).to_pandas()
+        gmax = int(parts["max_count"].max())
+        hot = parts.loc[parts["max_count"] == gmax, "hot_key"].min()
+        n_rows = int(parts["n_rows"].sum())
+        n_keys = int(parts["n_keys"].sum())
+        rows["key_name"].append(f"{table}.{key}")
+        rows["n_rows"].append(n_rows)
+        rows["n_keys"].append(n_keys)
+        rows["max_count"].append(gmax)
+        rows["hot_key"].append(hot)
+        rows["skew"].append(
+            round((gmax * n_keys) * 1.0 / n_rows, 6)
+        )
+    tbl = pa.table(
+        {
+            "key_name": pa.array(rows["key_name"], pa.string()),
+            "n_rows": pa.array(rows["n_rows"], pa.int64()),
+            "n_keys": pa.array(rows["n_keys"], pa.int64()),
+            "max_count": pa.array(rows["max_count"], pa.int64()),
+            "hot_key": pa.array(rows["hot_key"], pa.string()),
+            "skew": pa.array(rows["skew"], pa.float64()),
+        }
+    )
+    return tbl.sort_by("key_name")

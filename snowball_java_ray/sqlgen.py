@@ -2959,3 +2959,51 @@ corpus_f AS (
 ),
 """
     return bm25_topk_sql(top_k=top_k, table="corpus_f", prelude=prelude)
+
+
+def event_pattern_match_sql() -> str:
+    """CEP oracle: ordered per-user initial string + non-overlapping
+    regexp match count (DuckDB regexp_extract_all, same RE2 class)."""
+    from snowball_java_ray.constants import EVENT_PATTERN
+
+    return f"""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS s
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(s) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(s, '{EVENT_PATTERN}')) AS BIGINT)
+         AS n_matches
+FROM seq
+WHERE len(regexp_extract_all(s, '{EVENT_PATTERN}')) > 0
+ORDER BY user_id
+"""
+
+
+def key_skew_report_sql() -> str:
+    """Key-skew oracle: one CTE per audited (table, key)."""
+    from snowball_java_ray.constants import SKEW_KEYS
+
+    ctes = []
+    branches = []
+    for i, (table, key) in enumerate(SKEW_KEYS):
+        ctes.append(
+            f"c{i} AS (SELECT CAST({key} AS VARCHAR) AS ks, "
+            f"count(*) AS cnt FROM {table} GROUP BY 1)"
+        )
+        branches.append(f"""SELECT '{table}.{key}' AS key_name,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(cnt) AS BIGINT) AS max_count,
+       min(ks) FILTER (WHERE cnt = (SELECT max(cnt) FROM c{i}))
+         AS hot_key,
+       round(max(cnt) * count(*) * 1.0 / sum(cnt), 6) AS skew
+FROM c{i}""")
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(branches)
+        + "\n) ORDER BY key_name\n"
+    )

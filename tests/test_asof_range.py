@@ -207,3 +207,46 @@ def test_similar_users_matches_brute_pandas(ray_session, events_df):
         want = ids[mask][order][:SIMILAR_USERS_K]
         have = got.loc[got["probe_user"] == pu, "user_id"].to_numpy()
         assert (have == want).all()
+
+
+def test_event_pattern_match_matches_brute(ray_session, events_df):
+    """Engine CEP counts == per-user Python regex over sorted events."""
+    import re
+
+    from snowball_java_ray.constants import EVENT_PATTERN
+    from snowball_java_ray.ops.relational import event_pattern_match
+
+    got = event_pattern_match(SF_TINY).to_pandas()
+    ev = events_df.sort_values(["user_id", "ts", "event_id"])
+    pat = re.compile(EVENT_PATTERN)
+    want = (
+        ev.assign(ini=ev["event_type"].str[0])
+        .groupby("user_id")["ini"].agg("".join)
+    )
+    exp = pd.DataFrame(
+        {
+            "user_id": want.index,
+            "n_events": want.str.len().astype("int64"),
+            "n_matches": [len(pat.findall(s)) for s in want],
+        }
+    )
+    exp = exp[exp["n_matches"] > 0].reset_index(drop=True)
+    exp["user_id"] = exp["user_id"].astype("int64")
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+def test_key_skew_report_invariants(ray_session):
+    """skew >= 1 for every key; uniform-ish keys near 1; totals match
+    the raw tables."""
+    from snowball_java_ray.ops.relational import key_skew_report
+    from snowball_java_ray.constants import SKEW_KEYS
+
+    got = key_skew_report(SF_TINY).to_pandas()
+    assert len(got) == len(SKEW_KEYS)
+    assert (got["skew"] >= 1.0).all()
+    for _, row in got.iterrows():
+        table, key = row["key_name"].split(".")
+        raw = pd.read_parquet(f"{SF_TINY}/{table}.parquet", columns=[key])
+        assert row["n_rows"] == len(raw)
+        assert row["n_keys"] == raw[key].nunique()
+        assert row["max_count"] == raw[key].value_counts().max()

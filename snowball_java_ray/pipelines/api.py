@@ -1665,49 +1665,29 @@ def bm25_page2_pipeline(sf_dir: str, n_partitions: int = 4) -> pa.Table:
     deterministic total order (round(score, RANK) DESC, doc_id ASC),
     with page-absolute ranks.
 
-    Scale shape: the fleet serves top-(2k) through the same
-    scatter/gather fabric (any page-2 doc is inside the global top-2k,
-    hence inside some shard's local top-2k — the standard from+size
-    bound, gather stays O(shards x 2k)); the cursor is then positioned
-    by its unique doc_id and everything strictly after it is the page.
-    A per-shard cursor pushdown (each shard cutting below the cursor
-    key before responding) is the production refinement when page
-    depth grows beyond a few k; the page contract and this oracle stay
-    identical."""
-    from snowball_java_ray.constants import TOP_K
-    from snowball_java_ray.stages.serve import BM25ShardedService
+    Scale shape — TRUE per-shard cursor pushdown
+    (stages/serve.SearchAfterScorer): round 1 serves page 1 through
+    the normal scatter/gather; each full-page query's cursor (round-9
+    merged score + last doc_id) then drives a ``score_batch_after``
+    round in which every shard cuts below the cursor key BEFORE its
+    local top-k, so responses are already next-page-local and gather
+    traffic stays O(shards x k) at any page depth — never a
+    top-(page*k) overfetch."""
+    from snowball_java_ray.stages.serve import (
+        BM25ShardedService,
+        SearchAfterScorer,
+    )
 
     index_dir = ensure_index_dir(sf_dir, n_partitions=n_partitions)
     svc = BM25ShardedService(index_dir)
     try:
-        page1 = collect_arrow(
-            svc.topk_dataset(reference_queries_ds(), top_k=TOP_K)
-            .sort(["query_id", "rank"]).materialize()
-        ).to_pandas()
-        two_k = collect_arrow(
-            svc.topk_dataset(reference_queries_ds(), top_k=2 * TOP_K)
-            .sort(["query_id", "rank"]).materialize()
-        ).to_pandas()
+        return collect_arrow(
+            svc.topk_dataset(
+                reference_queries_ds(), scorer_cls=SearchAfterScorer
+            ).sort(["query_id", "rank"]).materialize()
+        )
     finally:
         svc.shutdown()
-
-    # cursor per query = page 1's last hit (max rank row)
-    cur = page1.loc[
-        page1.groupby("query_id")["rank"].idxmax(),
-        ["query_id", "doc_id"],
-    ].rename(columns={"doc_id": "cursor_doc"})
-    # position each cursor inside the 2k list by its unique doc_id
-    pos = two_k.merge(
-        cur, left_on=["query_id", "doc_id"],
-        right_on=["query_id", "cursor_doc"],
-    )[["query_id", "rank"]].rename(columns={"rank": "cursor_rank"})
-    out = two_k.merge(pos, on="query_id")
-    out = out[out["rank"] > out["cursor_rank"]][
-        ["query_id", "rank", "doc_id", "score"]
-    ].sort_values(["query_id", "rank"])
-    return pa.Table.from_pandas(
-        out.reset_index(drop=True), preserve_index=False
-    )
 
 
 def bm25_synonyms_pipeline(

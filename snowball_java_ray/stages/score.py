@@ -227,11 +227,18 @@ def score_terms(
     k1: float = BM25_K1,
     b: float = BM25_B,
     top_k: int = TOP_K,
+    after: tuple[float, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Core of ``score_query`` over pre-tokenized (term, idf) pairs in
     sorted term order; idf=None means derive from the index's own
     dictionary. The doc-sharded serving path calls this directly with
-    gather-stage-computed global idfs."""
+    gather-stage-computed global idfs.
+
+    ``after``: search_after cursor pushdown — (cursor round-9 score,
+    cursor doc_id); only candidates STRICTLY after the cursor in the
+    (round-9 DESC, doc_id ASC) total order survive into the top-k cut,
+    so a shard's response is its local top-k OF THE NEXT PAGE (no
+    top-2k overfetch)."""
     doc_parts: list[np.ndarray] = []
     contrib_parts: list[np.ndarray] = []
     for t, idf in terms_idf:
@@ -265,6 +272,11 @@ def score_terms(
         scores = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(scores, inv, all_contribs)
     uniq, scores = drop_deleted(index.deleted, uniq, scores)
+    if after is not None:
+        c_s, c_d = after
+        rounded = np.round(scores, RANK_ROUND_DECIMALS)
+        m = (rounded < c_s) | ((rounded == c_s) & (uniq > c_d))
+        uniq, scores = uniq[m], scores[m]
     return _topk_select(uniq, scores, top_k)
 
 

@@ -199,6 +199,45 @@ class _ShardScorer:
 
         return drop_deleted(self.index.deleted, ids, ids)[0]
 
+    def score_batch_after(
+        self,
+        queries: list[tuple[int, list[tuple[str, float]], float, int]],
+        k1: float,
+        b: float,
+        top_k: int,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """search_after cursor pushdown: like ``score_batch`` but each
+        query carries its page cursor (round-9 score, doc_id); the
+        response is this shard's local top-k OF THE NEXT PAGE — gather
+        stays O(shards x k) at any page depth, no top-(page*k)
+        overfetch. Cursor rides in the cache key, so distinct pages of
+        the same query cache independently."""
+        cache = self._results
+        ids_parts: list[np.ndarray] = []
+        score_parts: list[np.ndarray] = []
+        counts = np.empty(len(queries), np.int64)
+        for i, (_, terms_idf, c_s, c_d) in enumerate(queries):
+            key = (tuple(terms_idf), k1, b, top_k, "after", c_s, c_d)
+            hit = cache.get(key)
+            if hit is None:
+                hit = score_terms(
+                    self.index, terms_idf, k1, b, top_k,
+                    after=(c_s, c_d),
+                )
+                if len(cache) >= self.RESULT_CACHE_MAX:
+                    cache.pop(next(iter(cache)))
+                cache[key] = hit
+            ids_parts.append(hit[0])
+            score_parts.append(hit[1])
+            counts[i] = hit[0].size
+        return (
+            np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64),
+            np.concatenate(score_parts)
+            if score_parts
+            else np.empty(0, np.float64),
+            counts,
+        )
+
     def score_batch_diverse(
         self,
         queries: list[tuple[int, list[tuple[str, float]]]],
@@ -523,6 +562,7 @@ class BM25ShardedService:
         num_blocks: int | None = None,
         diversify_cap: int | None = None,
         filter_source: str | None = None,
+        scorer_cls: type | None = None,
     ):
         """queries(query_id, qtext) -> TOPK_SCHEMA rows via scatter/
         gather; algo='wand' makes every shard run block-max WAND
@@ -536,7 +576,7 @@ class BM25ShardedService:
         if num_blocks:
             queries_ds = queries_ds.repartition(num_blocks)
         return queries_ds.map_batches(
-            ShardedBM25Scorer,
+            scorer_cls or ShardedBM25Scorer,
             fn_constructor_kwargs={
                 "shard_handles": self.fleets,
                 "df_ref": self.df_ref,
@@ -797,3 +837,109 @@ class ShardedBM25Scorer:
             }
         )
 
+
+
+class SearchAfterScorer(ShardedBM25Scorer):
+    """Gather stage for deep pagination with TRUE cursor pushdown:
+    round 1 scatters the plain top-k (page 1); each full-page query's
+    cursor (round-9 merged score + doc_id of its last hit) then
+    drives a ``score_batch_after`` round whose shard responses are
+    already next-page-local top-ks — gather traffic stays
+    O(shards x k) per round at ANY page depth, never a top-(page*k)
+    overfetch. Emits page 2 with page-absolute ranks."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        qids = batch["query_id"].to_pylist()
+        qtexts = batch["qtext"].to_pylist()
+        per_q_terms = [sorted(set(tokenize(q))) for q in qtexts]
+        uniq_ix: dict[tuple, int] = {}
+        q_to_uniq: list[int] = []
+        uniq_terms: list[list[str]] = []
+        for terms in per_q_terms:
+            key = tuple(terms)
+            j = uniq_ix.get(key)
+            if j is None:
+                j = uniq_ix[key] = len(uniq_terms)
+                uniq_terms.append(terms)
+            q_to_uniq.append(j)
+        idf = self._idfs(sorted({t for ts in uniq_terms for t in ts}))
+        queries = [
+            (j, [(t, idf[t]) for t in terms])
+            for j, terms in enumerate(uniq_terms)
+        ]
+        per_shard = ray.get(
+            [h.score_batch.remote(queries, self.k1, self.b, self.top_k,
+                                  "exact")
+             for h in self.handles]
+        )
+        offsets = [
+            np.concatenate(([0], np.cumsum(c))) for _, _, c in per_shard
+        ]
+        n1s: list[int] = []
+        cursors: list[tuple[float, int] | None] = []
+        for j in range(len(uniq_terms)):
+            parts = []
+            for (ids, scores, _), off in zip(per_shard, offsets):
+                lo, hi = off[j], off[j + 1]
+                if hi > lo:
+                    parts.append((ids[lo:hi], scores[lo:hi]))
+            docs, scores = merge_topk(parts, self.top_k)
+            n1s.append(int(docs.size))
+            cursors.append(
+                (float(np.round(scores[-1], RANK_ROUND_DECIMALS)),
+                 int(docs[-1]))
+                if docs.size
+                else None
+            )
+        # only a FULL page 1 can have a page 2 (n1 < k means the
+        # query's entire result set was already shown)
+        live = [j for j in range(len(uniq_terms)) if n1s[j] == self.top_k]
+        merged2: dict[int, tuple[np.ndarray, np.ndarray]] = {
+            j: (np.empty(0, np.int64), np.empty(0, np.float64))
+            for j in range(len(uniq_terms))
+        }
+        if live:
+            q_after = [
+                (j, queries[j][1], cursors[j][0], cursors[j][1])
+                for j in live
+            ]
+            per_shard2 = ray.get(
+                [h.score_batch_after.remote(q_after, self.k1, self.b,
+                                            self.top_k)
+                 for h in self.handles]
+            )
+            offsets2 = [
+                np.concatenate(([0], np.cumsum(c)))
+                for _, _, c in per_shard2
+            ]
+            for jj, j in enumerate(live):
+                parts = []
+                for (ids, scores, _), off in zip(per_shard2, offsets2):
+                    lo, hi = off[jj], off[jj + 1]
+                    if hi > lo:
+                        parts.append((ids[lo:hi], scores[lo:hi]))
+                merged2[j] = merge_topk(parts, self.top_k)
+        out_q: list[int] = []
+        out_r: list[int] = []
+        out_d: list[int] = []
+        out_s: list[float] = []
+        for qid, j in zip(qids, q_to_uniq):
+            docs, scores = merged2[j]
+            n = int(docs.size)
+            out_q.extend([int(qid)] * n)
+            out_r.extend(range(n1s[j] + 1, n1s[j] + 1 + n))
+            out_d.extend(docs.tolist())
+            out_s.extend(
+                np.round(scores, SCORE_ROUND_DECIMALS).tolist()
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int32()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            },
+            schema=TOPK_SCHEMA,
+        )

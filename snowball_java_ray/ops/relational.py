@@ -1792,3 +1792,81 @@ def key_skew_report(sf_dir: str) -> pa.Table:
         }
     )
     return tbl.sort_by("key_name")
+
+
+def events_rollup(sf_dir: str) -> pa.Table:
+    """Hierarchical aggregation (GROUP BY ROLLUP): revenue and counts
+    at (event_type, day), (event_type) and grand-total levels — the
+    OLAP rollup shape. The base level is the only corpus-sized work
+    (map-side Arrow partials, ONE shuffle, exact integer cents); the
+    super-aggregate levels re-reduce the (types x days)-bounded base
+    table, which is driver-sized by construction."""
+    import numpy as np
+
+    from snowball_java_ray.ops.dedup import hash_grouped_aggregate
+    from snowball_java_ray.pipelines.api import collect_arrow
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.utf8_slice_codeunits(
+            pc.strftime(
+                pc.floor_temporal(t["ts"], unit="day"),
+                format="%Y-%m-%d",
+            ),
+            0, 10,
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(t["value"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        flat = pa.table(
+            {
+                "event_type": t["event_type"],
+                "day": day,
+                "n": pa.array(np.ones(len(t), np.int64)),
+                "cents": cents,
+            }
+        )
+        out = flat.group_by(["event_type", "day"]).aggregate(
+            [("n", "sum"), ("cents", "sum")]
+        )
+        return out.rename_columns(["event_type", "day", "n", "cents"])
+
+    base = collect_arrow(
+        hash_grouped_aggregate(
+            _read(sf_dir, "events", ["event_type", "ts", "value"])
+            .map_batches(partial, batch_format="pyarrow"),
+            ["event_type", "day"],
+            [("n", "sum", "n"), ("cents", "sum", "cents")],
+        )
+    ).to_pandas()
+
+    lvl1 = (
+        base.groupby("event_type", as_index=False)[["n", "cents"]]
+        .sum()
+        .assign(day=None)
+    )
+    total = pd.DataFrame(
+        {
+            "event_type": [None],
+            "day": [None],
+            "n": [base["n"].sum()],
+            "cents": [base["cents"].sum()],
+        }
+    )
+    out = pd.concat(
+        [base, lvl1, total], ignore_index=True
+    )[["event_type", "day", "n", "cents"]]
+    out["total_value"] = out.pop("cents").astype("float64") / 100.0
+    out = out.sort_values(
+        ["event_type", "day"], na_position="last"
+    ).reset_index(drop=True)
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "day": pa.array(out["day"], pa.string()),
+            "n": pa.array(out["n"].to_numpy(), pa.int64()),
+            "total_value": pa.array(
+                out["total_value"].to_numpy(), pa.float64()
+            ),
+        }
+    )

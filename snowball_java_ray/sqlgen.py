@@ -3007,3 +3007,22 @@ FROM c{i}""")
         + "\nUNION ALL\n".join(branches)
         + "\n) ORDER BY key_name\n"
     )
+
+
+def events_rollup_sql() -> str:
+    """ROLLUP oracle: (event_type, day) -> (event_type) -> total,
+    exact integer cents."""
+    return """
+WITH e AS (
+  SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS DOUBLE) / 100 AS total_value
+FROM e
+GROUP BY ROLLUP(event_type, day)
+ORDER BY event_type, day
+"""

@@ -250,3 +250,21 @@ def test_key_skew_report_invariants(ray_session):
         assert row["n_rows"] == len(raw)
         assert row["n_keys"] == raw[key].nunique()
         assert row["max_count"] == raw[key].value_counts().max()
+
+
+def test_events_rollup_levels_consistent(ray_session, events_df):
+    """Every rollup level re-sums exactly; grand total == raw total."""
+    from snowball_java_ray.ops.relational import events_rollup
+
+    got = events_rollup(SF_TINY).to_pandas()
+    base = got[got["day"].notna()]
+    lvl1 = got[got["day"].isna() & got["event_type"].notna()]
+    total = got[got["event_type"].isna()]
+    assert len(total) == 1
+    assert total["n"].iloc[0] == len(events_df)
+    for _, r in lvl1.iterrows():
+        sub = base[base["event_type"] == r["event_type"]]
+        assert sub["n"].sum() == r["n"]
+        assert abs(sub["total_value"].sum() - r["total_value"]) < 1e-6
+    cents = (events_df["value"] * 100).round().astype("int64").sum()
+    assert abs(total["total_value"].iloc[0] - cents / 100.0) < 1e-9

@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_pattern_match": relational.event_pattern_match,
         "key_skew_report": relational.key_skew_report,
         "events_rollup": relational.events_rollup,
+        "doc_deciles": sampling.doc_deciles,
         "lang_top_quality": textstats.lang_top_quality,
         "dup_passages": dedup.dup_passages,
         "orders_topk": relational.orders_topk,
@@ -291,6 +292,7 @@ def oracle_sql() -> dict[str, str]:
         "event_pattern_match": sqlgen.event_pattern_match_sql(),
         "key_skew_report": sqlgen.key_skew_report_sql(),
         "events_rollup": sqlgen.events_rollup_sql(),
+        "doc_deciles": sqlgen.doc_deciles_sql(),
         "lang_top_quality": sqlgen.lang_top_quality_sql(),
         "dup_passages": sqlgen.dup_passages_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),

@@ -324,3 +324,92 @@ def weighted_sample(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
     )
     return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+def doc_deciles(sf_dir: str) -> ray.data.Dataset:
+    """Curriculum binning: NTILE(10) over the GLOBAL (doc_len, doc_id)
+    order — every document's length decile, computed without any
+    single node ever seeing the whole corpus.
+
+    Scale shape: the same two-pass distributed ranking as
+    pack_sequences — a range sort on the decile key makes blocks
+    contiguous, pass 1 returns one (first-key, count) row per block,
+    pass 2 assigns rank = predecessor offset + local position and the
+    exact NTILE group (larger groups first, DuckDB/ANSI semantics)
+    vectorized per block."""
+    from snowball_java_ray.functions.text import tokenize_arrow
+
+    K = 10
+
+    def stats(t: pa.Table) -> pa.Table:
+        row_idx, _ = tokenize_arrow(t["text"])
+        n = np.bincount(row_idx, minlength=len(t)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "doc_len": pa.array(n, pa.int64()),
+            }
+        )
+
+    ds = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(stats, batch_format="pyarrow")
+        .sort(["doc_len", "doc_id"])
+        .materialize()
+    )
+
+    blocks = []
+    for batch in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if len(batch):
+            blocks.append(
+                (
+                    (int(batch["doc_len"][0].as_py()),
+                     int(batch["doc_id"][0].as_py())),
+                    len(batch),
+                )
+            )
+    blocks.sort()
+    offsets: dict[tuple[int, int], int] = {}
+    run = 0
+    for key, cnt in blocks:
+        offsets[key] = run
+        run += cnt
+    n_total = run
+    q, rem = divmod(n_total, K)
+    cut = rem * (q + 1)  # ranks <= cut land in the (q+1)-sized groups
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "doc_len": pa.array([], pa.int64()),
+                    "decile": pa.array([], pa.int64()),
+                }
+            )
+        key = (
+            int(t["doc_len"][0].as_py()),
+            int(t["doc_id"][0].as_py()),
+        )
+        rank = offsets[key] + np.arange(1, len(t) + 1, dtype=np.int64)
+        if q == 0:
+            dec = rank
+        else:
+            dec = np.where(
+                rank <= cut,
+                -(-rank // (q + 1)),          # ceil division
+                rem + -(-(rank - cut) // q),
+            )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "doc_len": t["doc_len"],
+                "decile": pa.array(dec.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(
+        assign, batch_format="pyarrow", batch_size=None
+    ).sort("doc_id")

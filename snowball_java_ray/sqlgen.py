@@ -3026,3 +3026,20 @@ FROM e
 GROUP BY ROLLUP(event_type, day)
 ORDER BY event_type, day
 """
+
+
+def doc_deciles_sql() -> str:
+    """NTILE oracle over the global (doc_len, doc_id) order; docs with
+    zero analyzed tokens keep doc_len 0 via the LEFT JOIN."""
+    return f"""
+WITH {tokenize_cte()},
+cnt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+nt AS (
+  SELECT d.doc_id, coalesce(c.n, 0) AS doc_len
+  FROM documents d LEFT JOIN cnt c USING (doc_id)
+)
+SELECT doc_id, doc_len,
+       CAST(ntile(10) OVER (ORDER BY doc_len, doc_id) AS BIGINT)
+         AS decile
+FROM nt ORDER BY doc_id
+"""

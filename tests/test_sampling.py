@@ -91,3 +91,33 @@ def test_weighted_sample_matches_duckdb(ray_session):
     long_rate = kept[docs["n_chars"] >= docs["n_chars"].median()].mean()
     short_rate = kept[docs["n_chars"] < docs["n_chars"].median()].mean()
     assert long_rate > short_rate
+
+
+def test_doc_deciles_matches_duckdb_and_balanced(ray_session):
+    """Engine NTILE == DuckDB NTILE; group sizes differ by at most 1
+    and larger groups come first."""
+    import duckdb
+    import pandas as pd
+
+    from snowball_java_ray import sqlgen
+    from snowball_java_ray.ops.sampling import doc_deciles
+    from tests.conftest import SF_TINY
+
+    got = doc_deciles(SF_TINY).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_TINY}/documents.parquet'"
+    )
+    want = con.execute(sqlgen.doc_deciles_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    sizes = got.groupby("decile").size()
+    assert sizes.max() - sizes.min() <= 1
+    assert sizes.sort_index().is_monotonic_decreasing
+    # deciles are monotone in doc_len: max of d <= min of d+1
+    per = got.groupby("decile")["doc_len"]
+    mx = per.max().sort_index().to_numpy()
+    mn = per.min().sort_index().to_numpy()
+    assert (mx[:-1] <= mn[1:]).all()

@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_report": relational.key_skew_report,
         "events_rollup": relational.events_rollup,
         "doc_deciles": sampling.doc_deciles,
+        "bm25_msm": api.bm25_msm_pipeline,
         "lang_top_quality": textstats.lang_top_quality,
         "dup_passages": dedup.dup_passages,
         "orders_topk": relational.orders_topk,
@@ -293,6 +294,7 @@ def oracle_sql() -> dict[str, str]:
         "key_skew_report": sqlgen.key_skew_report_sql(),
         "events_rollup": sqlgen.events_rollup_sql(),
         "doc_deciles": sqlgen.doc_deciles_sql(),
+        "bm25_msm": sqlgen.bm25_msm_sql(),
         "lang_top_quality": sqlgen.lang_top_quality_sql(),
         "dup_passages": sqlgen.dup_passages_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),

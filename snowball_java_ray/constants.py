@@ -416,3 +416,9 @@ SKEW_KEYS = (
     ("events", "user_id"),
     ("documents", "source"),
 )
+
+# minimum_should_match retrieval (stages/score.score_query_msm): a
+# doc is a candidate iff it matches at least min(MSM_MIN, number of
+# analyzed query terms) distinct terms; candidates score by plain
+# BM25 over their matched terms (Lucene/ES minimum_should_match).
+MSM_MIN = 2

@@ -1853,3 +1853,27 @@ def bm25_fielded_pipeline(
         concurrency=concurrency,
         batch_size=8,
     ).sort(["query_id", "rank"])
+
+
+def bm25_msm_pipeline(
+    sf_dir: str, concurrency: int = 2
+) -> ray.data.Dataset:
+    """minimum_should_match retrieval: candidates must match at least
+    min(MSM_MIN, n_query_terms) distinct analyzed terms, scored by
+    plain BM25 over the matched terms — the Lucene/ES msm contract.
+    Broadcast-index actor pool."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from snowball_java_ray.stages.score import MSMScorer
+
+    corpus = documents_as_corpus(sf_dir)
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    index_ref = ray.put(build_index(corpus, n_docs=n_docs))
+    return reference_queries_ds().map_batches(
+        MSMScorer,
+        fn_constructor_kwargs={"index_ref": index_ref},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=8,
+    ).sort(["query_id", "rank"])

@@ -703,3 +703,76 @@ class BoostedScorer:
             },
             schema=TOPK_SCHEMA,
         )
+
+
+def score_query_msm(
+    index: InvertedIndex,
+    qtext: str,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = TOP_K,
+) -> tuple[np.ndarray, np.ndarray]:
+    """minimum_should_match retrieval: only docs matching at least
+    min(MSM_MIN, n_query_terms) distinct analyzed terms are
+    candidates (the Lucene/ES msm contract — kills one-term noise
+    hits on multi-term queries without demanding a full AND); the
+    score is plain BM25 over the matched terms. The match count rides
+    the same candidate-sparse accumulation as the scores (one extra
+    add.at of ones)."""
+    from snowball_java_ray.constants import MSM_MIN
+
+    terms = sorted(set(tokenize(qtext)))
+    need = min(MSM_MIN, len(terms)) if terms else 0
+    doc_parts: list[np.ndarray] = []
+    contrib_parts: list[np.ndarray] = []
+    for t in terms:
+        doc_ids, contrib = index.contributions(t, k1, b)
+        if doc_ids.size == 0:
+            continue
+        doc_parts.append(doc_ids)
+        contrib_parts.append(contrib)
+    if not doc_parts:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    all_docs = np.concatenate(doc_parts)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(uniq.size, np.float64)
+    np.add.at(scores, inv, np.concatenate(contrib_parts))
+    nmatch = np.zeros(uniq.size, np.int64)
+    np.add.at(nmatch, inv, 1)
+    keep = nmatch >= need
+    uniq, scores = uniq[keep], scores[keep]
+    uniq, scores = drop_deleted(index.deleted, uniq, scores)
+    return _topk_select(uniq, scores, top_k)
+
+
+class MSMScorer:
+    """Actor-pool scorer for minimum_should_match retrieval."""
+
+    def __init__(self, index_ref, k1=BM25_K1, b=BM25_B, top_k=TOP_K):
+        import ray
+
+        self.index = (
+            ray.get(index_ref)
+            if isinstance(index_ref, ray.ObjectRef)
+            else index_ref
+        )
+        self.k1, self.b, self.top_k = k1, b, top_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for qid, qtext in zip(
+            batch["query_id"].to_pylist(), batch["qtext"].to_pylist()
+        ):
+            doc_ids, scores = score_query_msm(
+                self.index, qtext, self.k1, self.b, self.top_k
+            )
+            topk_rows(out_q, out_r, out_d, out_s, qid, doc_ids, scores)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int32()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            },
+            schema=TOPK_SCHEMA,
+        )

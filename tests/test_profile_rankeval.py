@@ -194,3 +194,34 @@ def test_bm25_fielded_boost_changes_ranking_determinismically(ray_session):
     want = title * TITLE_BOOST + body
     enc = " ".join([" ".join(title)] * TITLE_BOOST + [" ".join(body)])
     assert tokenize(enc) == want
+
+
+def test_bm25_msm_is_between_or_and_and(ray_session):
+    """msm candidates per query sit between boolean AND (all terms)
+    and the plain top-k universe; single-term queries equal plain."""
+    from snowball_java_ray.constants import REFERENCE_QUERIES
+    from snowball_java_ray.functions.text import tokenize
+    from snowball_java_ray.pipelines.api import (
+        bm25_msm_pipeline,
+        bm25_topk_pipeline,
+        collect_arrow,
+    )
+
+    msm = collect_arrow(bm25_msm_pipeline(SF_TINY)).to_pandas()
+    plain = collect_arrow(bm25_topk_pipeline(SF_TINY)).to_pandas()
+    for qid, q in enumerate(REFERENCE_QUERIES):
+        terms = sorted(set(tokenize(q)))
+        a = msm[msm["query_id"] == qid]
+        b = plain[plain["query_id"] == qid]
+        if len(terms) <= 1:
+            pd.testing.assert_frame_equal(
+                a.reset_index(drop=True), b.reset_index(drop=True)
+            )
+        else:
+            # every msm hit also appears in some plain ranking  of the
+            # same score, and scores are a subset relationship in rank
+            # order: msm's k-th score <= plain's k-th score is NOT
+            # guaranteed, but msm hits must score identically in plain
+            merged = a.merge(b, on=["query_id", "doc_id"], how="left")
+            both = merged[merged["score_y"].notna()]
+            assert (both["score_x"] == both["score_y"]).all()

@@ -487,6 +487,18 @@ def run_bench() -> dict:
     n_cooc = cooc_pmi(SF_DIR, docs=corpus, text_col="content").count()
     timings["cooc_pmi"] = time.perf_counter() - t0
 
+    # round-3 wave-3 ops: exact column profile (the value-distinct
+    # shuffle) and iterative k-means (per-iteration scan + broadcast)
+    from snowball_java_ray.ops.ann import kmeans_clusters
+    from snowball_java_ray.ops.relational import table_profile
+
+    t0 = time.perf_counter()
+    n_prof = table_profile(SF_DIR).num_rows
+    timings["table_profile"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_km = kmeans_clusters(SF_DIR).count()
+    timings["kmeans"] = time.perf_counter() - t0
+
     # training-data ops over the raw sf tables (un-replicated: these
     # measure the op pipelines at the driver-gate scale)
     from snowball_java_ray.ops.ann import ann_topk, ivf_ann_topk, lsh_ann_topk

@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": relational.events_rollup,
         "doc_deciles": sampling.doc_deciles,
         "bm25_msm": api.bm25_msm_pipeline,
+        "ann_filtered": ann.ann_filtered,
         "lang_top_quality": textstats.lang_top_quality,
         "dup_passages": dedup.dup_passages,
         "orders_topk": relational.orders_topk,
@@ -295,6 +296,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": sqlgen.events_rollup_sql(),
         "doc_deciles": sqlgen.doc_deciles_sql(),
         "bm25_msm": sqlgen.bm25_msm_sql(),
+        "ann_filtered": sqlgen.ann_filtered_sql(),
         "lang_top_quality": sqlgen.lang_top_quality_sql(),
         "dup_passages": sqlgen.dup_passages_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),

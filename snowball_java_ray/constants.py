@@ -422,3 +422,9 @@ SKEW_KEYS = (
 # analyzed query terms) distinct terms; candidates score by plain
 # BM25 over their matched terms (Lucene/ES minimum_should_match).
 MSM_MIN = 2
+
+# Filtered vector search (ops/ann.ann_filtered): brute cosine top-k
+# restricted to candidates with this label — the metadata-filtered
+# ANN shape (pre-filter semantics: the constraint applies BEFORE the
+# top-k cut, so results are exact within the filter).
+ANN_FILTER_LABEL = 1

@@ -725,3 +725,71 @@ def kmeans_clusters(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(emit, batch_format="pyarrow").sort("vec_id")
+
+
+def ann_filtered(
+    sf_dir: str, n_queries: int = ANN_N_QUERIES, top_k: int = ANN_TOP_K
+) -> ray.data.Dataset:
+    """Metadata-filtered vector search: exact cosine top-k among
+    candidates with label == ANN_FILTER_LABEL only (pre-filter
+    semantics — the filter applies BEFORE the cut, so the result is
+    exact within the filtered set; the Lucene/vector-db filtered-ANN
+    contract). Same broadcast-probe single-scan shape as ann_topk;
+    the label mask is one vectorized compare pushed into the scan."""
+    import pyarrow.compute as pc
+    import ray
+
+    from snowball_java_ray.constants import ANN_FILTER_LABEL
+
+    qids, qmat = _load_queries(sf_dir, n_queries)
+    qref = ray.put((qids, qmat))
+
+    def partial(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        t = t.filter(pc.equal(t["label"], ANN_FILTER_LABEL))
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "query_vec_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        q_ids, q_mat = _ray.get(qref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(
+            t["embedding"].to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        sims = q_mat @ (mat / n[:, None]).T
+        out_q, out_v, out_c = [], [], []
+        for qi in range(len(q_ids)):
+            mask = ids != q_ids[qi]
+            cand_ids = ids[mask]
+            cand = sims[qi][mask]
+            if cand.size == 0:
+                continue
+            cand_ids, cand = tie_preserving_cut(cand_ids, cand, top_k)
+            out_q.extend([int(q_ids[qi])] * cand_ids.size)
+            out_v.extend(cand_ids.tolist())
+            out_c.extend(cand.tolist())
+        return pa.table(
+            {
+                "query_vec_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "label", "embedding"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("query_vec_id")
+        .map_groups(_make_rank_merge(top_k), batch_format="pandas")
+        .sort(["query_vec_id", "rank"])
+    )

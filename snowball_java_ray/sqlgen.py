@@ -3101,3 +3101,40 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
 FROM ranked WHERE rank <= {top_k}
 ORDER BY query_id, rank
 """
+
+
+def ann_filtered_sql() -> str:
+    """Filtered-ANN oracle: candidates restricted to the filter label
+    BEFORE the top-k cut (pre-filter semantics)."""
+    from snowball_java_ray.constants import (
+        ANN_FILTER_LABEL,
+        ANN_N_QUERIES,
+        ANN_TOP_K,
+    )
+
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id < {ANN_N_QUERIES}
+),
+c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE label = {ANN_FILTER_LABEL}
+),
+s AS (
+  SELECT q.qid AS query_vec_id, c.vec_id,
+         list_cosine_similarity(q.e, c.e) AS cos
+  FROM q JOIN c ON c.vec_id <> q.qid
+),
+r AS (
+  SELECT query_vec_id, vec_id, cos,
+         row_number() OVER (
+           PARTITION BY query_vec_id
+           ORDER BY round(cos, 9) DESC, vec_id ASC
+         ) AS rank
+  FROM s
+)
+SELECT query_vec_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cos
+FROM r WHERE rank <= {ANN_TOP_K}
+ORDER BY query_vec_id, rank
+"""

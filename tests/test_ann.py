@@ -218,3 +218,37 @@ def test_kmeans_matches_serial_numpy(ray_session):
     best = np.round(cos, RANK_ROUND_DECIMALS).max(axis=1)
     own = np.round(cos[np.arange(len(mat)), ai], RANK_ROUND_DECIMALS)
     assert (own >= best).all()
+
+
+def test_ann_filtered_subset_of_label(ray_session):
+    """Every filtered hit carries the filter label; results equal
+    brute-force over the filtered subset."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from snowball_java_ray.constants import (
+        ANN_FILTER_LABEL,
+        ANN_N_QUERIES,
+        ANN_TOP_K,
+    )
+    from snowball_java_ray.ops.ann import ann_filtered
+    from tests.conftest import SF_TINY
+
+    got = ann_filtered(SF_TINY).to_pandas()
+    emb = pq.read_table(f"{SF_TINY}/embeddings.parquet").to_pandas()
+    lab = dict(zip(emb["vec_id"], emb["label"]))
+    assert all(lab[v] == ANN_FILTER_LABEL for v in got["vec_id"])
+    # brute recompute for one query
+    q = emb[emb["vec_id"] == 0].iloc[0]
+    qv = np.asarray(q["embedding"], dtype="float64")
+    qv = qv / np.linalg.norm(qv)
+    cand = emb[(emb["label"] == ANN_FILTER_LABEL) & (emb["vec_id"] != 0)]
+    m = np.stack(cand["embedding"].to_numpy()).astype("float64")
+    m = m / np.linalg.norm(m, axis=1)[:, None]
+    cos = m @ qv
+    ids = cand["vec_id"].to_numpy()
+    order = np.lexsort((ids, -np.round(cos, 9)))[:ANN_TOP_K]
+    want = ids[order]
+    have = got.loc[got["query_vec_id"] == 0, "vec_id"].to_numpy()
+    assert (have == want).all()

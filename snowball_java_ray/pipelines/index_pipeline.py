@@ -117,8 +117,20 @@ def build_index_checkpointed(
     ):
         import json
 
+        # never LOWER n_docs: a re-entered base build on a directory
+        # that has since received append_partition segments must not
+        # shrink the corpus size — that would silently deflate idf /
+        # inflate avgdl for every query (and a compaction run in that
+        # window would bake the wrong live count in). Idempotent
+        # re-entry keeps the grown value; other meta fields are
+        # immutable for the directory's lifetime.
+        prev = 0
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                prev = int(json.load(f).get("n_docs", 0))
         with open(meta_path + ".tmp", "w") as f:
-            json.dump({"n_docs": n_docs, "shard_size": shard_size,
+            json.dump({"n_docs": max(n_docs, prev),
+                       "shard_size": shard_size,
                        "n_partitions": n_partitions}, f)
         os.replace(meta_path + ".tmp", meta_path)
     return man.entries
@@ -335,8 +347,11 @@ def compact_index_with_tombstones(out_dir: str, new_dir: str) -> dict:
         pq.write_table(tbl if tbl.num_rows else _empty_chunks_table(),
                        out_file + ".tmp")
         os.replace(out_file + ".tmp", out_file)
+        _, p_lo, p_hi = pid.split("_")
         man.mark_done(
             pid,
+            doc_lo=int(p_lo),
+            doc_hi=int(p_hi),
             n_chunks=tbl.num_rows,
             bytes=os.path.getsize(out_file),
             seconds=round(time.time() - t0, 3),
@@ -374,11 +389,31 @@ def verify_index(out_dir: str) -> dict:
                    key=doc_lo_sort_key)
     man = Manifest(out_dir)
     errors: list[str] = []
-    for lo, hi in _partition_bounds(meta["n_docs"], meta["n_partitions"]):
-        pid = f"docs_{lo}_{hi}"
-        if not man.is_done(pid, os.path.join(out_dir,
-                                             f"chunks_{pid}.parquet")):
-            errors.append(f"partition {pid} not done in manifest")
+    # manifest completeness: the DONE doc ranges must exactly tile
+    # [0, n_docs) — contiguous, non-overlapping, gap-free. Checked by
+    # coverage (not by re-deriving _partition_bounds) so directories
+    # grown by append_partition segments verify too.
+    ranges = sorted(
+        (int(e["doc_lo"]), int(e["doc_hi"]))
+        for e in man.entries.values()
+        if man.is_done(
+            f"docs_{e['doc_lo']}_{e['doc_hi']}",
+            os.path.join(
+                out_dir, f"chunks_docs_{e['doc_lo']}_{e['doc_hi']}.parquet"
+            ),
+        )
+    )
+    cursor = 0
+    for lo, hi in ranges:
+        if lo != cursor:
+            errors.append(
+                f"manifest coverage gap/overlap at {lo} (expected {cursor})"
+            )
+        cursor = max(cursor, hi)
+    if cursor != meta["n_docs"]:
+        errors.append(
+            f"manifest covers [0, {cursor}) but meta n_docs={meta['n_docs']}"
+        )
 
     def check(t: pa.Table) -> pa.Table:
         bad = 0

@@ -207,3 +207,99 @@ def test_upsert_masks_originals_and_serves_new_versions(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), again.reset_index(drop=True)
     )
+
+
+def test_full_lifecycle_compaction_equals_fresh_build(ray_session):
+    """Capstone index-lifecycle chain: build -> tombstone the upsert
+    set -> append new versions -> COMPACT -> the compacted index
+    serves rank-identically to a fresh broadcast-index build over the
+    post-upsert corpus (originals replaced, live stats), and fsck
+    passes on the compacted directory."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from snowball_java_ray.constants import UPSERT_MOD, UPSERT_REM
+    from snowball_java_ray.functions.text import tokenize
+    from snowball_java_ray.pipelines.api import (
+        bm25_topk_upserted_pipeline,
+        build_index,
+        collect_arrow,
+        ensure_index_dir,
+        reference_queries_ds,
+    )
+    from snowball_java_ray.pipelines.index_pipeline import (
+        compact_index_with_tombstones,
+        verify_index,
+    )
+    from snowball_java_ray.stages.serve import BM25ShardedService
+    from tests.conftest import SF_TINY
+
+    # run the upsert pipeline once so the variant dir exists with
+    # tombstones + appended segment
+    collect_arrow(bm25_topk_upserted_pipeline(SF_TINY))
+    up_dir = ensure_index_dir(SF_TINY, variant="upsert")
+    cmp_dir = up_dir + "_compacted_test"
+    compact_index_with_tombstones(up_dir, cmp_dir)
+    assert verify_index(cmp_dir)["violations"] == 0
+
+    svc = BM25ShardedService(cmp_dir)
+    try:
+        got = collect_arrow(
+            svc.topk_dataset(reference_queries_ds(), algo="wand")
+            .sort(["query_id", "rank"]).materialize()
+        ).to_pandas()
+    finally:
+        svc.shutdown()
+
+    # fresh broadcast index over the post-upsert corpus
+    src = f"{SF_TINY}/documents.parquet"
+    n0 = pq.read_metadata(src).num_rows
+
+    def corpus(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = pc.fill_null(t["text"].combine_chunks(), "")
+        mask = ids % UPSERT_MOD == UPSERT_REM
+        keep = t.filter(pa.array(~mask))
+        upd = t.filter(pa.array(mask))
+        new_ids = n0 + (ids[mask] - UPSERT_REM) // UPSERT_MOD
+        new_txt = pc.binary_join_element_wise(
+            pc.fill_null(upd["text"].combine_chunks(), ""),
+            pa.scalar("updated"), " ",
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(
+                        [ids[~mask], new_ids]
+                    ), pa.int64()
+                ),
+                "content": pa.concat_arrays(
+                    [pc.fill_null(keep["text"].combine_chunks(), ""),
+                     new_txt]
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(src, columns=["doc_id", "text"]).map_batches(
+        corpus, batch_format="pyarrow"
+    )
+    n_live = (n0 - len(range(UPSERT_REM, n0, UPSERT_MOD))) + len(
+        range(UPSERT_REM, n0, UPSERT_MOD)
+    )
+    idx = build_index(ds, n_docs=n_live)
+    from snowball_java_ray.stages.score import topk_table
+
+    import pandas as pd
+
+    from snowball_java_ray.constants import REFERENCE_QUERIES
+
+    want = topk_table(
+        list(range(len(REFERENCE_QUERIES))), list(REFERENCE_QUERIES),
+        idx, 1.2, 0.75, 10,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )

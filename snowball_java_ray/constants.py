@@ -428,3 +428,10 @@ MSM_MIN = 2
 # ANN shape (pre-filter semantics: the constraint applies BEFORE the
 # top-k cut, so results are exact within the filter).
 ANN_FILTER_LABEL = 1
+
+# Document chunking for retrieval corpora (ops/textstats
+# .chunk_documents): overlapping analyzed-token windows of
+# CHUNK_TOKENS with stride CHUNK_STRIDE (the RAG chunking shape);
+# chunk k of a doc covers token positions [k*stride, k*stride+W).
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24

@@ -1247,3 +1247,73 @@ def keywords_per_source(sf_dir: str) -> pa.Table:
             "weight": pa.array(out_w, pa.float64()),
         }
     )
+
+
+def chunk_documents(sf_dir: str) -> ray.data.Dataset:
+    """RAG-style document chunking: each doc's analyzed token stream
+    splits into overlapping windows of CHUNK_TOKENS tokens at stride
+    CHUNK_STRIDE; emits (doc_id, chunk_id, start_pos, n_tokens,
+    chunk_text) with chunk_text the space-joined canonical tokens —
+    the retrieval-corpus preparation every RAG pipeline runs first.
+
+    Scale shape: stateless one-scan map, fully vectorized — ONE Arrow
+    tokenize per batch, all chunk membership indices built with
+    numpy repeat/arange arithmetic, ONE gather (take) over the flat
+    token array and ONE pc.binary_join builds every chunk string.
+    No shuffle; output order pinned by the final sort."""
+    import numpy as np
+
+    from snowball_java_ray.constants import CHUNK_STRIDE, CHUNK_TOKENS
+    from snowball_java_ray.functions.text import tokenize_arrow
+
+    W, S = CHUNK_TOKENS, CHUNK_STRIDE
+
+    def chunk(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t["text"].combine_chunks(), "")
+        row_idx, flat = tokenize_arrow(texts)
+        dl = np.bincount(row_idx, minlength=len(texts)).astype(np.int64)
+        doc_off = np.concatenate(([0], np.cumsum(dl)))[:-1]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n_chunks = np.where(dl > 0, (np.maximum(dl - 1, 0) // S) + 1, 0)
+        if n_chunks.sum() == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "start_pos": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                }
+            )
+        # one row per chunk
+        c_doc = np.repeat(np.arange(len(ids)), n_chunks)
+        c_id = np.concatenate([np.arange(n) for n in n_chunks])
+        c_start = c_id * S
+        c_len = np.minimum(W, dl[c_doc] - c_start)
+        # flat gather indices: for each chunk, its token positions
+        g_off = np.concatenate(([0], np.cumsum(c_len)))
+        gather = (
+            np.repeat(doc_off[c_doc] + c_start, c_len)
+            + (np.arange(g_off[-1]) - np.repeat(g_off[:-1], c_len))
+        )
+        toks = flat.take(pa.array(gather, pa.int64()))
+        lists = pa.ListArray.from_arrays(
+            pa.array(g_off, pa.int32()), toks
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[c_doc], pa.int64()),
+                "chunk_id": pa.array(c_id, pa.int64()),
+                "start_pos": pa.array(c_start, pa.int64()),
+                "n_tokens": pa.array(c_len, pa.int64()),
+                "chunk_text": pc.binary_join(lists, " "),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(chunk, batch_format="pyarrow")
+        .sort(["doc_id", "chunk_id"])
+    )

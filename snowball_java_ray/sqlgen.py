@@ -3138,3 +3138,49 @@ SELECT query_vec_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cos
 FROM r WHERE rank <= {ANN_TOP_K}
 ORDER BY query_vec_id, rank
 """
+
+
+def chunk_documents_sql() -> str:
+    """Chunking oracle: positional analyzed stream + a range() of
+    window starts per doc; chunk text rebuilt in position order."""
+    from snowball_java_ray.constants import CHUNK_STRIDE, CHUNK_TOKENS
+
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+         string_split_regex(lower(text), '{TOKEN_SPLIT_PATTERN}') AS tl
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, unnest(tl) AS term,
+         unnest(range(1, len(tl) + 1)) AS rawpos
+  FROM raw
+),
+flt AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) AS pos
+  FROM tokpos
+  WHERE term <> '' AND NOT regexp_full_match(term, '{_NUM_SQL}')
+    AND term NOT IN ({_STOPLIST_SQL})
+),
+dltab AS (SELECT doc_id, count(*) AS dl FROM flt GROUP BY doc_id),
+starts AS (
+  SELECT doc_id, unnest(range(0, dl, {CHUNK_STRIDE})) AS start_pos
+  FROM dltab
+),
+members AS (
+  SELECT s.doc_id, s.start_pos, f.term, f.pos
+  FROM starts s
+  JOIN flt f ON f.doc_id = s.doc_id
+    AND f.pos > s.start_pos
+    AND f.pos <= s.start_pos + {CHUNK_TOKENS}
+)
+SELECT doc_id,
+       CAST(start_pos / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(start_pos AS BIGINT) AS start_pos,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       array_to_string(list(term ORDER BY pos), ' ') AS chunk_text
+FROM members
+GROUP BY doc_id, start_pos
+ORDER BY doc_id, chunk_id
+"""

@@ -353,3 +353,30 @@ def test_keywords_per_source_matches_duckdb(ray_session):
     sizes = got.groupby("source")["rank"].agg(["size", "min", "max"])
     assert (sizes["size"] == KEYWORDS_K).all()
     assert (sizes["min"] == 1).all() and (sizes["max"] == KEYWORDS_K).all()
+
+
+def test_chunk_documents_reconstruction(ray_session):
+    """Chunks tile each doc with the configured stride/window and the
+    chunk text equals the corresponding slice of the serial tokenize."""
+    from snowball_java_ray.constants import CHUNK_STRIDE, CHUNK_TOKENS
+    from snowball_java_ray.functions.text import tokenize
+    from snowball_java_ray.ops.textstats import chunk_documents
+    from tests.conftest import SF_TINY
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    got = chunk_documents(SF_TINY).to_pandas()
+    docs = pq.read_table(
+        f"{SF_TINY}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas().set_index("doc_id")["text"]
+    for doc_id in got["doc_id"].unique()[:25]:
+        toks = tokenize(docs.loc[doc_id])
+        sub = got[got["doc_id"] == doc_id].sort_values("chunk_id")
+        n_expected = (max(len(toks) - 1, 0) // CHUNK_STRIDE) + 1
+        assert len(sub) == n_expected
+        for _, r in sub.iterrows():
+            s = int(r["start_pos"])
+            window = toks[s: s + CHUNK_TOKENS]
+            assert r["n_tokens"] == len(window)
+            assert r["chunk_text"] == " ".join(window)

@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_msm": api.bm25_msm_pipeline,
         "ann_filtered": ann.ann_filtered,
         "chunk_documents": textstats.chunk_documents,
+        "bm25_chunks": api.bm25_chunks_pipeline,
         "lang_top_quality": textstats.lang_top_quality,
         "dup_passages": dedup.dup_passages,
         "orders_topk": relational.orders_topk,
@@ -299,6 +300,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_msm": sqlgen.bm25_msm_sql(),
         "ann_filtered": sqlgen.ann_filtered_sql(),
         "chunk_documents": sqlgen.chunk_documents_sql(),
+        "bm25_chunks": sqlgen.bm25_chunks_sql(),
         "lang_top_quality": sqlgen.lang_top_quality_sql(),
         "dup_passages": sqlgen.dup_passages_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),

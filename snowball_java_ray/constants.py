@@ -435,3 +435,10 @@ ANN_FILTER_LABEL = 1
 # chunk k of a doc covers token positions [k*stride, k*stride+W).
 CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24
+
+# Passage-level retrieval (api.bm25_chunks_pipeline): the corpus is
+# the chunk_documents window set; each chunk indexes as synthetic doc
+# doc_id * CHUNK_ID_BASE + chunk_id, queries retrieve chunks and the
+# parent doc ranks by its BEST chunk score (max-pool) — the standard
+# long-document retrieval pattern.
+CHUNK_ID_BASE = 1024

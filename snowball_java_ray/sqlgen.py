@@ -3282,3 +3282,42 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
 FROM ranked WHERE rank <= {top_k}
 ORDER BY query_id, rank
 """
+
+
+def top_sessions_sql(gap_minutes: int = 30) -> str:
+    """Top-k sessions by exact-cents revenue (ties to lower user /
+    session), over the gaps-and-islands sessionization."""
+    return f"""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts > INTERVAL {gap_minutes} MINUTE
+                 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT *, CAST(sum(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+  FROM marked
+),
+agg AS (
+  SELECT user_id, session_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM sessions GROUP BY user_id, session_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    ORDER BY cents DESC, user_id ASC, session_id ASC) AS rank
+  FROM agg
+)
+SELECT CAST(rank AS INT) AS rank, user_id, session_id, n_events,
+       CAST(cents AS DOUBLE) / 100 AS total_value
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY rank
+"""

@@ -268,3 +268,28 @@ def test_events_rollup_levels_consistent(ray_session, events_df):
         assert abs(sub["total_value"].sum() - r["total_value"]) < 1e-6
     cents = (events_df["value"] * 100).round().astype("int64").sum()
     assert abs(total["total_value"].iloc[0] - cents / 100.0) < 1e-9
+
+
+def test_top_sessions_consistent_with_sessionization(ray_session, events_df):
+    """Top sessions agree with events_sessions' own aggregates and
+    are globally the revenue maxima."""
+    from snowball_java_ray.ops.relational import events_sessions, top_sessions
+
+    top = top_sessions(SF_TINY).to_pandas()
+    ses = events_sessions(SF_TINY).to_pandas()
+    ses["cents"] = (ses["sum_value"] * 100).round().astype("int64")
+    merged = top.merge(ses, on=["user_id", "session_id"])
+    assert len(merged) == len(top)
+    assert (merged["n_events_x"] == merged["n_events_y"]).all()
+    assert (
+        (merged["total_value"] * 100).round().astype("int64")
+        == merged["cents"]
+    ).all()
+    # global maxima: the k-th top >= every session not in the top set
+    kth = (top["total_value"].min() * 100).round()
+    others = ses.merge(
+        top[["user_id", "session_id"]], on=["user_id", "session_id"],
+        how="left", indicator=True,
+    )
+    rest = others[others["_merge"] == "left_only"]
+    assert (rest["cents"] <= kth).all()

@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": textstats.chunk_documents,
         "bm25_chunks": api.bm25_chunks_pipeline,
         "top_sessions": relational.top_sessions,
+        "media_resize": multimodal.media_resize,
         "lang_top_quality": textstats.lang_top_quality,
         "dup_passages": dedup.dup_passages,
         "orders_topk": relational.orders_topk,
@@ -303,6 +304,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": sqlgen.chunk_documents_sql(),
         "bm25_chunks": sqlgen.bm25_chunks_sql(),
         "top_sessions": sqlgen.top_sessions_sql(),
+        "media_resize": sqlgen.media_resize_sql(),
         "lang_top_quality": sqlgen.lang_top_quality_sql(),
         "dup_passages": sqlgen.dup_passages_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),

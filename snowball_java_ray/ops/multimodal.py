@@ -487,3 +487,84 @@ def media_features_pipeline(n: int = 60, concurrency: int = 2) -> ray.data.Datas
 def frame_sample_pipeline(n: int = 60) -> ray.data.Dataset:
     ds = ray.data.from_arrow(synth_media_table(n))
     return ds.map_batches(frame_sample, batch_format="pyarrow")
+
+
+RESIZE_W, RESIZE_H = 3, 5  # deliberately non-divisor sizes: the NN
+# index map exercises both up- and down-rounding of the source grid
+
+
+def resize_nn(px: np.ndarray, w2: int, h2: int) -> np.ndarray:
+    """REAL nearest-neighbor image resize (pure numpy): target (x, y)
+    reads source (floor(x * W / w2), floor(y * H / h2)) — the standard
+    NN rule, exactly what sqlgen.media_resize_sql re-derives."""
+    h, w, _ = px.shape
+    sx = (np.arange(w2) * w) // w2
+    sy = (np.arange(h2) * h) // h2
+    return px[sy][:, sx]
+
+
+class ResizePPM:
+    """Actor-pool decode -> RESIZE -> aggregate: parses the P6
+    container, nearest-neighbor-resizes to (RESIZE_W, RESIZE_H), and
+    emits the resized channel means — a real image transform kernel in
+    the production stage shape."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "width": [], "height": [],
+               "mean_r": [], "mean_g": [], "mean_b": []}
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            _, _, _, px = decode_ppm(payload)
+            small = resize_nn(px, RESIZE_W, RESIZE_H)
+            means = small.reshape(-1, 3).astype(np.float64).mean(axis=0)
+            out["media_id"].append(mid)
+            out["width"].append(RESIZE_W)
+            out["height"].append(RESIZE_H)
+            out["mean_r"].append(round(float(means[0]), 6))
+            out["mean_g"].append(round(float(means[1]), 6))
+            out["mean_b"].append(round(float(means[2]), 6))
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "width": pa.array(out["width"], pa.int32()),
+                "height": pa.array(out["height"], pa.int32()),
+                "mean_r": pa.array(out["mean_r"], pa.float64()),
+                "mean_g": pa.array(out["mean_g"], pa.float64()),
+                "mean_b": pa.array(out["mean_b"], pa.float64()),
+            }
+        )
+
+
+def media_resize(sf_dir: str, concurrency: int = 2) -> ray.data.Dataset:
+    """End-to-end REAL image resize: encode -> ship binary -> decode ->
+    nearest-neighbor resize -> aggregate, all in the actor pool. The
+    oracle re-derives every RESIZED pixel from the digest tiling rule
+    plus the same NN index map, so a hash match certifies the whole
+    decode+transform chain."""
+
+    def enc(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": t["doc_id"].cast(pa.int64()),
+                "payload": pa.array(
+                    [
+                        encode_ppm(_text_digest(x))
+                        for x in t["text"].to_pylist()
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(enc, batch_format="pyarrow")
+        .map_batches(
+            ResizePPM, batch_format="pyarrow", batch_size=32,
+            concurrency=concurrency,
+        )
+        .sort("media_id")
+    )

@@ -3321,3 +3321,39 @@ SELECT CAST(rank AS INT) AS rank, user_id, session_id, n_events,
 FROM ranked WHERE rank <= {TOP_K}
 ORDER BY rank
 """
+
+
+def media_resize_sql() -> str:
+    """Oracle for the REAL decode + nearest-neighbor resize: target
+    pixel (x, y, c) reads digest byte
+    (3 * (floor(y*H/h2)*W + floor(x*W/w2)) + c) % 32."""
+    from snowball_java_ray.ops.multimodal import (
+        PPM_H,
+        PPM_W,
+        RESIZE_H,
+        RESIZE_W,
+    )
+
+    return f"""
+WITH d AS (SELECT doc_id, sha256(coalesce(text, '')) AS hx FROM documents),
+tgt AS (
+  SELECT doc_id, hx, x, y, c,
+         (3 * (((y * {PPM_H}) // {RESIZE_H}) * {PPM_W}
+               + ((x * {PPM_W}) // {RESIZE_W})) + c) % 32 AS bytepos
+  FROM d,
+       generate_series(0, {RESIZE_W - 1}) AS tx(x),
+       generate_series(0, {RESIZE_H - 1}) AS ty(y),
+       generate_series(0, 2) AS tc(c)
+),
+px AS (
+  SELECT doc_id, c,
+         ('0x' || substr(hx, 2 * bytepos + 1, 2))::INT AS b
+  FROM tgt
+)
+SELECT doc_id AS media_id,
+       {RESIZE_W} AS width, {RESIZE_H} AS height,
+       round(avg(CASE WHEN c = 0 THEN b END), 6) AS mean_r,
+       round(avg(CASE WHEN c = 1 THEN b END), 6) AS mean_g,
+       round(avg(CASE WHEN c = 2 THEN b END), 6) AS mean_b
+FROM px GROUP BY doc_id ORDER BY media_id
+"""

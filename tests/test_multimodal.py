@@ -90,3 +90,55 @@ def test_decode_rejects_garbage():
         decode_ppm(b"nonsense bytes")
     with pytest.raises(ValueError):
         decode_wav(b"RIFFxxxxJUNK")
+
+
+def test_resize_nn_known_pattern():
+    """NN resize of a known 2x2 checkerboard to 4x4 replicates each
+    source pixel into a 2x2 block; to 1x1 keeps the top-left pixel."""
+    import numpy as np
+
+    from snowball_java_ray.ops.multimodal import resize_nn
+
+    px = np.zeros((2, 2, 3), np.uint8)
+    px[0, 0] = [255, 0, 0]
+    px[0, 1] = [0, 255, 0]
+    px[1, 0] = [0, 0, 255]
+    px[1, 1] = [9, 9, 9]
+    up = resize_nn(px, 4, 4)
+    assert up.shape == (4, 4, 3)
+    assert (up[0:2, 0:2] == px[0, 0]).all()
+    assert (up[0:2, 2:4] == px[0, 1]).all()
+    assert (up[2:4, 0:2] == px[1, 0]).all()
+    assert (up[2:4, 2:4] == px[1, 1]).all()
+    one = resize_nn(px, 1, 1)
+    assert (one[0, 0] == px[0, 0]).all()
+
+
+def test_media_resize_roundtrip(ray_session):
+    """media_resize means equal a serial decode+resize recompute."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from snowball_java_ray.ops.multimodal import (
+        RESIZE_H,
+        RESIZE_W,
+        _text_digest,
+        decode_ppm,
+        encode_ppm,
+        media_resize,
+        resize_nn,
+    )
+    from tests.conftest import SF_TINY
+
+    got = media_resize(SF_TINY).to_pandas().set_index("media_id")
+    docs = pq.read_table(
+        f"{SF_TINY}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    for _, r in docs.head(20).iterrows():
+        _, _, _, px = decode_ppm(encode_ppm(_text_digest(r["text"])))
+        small = resize_nn(px, RESIZE_W, RESIZE_H)
+        means = small.reshape(-1, 3).astype("float64").mean(axis=0)
+        row = got.loc[r["doc_id"]]
+        assert abs(row["mean_r"] - round(means[0], 6)) < 1e-9
+        assert abs(row["mean_g"] - round(means[1], 6)) < 1e-9
+        assert abs(row["mean_b"] - round(means[2], 6)) < 1e-9

@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_chunks": api.bm25_chunks_pipeline,
         "top_sessions": relational.top_sessions,
         "media_resize": multimodal.media_resize,
+        "audio_decimate": multimodal.audio_decimate,
         "lang_top_quality": textstats.lang_top_quality,
         "dup_passages": dedup.dup_passages,
         "orders_topk": relational.orders_topk,
@@ -305,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_chunks": sqlgen.bm25_chunks_sql(),
         "top_sessions": sqlgen.top_sessions_sql(),
         "media_resize": sqlgen.media_resize_sql(),
+        "audio_decimate": sqlgen.audio_decimate_sql(),
         "lang_top_quality": sqlgen.lang_top_quality_sql(),
         "dup_passages": sqlgen.dup_passages_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),

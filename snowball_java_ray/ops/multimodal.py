@@ -568,3 +568,72 @@ def media_resize(sf_dir: str, concurrency: int = 2) -> ray.data.Dataset:
         )
         .sort("media_id")
     )
+
+
+DECIMATE_FACTOR = 4
+
+
+class DecimateWav:
+    """Actor-pool decode -> DECIMATE -> aggregate: parses RIFF/WAVE,
+    keeps every DECIMATE_FACTOR-th sample (the real down-sampling
+    kernel shape — an anti-alias FIR would slot in the same stage) and
+    emits the decimated stream's stats."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "sample_rate": [], "n_samples": [],
+               "max_abs": [], "mean_abs": []}
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            rate, samples = decode_wav(payload)
+            dec = samples[::DECIMATE_FACTOR]
+            a = np.abs(dec.astype(np.int64))
+            out["media_id"].append(mid)
+            out["sample_rate"].append(rate // DECIMATE_FACTOR)
+            out["n_samples"].append(len(dec))
+            out["max_abs"].append(int(a.max()) if len(a) else 0)
+            out["mean_abs"].append(
+                round(float(a.mean()), 6) if len(a) else 0.0
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "sample_rate": pa.array(out["sample_rate"], pa.int32()),
+                "n_samples": pa.array(out["n_samples"], pa.int64()),
+                "max_abs": pa.array(out["max_abs"], pa.int32()),
+                "mean_abs": pa.array(out["mean_abs"], pa.float64()),
+            }
+        )
+
+
+def audio_decimate(sf_dir: str, concurrency: int = 2) -> ray.data.Dataset:
+    """End-to-end REAL audio down-sampling: encode PCM16 WAV -> ship
+    binary -> decode -> decimate (every DECIMATE_FACTOR-th sample) ->
+    aggregate, in the actor pool. Oracle re-derives the kept samples
+    from the digest rule at stride DECIMATE_FACTOR."""
+
+    def enc(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for doc_id, x in zip(ids, t["text"].to_pylist()):
+            dg = _text_digest(x)
+            n = 64 + int(doc_id) % 64
+            payloads.append(encode_wav(wav_samples_for(dg, n)))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(enc, batch_format="pyarrow")
+        .map_batches(
+            DecimateWav, batch_format="pyarrow", batch_size=32,
+            concurrency=concurrency,
+        )
+        .sort("media_id")
+    )

@@ -3357,3 +3357,30 @@ SELECT doc_id AS media_id,
        round(avg(CASE WHEN c = 2 THEN b END), 6) AS mean_b
 FROM px GROUP BY doc_id ORDER BY media_id
 """
+
+
+def audio_decimate_sql() -> str:
+    """Oracle for decode + decimation: kept sample k reads the digest
+    rule at source index k * DECIMATE_FACTOR; n kept =
+    ceil(n / factor)."""
+    from snowball_java_ray.ops.multimodal import DECIMATE_FACTOR, WAV_RATE
+
+    f = DECIMATE_FACTOR
+    return f"""
+WITH d AS (SELECT doc_id, sha256(coalesce(text, '')) AS hx,
+                  64 + doc_id % 64 AS n FROM documents),
+s AS (
+  SELECT doc_id, n,
+         ('0x' || substr(hx, 2 * ((2 * (k * {f})) % 32) + 1, 2))::INT * 256
+       + ('0x' || substr(hx, 2 * ((2 * (k * {f}) + 1) % 32) + 1, 2))::INT
+       - 32768 AS v
+  FROM d, generate_series(0, 127) AS t(k)
+  WHERE k * {f} < n
+)
+SELECT doc_id AS media_id,
+       {WAV_RATE // f} AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(max(abs(v)) AS INT) AS max_abs,
+       round(avg(abs(v)), 6) AS mean_abs
+FROM s GROUP BY doc_id ORDER BY media_id
+"""

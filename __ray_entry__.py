@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": multimodal.media_resize,
         "audio_decimate": multimodal.audio_decimate,
         "events_regression": relational.events_regression,
+        "corr_matrix": relational.corr_matrix,
         "lang_top_quality": textstats.lang_top_quality,
         "dup_passages": dedup.dup_passages,
         "orders_topk": relational.orders_topk,
@@ -309,6 +310,7 @@ def oracle_sql() -> dict[str, str]:
         "media_resize": sqlgen.media_resize_sql(),
         "audio_decimate": sqlgen.audio_decimate_sql(),
         "events_regression": sqlgen.events_regression_sql(),
+        "corr_matrix": sqlgen.corr_matrix_sql(),
         "lang_top_quality": sqlgen.lang_top_quality_sql(),
         "dup_passages": sqlgen.dup_passages_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),

@@ -442,3 +442,15 @@ CHUNK_STRIDE = 24
 # parent doc ranks by its BEST chunk score (max-pool) — the standard
 # long-document retrieval pattern.
 CHUNK_ID_BASE = 1024
+
+# Correlation audit (ops/relational.corr_matrix): pairwise Pearson
+# correlation over these lineitem columns, each quantized to exact
+# integers (cents for money columns) so every sufficient statistic is
+# exact integer arithmetic on both engines.
+CORR_COLUMNS = (
+    ("l_quantity", 1),
+    ("l_extendedprice", 100),
+    ("l_discount", 100),
+    ("l_tax", 100),
+    ("l_partkey", 1),
+)

@@ -2013,3 +2013,92 @@ def events_regression(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def corr_matrix(sf_dir: str) -> pa.Table:
+    """Pairwise Pearson correlation over the configured lineitem
+    columns — the data-profiling correlation audit. Every sufficient
+    statistic (n, Sx, Sy, Sxy, Sxx, Syy per pair) is an EXACT integer
+    sum over quantized values, combined map-side per batch and reduced
+    with arbitrary-precision Python ints — no float summation; the
+    correlation itself is a handful of float ops on exact integers,
+    mirrored verbatim by the HUGEINT oracle."""
+    import math
+
+    import numpy as np
+
+    from snowball_java_ray.constants import (
+        CORR_COLUMNS,
+        RANK_ROUND_DECIMALS,
+    )
+    from snowball_java_ray.pipelines.api import collect_arrow
+
+    cols = [c for c, _ in CORR_COLUMNS]
+    scales = {c: s for c, s in CORR_COLUMNS}
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = {
+            c: np.round(
+                t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+                * scales[c]
+            ).astype(np.int64)
+            for c in cols
+        }
+        out = {"col_a": [], "col_b": [], "n": [], "sx": [], "sy": [],
+               "sxy": [], "sxx": [], "syy": []}
+        for a, b in pairs:
+            xa, xb = q[a], q[b]
+            out["col_a"].append(a)
+            out["col_b"].append(b)
+            out["n"].append(len(xa))
+            out["sx"].append(int(xa.sum()))
+            out["sy"].append(int(xb.sum()))
+            out["sxy"].append(int((xa * xb).sum()))
+            out["sxx"].append(int((xa * xa).sum()))
+            out["syy"].append(int((xb * xb).sum()))
+        return pa.table(
+            {
+                "col_a": pa.array(out["col_a"], pa.string()),
+                "col_b": pa.array(out["col_b"], pa.string()),
+                "n": pa.array(out["n"], pa.int64()),
+                "sx": pa.array(out["sx"], pa.int64()),
+                "sy": pa.array(out["sy"], pa.int64()),
+                "sxy": pa.array(out["sxy"], pa.int64()),
+                "sxx": pa.array(out["sxx"], pa.int64()),
+                "syy": pa.array(out["syy"], pa.int64()),
+            }
+        )
+
+    parts = collect_arrow(
+        _read(sf_dir, "lineitem", cols).map_batches(
+            partial, batch_format="pyarrow"
+        )
+    ).to_pandas()
+    rows = {"col_a": [], "col_b": [], "corr": []}
+    for a, b in pairs:
+        g = parts[(parts["col_a"] == a) & (parts["col_b"] == b)]
+        n = int(g["n"].sum())
+        sx, sy = int(g["sx"].sum()), int(g["sy"].sum())
+        sxy = int(g["sxy"].sum())
+        sxx, syy = int(g["sxx"].sum()), int(g["syy"].sum())
+        num = n * sxy - sx * sy
+        corr = float(num) / (
+            math.sqrt(float(n * sxx - sx * sx))
+            * math.sqrt(float(n * syy - sy * sy))
+        )
+        rows["col_a"].append(a)
+        rows["col_b"].append(b)
+        rows["corr"].append(round(corr, RANK_ROUND_DECIMALS))
+    tbl = pa.table(
+        {
+            "col_a": pa.array(rows["col_a"], pa.string()),
+            "col_b": pa.array(rows["col_b"], pa.string()),
+            "corr": pa.array(rows["corr"], pa.float64()),
+        }
+    )
+    return tbl.sort_by([("col_a", "ascending"), ("col_b", "ascending")])

@@ -3412,3 +3412,29 @@ SELECT CAST(n AS BIGINT) AS n,
              / CAST(n AS DOUBLE), {RANK_ROUND_DECIMALS}) AS intercept
 FROM s
 """
+
+
+def corr_matrix_sql() -> str:
+    """Pearson-correlation oracle: exact HUGEINT sufficient statistics
+    per pair, float expression mirroring the engine verbatim."""
+    from snowball_java_ray.constants import CORR_COLUMNS
+
+    cols = [c for c, _ in CORR_COLUMNS]
+    scales = dict(CORR_COLUMNS)
+    branches = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            a, b = cols[i], cols[j]
+            qa = f"CAST(round({a} * {scales[a]}) AS HUGEINT)"
+            qb = f"CAST(round({b} * {scales[b]}) AS HUGEINT)"
+            branches.append(f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+       round(CAST(count(*) * sum({qa} * {qb})
+                  - sum({qa}) * sum({qb}) AS DOUBLE)
+             / (sqrt(CAST(count(*) * sum({qa} * {qa})
+                          - sum({qa}) * sum({qa}) AS DOUBLE))
+                * sqrt(CAST(count(*) * sum({qb} * {qb})
+                            - sum({qb}) * sum({qb}) AS DOUBLE))),
+             {RANK_ROUND_DECIMALS}) AS corr
+FROM lineitem""")
+    body = "\nUNION ALL\n".join(branches)
+    return f"SELECT * FROM (\n{body}\n) ORDER BY col_a, col_b\n"

@@ -246,3 +246,22 @@ def test_bm25_chunks_pooling_invariants(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), again.reset_index(drop=True)
     )
+
+
+def test_corr_matrix_matches_pandas(ray_session):
+    """Engine correlations == pandas corr over the same quantized
+    columns (within rounding); |corr| <= 1."""
+    from snowball_java_ray.constants import CORR_COLUMNS
+    from snowball_java_ray.ops.relational import corr_matrix
+
+    got = corr_matrix(SF_TINY).to_pandas()
+    li = pd.read_parquet(
+        f"{SF_TINY}/lineitem.parquet",
+        columns=[c for c, _ in CORR_COLUMNS],
+    )
+    for c, s in CORR_COLUMNS:
+        li[c] = (li[c] * s).round().astype("int64")
+    ref = li.corr()
+    assert (got["corr"].abs() <= 1.0 + 1e-12).all()
+    for _, r in got.iterrows():
+        assert abs(r["corr"] - ref.loc[r["col_a"], r["col_b"]]) < 1e-6

@@ -454,3 +454,12 @@ CORR_COLUMNS = (
     ("l_tax", 100),
     ("l_partkey", 1),
 )
+
+# Bloom filter membership (ops/textstats.bloom_probe): a probabilistic
+# set over the corpus VOCABULARY with md5-derived, bit-replicable hash
+# positions — position i of term t = md5int60(t + '|' + i) %
+# BLOOM_BITS. Probes = real query terms (present) + the misspelling
+# workload (absent unless a false positive); the oracle recomputes the
+# identical bit set in SQL, so even false positives hash-match.
+BLOOM_BITS = 1 << 14
+BLOOM_K = 3

@@ -1317,3 +1317,89 @@ def chunk_documents(sf_dir: str) -> ray.data.Dataset:
         .map_batches(chunk, batch_format="pyarrow")
         .sort(["doc_id", "chunk_id"])
     )
+
+
+def bloom_probe(sf_dir: str) -> pa.Table:
+    """Bloom-filter membership over the corpus vocabulary — the
+    probabilistic-data-structure shape with a DETERMINISTIC, fully
+    SQL-replicable construction (md5-derived bit positions, so the
+    oracle reproduces every bit and every false positive exactly).
+    Probes are the analyzed reference-query terms plus the misspelling
+    workload; emits (probe, in_bloom, in_vocab, false_positive).
+
+    Scale shape: per-batch partial bitsets (a fixed BLOOM_BITS/64
+    uint64 array — map-side combine via per-batch OR over that batch's
+    distinct terms), driver reduce = OR of O(blocks) tiny arrays; the
+    vocabulary itself never gathers anywhere. Membership tests are
+    vectorized lookups into the final bitset."""
+    from snowball_java_ray.constants import (
+        BLOOM_BITS,
+        BLOOM_K,
+        REFERENCE_QUERIES,
+    )
+    from snowball_java_ray.functions.text import tokenize, tokenize_arrow
+    from snowball_java_ray.ops.dedup import md5int60
+    from snowball_java_ray.pipelines.api import collect_arrow
+
+    words = BLOOM_BITS // 64
+
+    def positions(term: str) -> list[int]:
+        return [
+            md5int60(f"{term}|{i}") % BLOOM_BITS for i in range(BLOOM_K)
+        ]
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t["text"].combine_chunks(), "")
+        _, flat = tokenize_arrow(texts)
+        terms = pc.unique(flat).to_pylist()
+        bits = np.zeros(words, np.uint64)
+        for term in terms:
+            for p in positions(term):
+                bits[p >> 6] |= np.uint64(1) << np.uint64(p & 63)
+        return pa.table(
+            {"bits": pa.array([bits.view(np.int64).tolist()],
+                              pa.list_(pa.int64()))}
+        )
+
+    parts = collect_arrow(
+        _read_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    )
+    bits = np.zeros(words, np.uint64)
+    for row in parts["bits"].to_pylist():
+        bits |= np.asarray(row, np.int64).view(np.uint64)
+
+    # exact vocabulary for the false-positive label (vocab-bounded;
+    # the same DF-dictionary-sized object the engine broadcasts
+    # elsewhere)
+    from snowball_java_ray.pipelines.api import term_df_pipeline
+
+    vocab = set(
+        collect_arrow(term_df_pipeline(sf_dir))["term"].to_pylist()
+    )
+
+    present = sorted(
+        {t for q in REFERENCE_QUERIES for t in tokenize(q)}
+    )
+    probes = sorted(set(present) | set(misspelled_query_terms()))
+    out = {"probe": [], "in_bloom": [], "in_vocab": [],
+           "false_positive": []}
+    for pterm in probes:
+        hit = all(
+            bool(bits[p >> 6] >> np.uint64(p & 63) & np.uint64(1))
+            for p in positions(pterm)
+        )
+        in_vocab = pterm in vocab
+        out["probe"].append(pterm)
+        out["in_bloom"].append(hit)
+        out["in_vocab"].append(in_vocab)
+        out["false_positive"].append(hit and not in_vocab)
+    return pa.table(
+        {
+            "probe": pa.array(out["probe"], pa.string()),
+            "in_bloom": pa.array(out["in_bloom"], pa.bool_()),
+            "in_vocab": pa.array(out["in_vocab"], pa.bool_()),
+            "false_positive": pa.array(
+                out["false_positive"], pa.bool_()
+            ),
+        }
+    )

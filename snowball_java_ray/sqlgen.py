@@ -3438,3 +3438,52 @@ def corr_matrix_sql() -> str:
 FROM lineitem""")
     body = "\nUNION ALL\n".join(branches)
     return f"SELECT * FROM (\n{body}\n) ORDER BY col_a, col_b\n"
+
+
+def bloom_probe_sql() -> str:
+    """Bloom-membership oracle: recomputes the identical md5-derived
+    bit positions for the vocabulary and every probe — false positives
+    included — so the probabilistic structure is value-checkable."""
+    from snowball_java_ray.constants import (
+        BLOOM_BITS,
+        BLOOM_K,
+        REFERENCE_QUERIES,
+    )
+    from snowball_java_ray.functions.text import tokenize
+    from snowball_java_ray.ops.textstats import misspelled_query_terms
+
+    present = sorted({t for q in REFERENCE_QUERIES for t in tokenize(q)})
+    probes = sorted(set(present) | set(misspelled_query_terms()))
+    probe_values = ", ".join(f"('{p}')" for p in probes)
+    h = _MD5INT60.format(
+        expr="term || '|' || CAST(i AS VARCHAR)"
+    )
+    hp = _MD5INT60.format(
+        expr="probe || '|' || CAST(i AS VARCHAR)"
+    )
+    return f"""
+WITH {tokenize_cte()},
+vocab AS (SELECT DISTINCT term FROM toks),
+pos AS (
+  SELECT DISTINCT {h} % {BLOOM_BITS} AS p
+  FROM vocab, generate_series(0, {BLOOM_K - 1}) AS t(i)
+),
+probes(probe) AS (VALUES {probe_values}),
+probe_pos AS (
+  SELECT probe, {hp} % {BLOOM_BITS} AS p
+  FROM probes, generate_series(0, {BLOOM_K - 1}) AS t(i)
+),
+hits AS (
+  SELECT probe,
+         CAST(sum(CASE WHEN p IN (SELECT p FROM pos)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS matched
+  FROM probe_pos GROUP BY probe
+)
+SELECT h.probe,
+       h.matched = {BLOOM_K} AS in_bloom,
+       h.probe IN (SELECT term FROM vocab) AS in_vocab,
+       (h.matched = {BLOOM_K})
+         AND h.probe NOT IN (SELECT term FROM vocab) AS false_positive
+FROM hits h
+ORDER BY h.probe
+"""

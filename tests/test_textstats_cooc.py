@@ -380,3 +380,17 @@ def test_chunk_documents_reconstruction(ray_session):
             window = toks[s: s + CHUNK_TOKENS]
             assert r["n_tokens"] == len(window)
             assert r["chunk_text"] == " ".join(window)
+
+
+def test_bloom_probe_no_false_negatives(ray_session):
+    """Bloom membership has NO false negatives: every in-vocab probe
+    is in the bloom; false positives are flagged consistently."""
+    from snowball_java_ray.ops.textstats import bloom_probe
+    from tests.conftest import SF_TINY
+
+    got = bloom_probe(SF_TINY).to_pandas()
+    in_vocab = got[got["in_vocab"]]
+    assert in_vocab["in_bloom"].all()
+    assert not got.loc[got["in_vocab"], "false_positive"].any()
+    fp = got[got["false_positive"]]
+    assert (fp["in_bloom"] & ~fp["in_vocab"]).all()

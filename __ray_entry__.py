@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_regression": relational.events_regression,
         "corr_matrix": relational.corr_matrix,
         "bloom_probe": textstats.bloom_probe,
+        "cms_counts": textstats.cms_counts,
         "lang_top_quality": textstats.lang_top_quality,
         "dup_passages": dedup.dup_passages,
         "orders_topk": relational.orders_topk,
@@ -313,6 +314,7 @@ def oracle_sql() -> dict[str, str]:
         "events_regression": sqlgen.events_regression_sql(),
         "corr_matrix": sqlgen.corr_matrix_sql(),
         "bloom_probe": sqlgen.bloom_probe_sql(),
+        "cms_counts": sqlgen.cms_counts_sql(),
         "lang_top_quality": sqlgen.lang_top_quality_sql(),
         "dup_passages": sqlgen.dup_passages_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),

@@ -463,3 +463,10 @@ CORR_COLUMNS = (
 # identical bit set in SQL, so even false positives hash-match.
 BLOOM_BITS = 1 << 14
 BLOOM_K = 3
+
+# Count-min sketch (ops/textstats.cms_counts): collection-frequency
+# estimation with md5-derived bucket rows — bucket(term, i) =
+# md5int60(term + '|cms' + i) % CMS_WIDTH. Estimates are exact-int
+# bucket sums, so the oracle reproduces every over-count.
+CMS_WIDTH = 1 << 10
+CMS_DEPTH = 3

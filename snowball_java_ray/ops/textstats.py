@@ -1403,3 +1403,76 @@ def bloom_probe(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def cms_counts(sf_dir: str) -> pa.Table:
+    """Count-min-sketch frequency estimation over the corpus token
+    stream — the streaming-sketch shape with a deterministic,
+    SQL-replicable construction: every over-count comes from hash
+    collisions the oracle reproduces bucket-for-bucket. Emits
+    (probe, est_cf, exact_cf) for the query + misspelling probes; the
+    CMS guarantee est_cf >= exact_cf is pytest-pinned.
+
+    Scale shape: each batch contributes one CMS_DEPTH x CMS_WIDTH
+    int64 partial sketch (map-side combine over the batch's term
+    counts); the driver sums O(blocks) fixed-size matrices. The exact
+    side reads the DF dictionary (vocab-bounded)."""
+    from snowball_java_ray.constants import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        REFERENCE_QUERIES,
+    )
+    from snowball_java_ray.functions.text import tokenize, tokenize_arrow
+    from snowball_java_ray.ops.dedup import md5int60
+    from snowball_java_ray.pipelines.api import collect_arrow, term_df_pipeline
+
+    def buckets(term: str) -> list[int]:
+        return [
+            md5int60(f"{term}|cms{i}") % CMS_WIDTH
+            for i in range(CMS_DEPTH)
+        ]
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t["text"].combine_chunks(), "")
+        _, flat = tokenize_arrow(texts)
+        vc = pa.table({"t": flat}).group_by(["t"]).aggregate(
+            [([], "count_all")]
+        )
+        sketch = np.zeros((CMS_DEPTH, CMS_WIDTH), np.int64)
+        for term, n in zip(vc["t"].to_pylist(),
+                           vc["count_all"].to_pylist()):
+            for i, b in enumerate(buckets(term)):
+                sketch[i, b] += n
+        return pa.table(
+            {"sketch": pa.array([sketch.ravel().tolist()],
+                                pa.list_(pa.int64()))}
+        )
+
+    parts = collect_arrow(
+        _read_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    )
+    sketch = np.zeros(CMS_DEPTH * CMS_WIDTH, np.int64)
+    for row in parts["sketch"].to_pylist():
+        sketch += np.asarray(row, np.int64)
+    sketch = sketch.reshape(CMS_DEPTH, CMS_WIDTH)
+
+    dic = collect_arrow(term_df_pipeline(sf_dir))
+    cf = dict(zip(dic["term"].to_pylist(), dic["cf"].to_pylist()))
+
+    present = sorted({t for q in REFERENCE_QUERIES for t in tokenize(q)})
+    probes = sorted(set(present) | set(misspelled_query_terms()))
+    out = {"probe": [], "est_cf": [], "exact_cf": []}
+    for pterm in probes:
+        est = min(
+            int(sketch[i, b]) for i, b in enumerate(buckets(pterm))
+        )
+        out["probe"].append(pterm)
+        out["est_cf"].append(est)
+        out["exact_cf"].append(int(cf.get(pterm, 0)))
+    return pa.table(
+        {
+            "probe": pa.array(out["probe"], pa.string()),
+            "est_cf": pa.array(out["est_cf"], pa.int64()),
+            "exact_cf": pa.array(out["exact_cf"], pa.int64()),
+        }
+    )

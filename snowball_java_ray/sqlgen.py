@@ -3487,3 +3487,43 @@ SELECT h.probe,
 FROM hits h
 ORDER BY h.probe
 """
+
+
+def cms_counts_sql() -> str:
+    """Count-min oracle: the same md5-derived bucket rows, bucket
+    sums over term collection frequencies, min across depth rows."""
+    from snowball_java_ray.constants import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        REFERENCE_QUERIES,
+    )
+    from snowball_java_ray.functions.text import tokenize
+    from snowball_java_ray.ops.textstats import misspelled_query_terms
+
+    present = sorted({t for q in REFERENCE_QUERIES for t in tokenize(q)})
+    probes = sorted(set(present) | set(misspelled_query_terms()))
+    probe_values = ", ".join(f"('{p}')" for p in probes)
+    h = _MD5INT60.format(expr="term || '|cms' || CAST(i AS VARCHAR)")
+    hp = _MD5INT60.format(expr="probe || '|cms' || CAST(i AS VARCHAR)")
+    return f"""
+WITH {tokenize_cte()},
+cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term),
+bsum AS (
+  SELECT i, {h} % {CMS_WIDTH} AS b, sum(cf.cf) AS s
+  FROM cf, generate_series(0, {CMS_DEPTH - 1}) AS t(i)
+  GROUP BY i, b
+),
+probes(probe) AS (VALUES {probe_values}),
+pb AS (
+  SELECT probe, i, {hp} % {CMS_WIDTH} AS b
+  FROM probes, generate_series(0, {CMS_DEPTH - 1}) AS t(i)
+)
+SELECT pb.probe,
+       CAST(min(coalesce(bsum.s, 0)) AS BIGINT) AS est_cf,
+       CAST(coalesce(min(cf.cf), 0) AS BIGINT) AS exact_cf
+FROM pb
+LEFT JOIN bsum ON bsum.i = pb.i AND bsum.b = pb.b
+LEFT JOIN cf ON cf.term = pb.probe
+GROUP BY pb.probe
+ORDER BY pb.probe
+"""

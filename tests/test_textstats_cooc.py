@@ -394,3 +394,14 @@ def test_bloom_probe_no_false_negatives(ray_session):
     assert not got.loc[got["in_vocab"], "false_positive"].any()
     fp = got[got["false_positive"]]
     assert (fp["in_bloom"] & ~fp["in_vocab"]).all()
+
+
+def test_cms_overestimate_guarantee(ray_session):
+    """Count-min never under-counts: est_cf >= exact_cf for every
+    probe; in-vocab probes have positive estimates."""
+    from snowball_java_ray.ops.textstats import cms_counts
+    from tests.conftest import SF_TINY
+
+    got = cms_counts(SF_TINY).to_pandas()
+    assert (got["est_cf"] >= got["exact_cf"]).all()
+    assert (got.loc[got["exact_cf"] > 0, "est_cf"] > 0).all()

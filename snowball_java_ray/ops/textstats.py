@@ -789,8 +789,20 @@ def _levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+def misspell_text(q: str) -> str:
+    """Deterministic query misspelling shared by the engine and the
+    SQL oracle: every analyzed token of length >= 4 loses its second
+    character; shorter tokens pass through."""
+    from snowball_java_ray.functions.text import tokenize
+
+    return " ".join(
+        t[0] + t[2:] if len(t) >= 4 else t for t in tokenize(q)
+    )
+
+
 def term_suggest(
-    sf_dir: str, max_dist: int = 2, top_k: int = 3
+    sf_dir: str, max_dist: int = 2, top_k: int = 3,
+    probes: list[str] | None = None,
 ) -> pa.Table:
     """Fuzzy dictionary lookup / spell correction: for each misspelled
     query term, the ``top_k`` dictionary terms within edit distance
@@ -805,7 +817,7 @@ def term_suggest(
     (same trigram condition, DuckDB ``levenshtein``)."""
     from snowball_java_ray.pipelines.api import collect_arrow, term_df_pipeline
 
-    mis = misspelled_query_terms()
+    mis = misspelled_query_terms() if probes is None else probes
     qmap: dict[str, list[str]] = {}
     for m in mis:
         for i in range(len(m) - 2):

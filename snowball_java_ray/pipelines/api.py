@@ -1989,3 +1989,53 @@ def bm25_chunks_pipeline(
             batch_size=8,
         ).sort(["query_id", "rank"])
     )
+
+
+def bm25_corrected_pipeline(
+    sf_dir: str, concurrency: int = 2
+) -> ray.data.Dataset:
+    """Spell-corrected retrieval end-to-end (the did-you-mean search
+    path): every reference query arrives MISSPELLED (deterministic
+    second-character drop, ops/textstats.misspell_text); each analyzed
+    token is corrected to its rank-1 fuzzy-dictionary suggestion
+    (trigram-blocked levenshtein <= 2, dist ASC / df DESC / term ASC —
+    exactly term_suggest's rule, so the correction layer shares that
+    entry's verified semantics) with unknown tokens passing through;
+    the corrected queries then score through the standard broadcast
+    BM25 path. Correction-map construction is the term_suggest scan
+    shape: dictionary Dataset streamed once against a broadcast
+    probe-trigram map."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from snowball_java_ray.functions.text import tokenize
+    from snowball_java_ray.ops.textstats import misspell_text, term_suggest
+
+    mis_qs = [misspell_text(q) for q in REFERENCE_QUERIES]
+    probes = sorted({t for q in mis_qs for t in tokenize(q)})
+    sugg = term_suggest(sf_dir, probes=probes).to_pandas()
+    best = dict(
+        zip(
+            sugg.loc[sugg["rank"] == 1, "query_term"],
+            sugg.loc[sugg["rank"] == 1, "term"],
+        )
+    )
+    corrected = [
+        " ".join(best.get(t, t) for t in tokenize(mq)) for mq in mis_qs
+    ]
+    queries_ds = ray.data.from_items(
+        [
+            {"query_id": i, "qtext": c}
+            for i, c in enumerate(corrected)
+        ]
+    )
+    corpus = documents_as_corpus(sf_dir)
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    index_ref = ray.put(build_index(corpus, n_docs=n_docs))
+    return queries_ds.map_batches(
+        BM25Scorer,
+        fn_constructor_kwargs={"index_ref": index_ref},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=8,
+    ).sort(["query_id", "rank"])

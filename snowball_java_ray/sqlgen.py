@@ -3527,3 +3527,97 @@ LEFT JOIN cf ON cf.term = pb.probe
 GROUP BY pb.probe
 ORDER BY pb.probe
 """
+
+
+def bm25_corrected_sql(top_k: int = TOP_K, max_dist: int = 2) -> str:
+    """Spell-corrected retrieval oracle: the misspelled (query_id,
+    token) pairs as VALUES, the term_suggest correction rule as a
+    rank-1 CTE, then the standard BM25 ranking over the corrected
+    distinct term sets."""
+    from snowball_java_ray.constants import REFERENCE_QUERIES
+    from snowball_java_ray.functions.text import tokenize
+    from snowball_java_ray.ops.textstats import misspell_text
+
+    pairs = sorted(
+        {
+            (i, t)
+            for i, q in enumerate(REFERENCE_QUERIES)
+            for t in tokenize(misspell_text(q))
+        }
+    )
+    mis_rows = ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in pairs
+    )
+    tri = ("unnest(list_transform(generate_series(1, len({c}) - 2),"
+           " i -> substr({c}, i, 3)))")
+    return f"""
+WITH {tokenize_cte()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
+meta AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doc_len) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+mis(query_id, qterm) AS (VALUES {mis_rows}),
+probes AS (SELECT DISTINCT qterm FROM mis),
+qtris AS (
+  SELECT DISTINCT qterm, tri FROM (
+    SELECT qterm, {tri.format(c="qterm")} AS tri FROM probes
+  )
+),
+vtris AS (
+  SELECT DISTINCT term, tri FROM (
+    SELECT term, {tri.format(c="term")} AS tri FROM df
+  )
+),
+cand AS (
+  SELECT DISTINCT q.qterm, v.term
+  FROM qtris q JOIN vtris v ON q.tri = v.tri
+),
+scored_c AS (
+  SELECT c.qterm, c.term, levenshtein(c.qterm, c.term) AS dist, d.df
+  FROM cand c JOIN df d ON c.term = d.term
+),
+best AS (
+  SELECT qterm, term FROM (
+    SELECT qterm, term,
+           row_number() OVER (
+             PARTITION BY qterm ORDER BY dist ASC, df DESC, term ASC
+           ) AS rnk
+    FROM scored_c WHERE dist <= {max_dist}
+  ) WHERE rnk = 1
+),
+qterms AS (
+  SELECT DISTINCT m.query_id, coalesce(b.term, m.qterm) AS term
+  FROM mis m LEFT JOIN best b ON b.qterm = m.qterm
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(
+           ln((meta.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf * ({BM25_K1} + 1.0)
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+              + {BM25_B} * dl.doc_len / meta.avgdl))
+         ) AS score
+  FROM qterms q
+  JOIN tf ON q.term = tf.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN meta
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, {RANK_ROUND_DECIMALS}) DESC, doc_id ASC
+         ) AS rank
+  FROM scores
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+       doc_id, round(score, {SCORE_ROUND_DECIMALS}) AS score
+FROM ranked WHERE rank <= {top_k}
+ORDER BY query_id, rank
+"""

@@ -265,3 +265,27 @@ def test_corr_matrix_matches_pandas(ray_session):
     assert (got["corr"].abs() <= 1.0 + 1e-12).all()
     for _, r in got.iterrows():
         assert abs(r["corr"] - ref.loc[r["col_a"], r["col_b"]]) < 1e-6
+
+
+def test_bm25_corrected_recovers_clean_ranking(ray_session):
+    """Corrected retrieval over misspelled queries recovers a large
+    share of the clean queries' top-k docs (the did-you-mean payoff),
+    and is deterministic."""
+    from snowball_java_ray.pipelines.api import (
+        bm25_corrected_pipeline,
+        bm25_topk_pipeline,
+        collect_arrow,
+    )
+
+    corr = collect_arrow(bm25_corrected_pipeline(SF_TINY)).to_pandas()
+    clean = collect_arrow(bm25_topk_pipeline(SF_TINY)).to_pandas()
+    inter = corr.merge(clean, on=["query_id", "doc_id"])
+    # a substantial share of corrected hits coincide with the clean
+    # ranking (corrections are dictionary-nearest, not always the
+    # original term, so full recovery is not expected)
+    assert len(inter) >= 0.3 * len(clean)
+    assert inter["query_id"].nunique() >= 10
+    again = collect_arrow(bm25_corrected_pipeline(SF_TINY)).to_pandas()
+    pd.testing.assert_frame_equal(
+        corr.reset_index(drop=True), again.reset_index(drop=True)
+    )

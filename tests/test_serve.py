@@ -416,3 +416,33 @@ def test_filtered_topk_semantics(ray_session):
     )
     assert len(joined) > 0
     assert (joined["score"] == joined["global_score"]).all()
+
+
+def test_shard_crash_recovery_search_after(ray_session):
+    """Killing a shard actor between pagination rounds must not lose
+    the page: score_batch_after rebuilds from the immutable chunks
+    and the page-2 result is identical."""
+    import ray
+
+    from snowball_java_ray.pipelines.api import bm25_page2_pipeline
+
+    before = bm25_page2_pipeline(SF_TINY).to_pandas()
+    index_dir = ensure_index_dir(SF_TINY)
+    svc = BM25ShardedService(index_dir)
+    try:
+        ray.kill(svc.handles[0], no_restart=False)
+        # direct cursor-pushdown call against the restarted actor
+        ids, scores, counts = ray.get(
+            svc.handles[0].score_batch_after.remote(
+                [(0, [("data", 1.0)], 1e9, -1)], 1.2, 0.75, 5
+            )
+        )
+        assert counts.size == 1
+    finally:
+        svc.shutdown()
+    after = bm25_page2_pipeline(SF_TINY).to_pandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        before.reset_index(drop=True), after.reset_index(drop=True)
+    )

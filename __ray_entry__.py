@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_probe": textstats.bloom_probe,
         "cms_counts": textstats.cms_counts,
         "bm25_corrected": api.bm25_corrected_pipeline,
+        "lang_mismatch": textstats.lang_mismatch,
         "lang_top_quality": textstats.lang_top_quality,
         "dup_passages": dedup.dup_passages,
         "orders_topk": relational.orders_topk,
@@ -317,6 +318,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_probe": sqlgen.bloom_probe_sql(),
         "cms_counts": sqlgen.cms_counts_sql(),
         "bm25_corrected": sqlgen.bm25_corrected_sql(),
+        "lang_mismatch": sqlgen.lang_mismatch_sql(),
         "lang_top_quality": sqlgen.lang_top_quality_sql(),
         "dup_passages": sqlgen.dup_passages_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),

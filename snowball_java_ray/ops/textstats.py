@@ -1488,3 +1488,53 @@ def cms_counts(sf_dir: str) -> pa.Table:
             "exact_cf": pa.array(out["exact_cf"], pa.int64()),
         }
     )
+
+
+def lang_mismatch(sf_dir: str) -> ray.data.Dataset:
+    """Metadata-vs-signal audit: documents whose heuristic language
+    prediction (the langid wordlist vote) disagrees with the stored
+    ``lang`` column — the data-quality review queue for mislabeled
+    metadata. One scan: the langid kernel runs per batch with the lang
+    column riding along; output is mismatch-bounded."""
+    langs = sorted(LANG_WORDLISTS)
+    wordlist_arrs = [
+        pa.array(sorted(LANG_WORDLISTS[lang]), pa.string())
+        for lang in langs
+    ]
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t["text"].combine_chunks(), "")
+        n = len(texts)
+        row_idx, flat = raw_tokens_arrow(texts)
+        counts = np.zeros((len(langs), n), dtype=np.int64)
+        for li, arr in enumerate(wordlist_arrs):
+            hits = pc.is_in(flat, value_set=arr).to_numpy(
+                zero_copy_only=False
+            )
+            counts[li] = np.bincount(row_idx[hits], minlength=n)
+        best_idx = counts.argmax(axis=0)
+        best_n = counts[best_idx, np.arange(n)]
+        pred = np.where(
+            best_n > 0,
+            np.array(langs, dtype=object)[best_idx],
+            "unknown",
+        )
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "pred_lang": pa.array(pred.tolist(), pa.string()),
+            }
+        )
+        return out.filter(
+            pc.invert(pc.equal(out["lang"], out["pred_lang"]))
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "lang"],
+        )
+        .map_batches(fn, batch_format="pyarrow")
+        .sort("doc_id")
+    )

@@ -3621,3 +3621,40 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
 FROM ranked WHERE rank <= {top_k}
 ORDER BY query_id, rank
 """
+
+
+def lang_mismatch_sql() -> str:
+    """Metadata-vs-signal audit oracle: langid's own vote (same
+    wordlists + tie rule) compared against the stored lang column."""
+    from snowball_java_ray.ops.textstats import LANG_WORDLISTS
+
+    langs = sorted(LANG_WORDLISTS)
+    wl_rows = ", ".join(
+        f"('{lang}', '{w}')" for lang in langs
+        for w in LANG_WORDLISTS[lang]
+    )
+    return f"""
+WITH raw AS (
+  SELECT doc_id, unnest({_RAW_TOKS}) AS w FROM documents
+),
+wl(lang, w) AS (VALUES {wl_rows}),
+hits AS (
+  SELECT raw.doc_id, wl.lang, count(*) AS n
+  FROM raw JOIN wl ON raw.w = wl.w
+  GROUP BY raw.doc_id, wl.lang
+),
+best AS (
+  SELECT doc_id, lang, n,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY n DESC, lang ASC) AS rn
+  FROM hits
+)
+SELECT d.doc_id, d.lang,
+       CASE WHEN b.n IS NULL OR b.n = 0 THEN 'unknown' ELSE b.lang END
+         AS pred_lang
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+WHERE d.lang <> (
+  CASE WHEN b.n IS NULL OR b.n = 0 THEN 'unknown' ELSE b.lang END
+)
+ORDER BY d.doc_id
+"""

@@ -405,3 +405,22 @@ def test_cms_overestimate_guarantee(ray_session):
     got = cms_counts(SF_TINY).to_pandas()
     assert (got["est_cf"] >= got["exact_cf"]).all()
     assert (got.loc[got["exact_cf"] > 0, "est_cf"] > 0).all()
+
+
+def test_lang_mismatch_consistent_with_langid(ray_session):
+    """Mismatch rows == langid predictions that differ from metadata."""
+    from snowball_java_ray.ops.textstats import lang_mismatch, langid
+    from tests.conftest import SF_TINY
+
+    import pandas as pd
+
+    mm = lang_mismatch(SF_TINY).to_pandas()
+    pred = langid(SF_TINY).to_pandas()
+    docs = pd.read_parquet(
+        f"{SF_TINY}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    joined = docs.merge(pred[["doc_id", "pred_lang"]], on="doc_id")
+    want = joined[joined["lang"] != joined["pred_lang"]]
+    assert set(mm["doc_id"]) == set(want["doc_id"])
+    merged = mm.merge(want, on="doc_id")
+    assert (merged["pred_lang_x"] == merged["pred_lang_y"]).all()

@@ -2041,6 +2041,18 @@ def corr_matrix(sf_dir: str) -> pa.Table:
         for j in range(i + 1, len(cols))
     ]
 
+    # int64 product sums overflow once |value*scale| ~ 1e7 and a batch
+    # holds >~10^5 rows (observed at sf0.1: extendedprice^2 sums pass
+    # 2^63) — accumulate sub-chunks of CHUNK rows as exact int64 and
+    # combine them as Python arbitrary-precision ints. Output partials
+    # are emitted as STRINGS so no downstream int64 cast can wrap.
+    CHUNK = 30_000
+
+    def exact_sum(v: np.ndarray) -> int:
+        return sum(
+            int(v[i : i + CHUNK].sum()) for i in range(0, v.size, CHUNK)
+        )
+
     def partial(t: pa.Table) -> pa.Table:
         q = {
             c: np.round(
@@ -2056,21 +2068,21 @@ def corr_matrix(sf_dir: str) -> pa.Table:
             out["col_a"].append(a)
             out["col_b"].append(b)
             out["n"].append(len(xa))
-            out["sx"].append(int(xa.sum()))
-            out["sy"].append(int(xb.sum()))
-            out["sxy"].append(int((xa * xb).sum()))
-            out["sxx"].append(int((xa * xa).sum()))
-            out["syy"].append(int((xb * xb).sum()))
+            out["sx"].append(str(exact_sum(xa)))
+            out["sy"].append(str(exact_sum(xb)))
+            out["sxy"].append(str(exact_sum(xa * xb)))
+            out["sxx"].append(str(exact_sum(xa * xa)))
+            out["syy"].append(str(exact_sum(xb * xb)))
         return pa.table(
             {
                 "col_a": pa.array(out["col_a"], pa.string()),
                 "col_b": pa.array(out["col_b"], pa.string()),
                 "n": pa.array(out["n"], pa.int64()),
-                "sx": pa.array(out["sx"], pa.int64()),
-                "sy": pa.array(out["sy"], pa.int64()),
-                "sxy": pa.array(out["sxy"], pa.int64()),
-                "sxx": pa.array(out["sxx"], pa.int64()),
-                "syy": pa.array(out["syy"], pa.int64()),
+                "sx": pa.array(out["sx"], pa.string()),
+                "sy": pa.array(out["sy"], pa.string()),
+                "sxy": pa.array(out["sxy"], pa.string()),
+                "sxx": pa.array(out["sxx"], pa.string()),
+                "syy": pa.array(out["syy"], pa.string()),
             }
         )
 
@@ -2083,9 +2095,11 @@ def corr_matrix(sf_dir: str) -> pa.Table:
     for a, b in pairs:
         g = parts[(parts["col_a"] == a) & (parts["col_b"] == b)]
         n = int(g["n"].sum())
-        sx, sy = int(g["sx"].sum()), int(g["sy"].sum())
-        sxy = int(g["sxy"].sum())
-        sxx, syy = int(g["sxx"].sum()), int(g["syy"].sum())
+        sx = sum(int(v) for v in g["sx"])
+        sy = sum(int(v) for v in g["sy"])
+        sxy = sum(int(v) for v in g["sxy"])
+        sxx = sum(int(v) for v in g["sxx"])
+        syy = sum(int(v) for v in g["syy"])
         num = n * sxy - sx * sy
         corr = float(num) / (
             math.sqrt(float(n * sxx - sx * sx))

@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts": textstats.cms_counts,
         "bm25_corrected": api.bm25_corrected_pipeline,
         "lang_mismatch": textstats.lang_mismatch,
+        "source_dup_rates": dedup.source_dup_rates,
         "lang_top_quality": textstats.lang_top_quality,
         "dup_passages": dedup.dup_passages,
         "orders_topk": relational.orders_topk,
@@ -319,6 +320,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_counts": sqlgen.cms_counts_sql(),
         "bm25_corrected": sqlgen.bm25_corrected_sql(),
         "lang_mismatch": sqlgen.lang_mismatch_sql(),
+        "source_dup_rates": sqlgen.source_dup_rates_sql(),
         "lang_top_quality": sqlgen.lang_top_quality_sql(),
         "dup_passages": sqlgen.dup_passages_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),

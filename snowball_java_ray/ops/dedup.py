@@ -1097,3 +1097,62 @@ def dedup_incremental(sf_dir: str) -> ray.data.Dataset:
         )
 
     return agg.map_batches(keep, batch_format="pyarrow").sort("content_md5")
+
+
+def source_dup_rates(sf_dir: str) -> ray.data.Dataset:
+    """Per-source duplication audit: how much of each source is exact
+    duplicate content — n_docs, n_unique (distinct text digests) and
+    the dup rate, the health metric a crawl/ingest pipeline watches
+    per feed. One digest+source shuffle (same vectorized
+    hash_grouped_aggregate as dedup_exact), then a tiny per-source
+    reduce; rate = exact single division, round-6 both engines."""
+
+    def h(t: pa.Table) -> pa.Table:
+        digests = [
+            hashlib.md5((x or "").encode()).hexdigest()
+            for x in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "source": t["source"],
+                "content_md5": pa.array(digests),
+            }
+        )
+
+    per_digest = hash_grouped_aggregate(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "text"]
+        ).map_batches(h, batch_format="pyarrow"),
+        ["source", "content_md5"],
+        [("", "count_all", "n")],
+        hash_keys=["content_md5"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = pa.table(
+            {
+                "source": t["source"],
+                "n": t["n"],
+                "u": pa.array(np.ones(len(t), np.int64)),
+            }
+        )
+        out = flat.group_by(["source"]).aggregate(
+            [("n", "sum"), ("u", "sum")]
+        )
+        return out.rename_columns(["source", "n_docs", "n_unique"])
+
+    agg = hash_grouped_aggregate(
+        per_digest.map_batches(partial, batch_format="pyarrow"),
+        ["source"],
+        [("n_docs", "sum", "n_docs"), ("n_unique", "sum", "n_unique")],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nu = t["n_unique"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        rate = np.round(1.0 - nu / nd, 6)
+        return t.append_column("dup_rate", pa.array(rate, pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("source")

@@ -3658,3 +3658,15 @@ WHERE d.lang <> (
 )
 ORDER BY d.doc_id
 """
+
+
+def source_dup_rates_sql() -> str:
+    """Per-source duplication-rate oracle (same digest + division)."""
+    return """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+       round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 6)
+         AS dup_rate
+FROM documents GROUP BY source ORDER BY source
+"""

@@ -53,3 +53,25 @@ def test_dedup_incremental_matches_duckdb(ray_session):
     cut = int(len(docs) * INCREMENTAL_OLD_FRAC)
     assert (got["keep_doc_id"] >= cut).all()
     assert got["content_md5"].is_unique
+
+
+def test_source_dup_rates_consistent_with_dedup_exact(ray_session):
+    """Per-source rates re-derive from dedup_exact's digest groups."""
+    from snowball_java_ray.ops.dedup import dedup_exact, source_dup_rates
+
+    rates = source_dup_rates(SF_TINY).to_pandas()
+    docs = pd.read_parquet(
+        f"{SF_TINY}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    import hashlib
+
+    docs["dg"] = [
+        hashlib.md5((x or "").encode()).hexdigest() for x in docs["text"]
+    ]
+    per = docs.groupby("source").agg(
+        n_docs=("doc_id", "size"), n_unique=("dg", "nunique")
+    )
+    merged = rates.set_index("source").join(per, rsuffix="_ref")
+    assert (merged["n_docs"] == merged["n_docs_ref"]).all()
+    assert (merged["n_unique"] == merged["n_unique_ref"]).all()
+    assert (rates["dup_rate"] >= 0).all() and (rates["dup_rate"] < 1).all()

@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_corrected": api.bm25_corrected_pipeline,
         "lang_mismatch": textstats.lang_mismatch,
         "source_dup_rates": dedup.source_dup_rates,
+        "nation_revenue_share": relational.nation_revenue_share,
         "lang_top_quality": textstats.lang_top_quality,
         "dup_passages": dedup.dup_passages,
         "orders_topk": relational.orders_topk,
@@ -321,6 +322,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_corrected": sqlgen.bm25_corrected_sql(),
         "lang_mismatch": sqlgen.lang_mismatch_sql(),
         "source_dup_rates": sqlgen.source_dup_rates_sql(),
+        "nation_revenue_share": sqlgen.nation_revenue_share_sql(),
         "lang_top_quality": sqlgen.lang_top_quality_sql(),
         "dup_passages": sqlgen.dup_passages_sql(),
         "orders_topk": sqlgen.orders_topk_sql(),

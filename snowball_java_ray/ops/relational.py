@@ -2116,3 +2116,69 @@ def corr_matrix(sf_dir: str) -> pa.Table:
         }
     )
     return tbl.sort_by([("col_a", "ascending"), ("col_b", "ascending")])
+
+
+def nation_revenue_share(sf_dir: str) -> pa.Table:
+    """Share-of-total report (the ratio_to_report window shape):
+    each nation's order revenue as an exact-cents sum and its share
+    of the global total — one broadcast dim probe (customer -> nation
+    is dimension-sized), map-side cents partials, ONE tiny shuffle,
+    and a single exact division per row against the grand total."""
+    import numpy as np
+
+    from snowball_java_ray.constants import RANK_ROUND_DECIMALS
+    from snowball_java_ray.ops.dedup import hash_grouped_aggregate
+    from snowball_java_ray.pipelines.api import collect_arrow
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    cmap = dict(
+        zip(
+            cust["c_custkey"].to_pylist(),
+            cust["c_nationkey"].to_pylist(),
+        )
+    )
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+        nk = np.array([cmap[int(k)] for k in keys], np.int64)
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        flat = pa.table(
+            {
+                "n_nationkey": pa.array(nk, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+        out = flat.group_by(["n_nationkey"]).aggregate([("cents", "sum")])
+        return out.rename_columns(["n_nationkey", "cents"])
+
+    agg = collect_arrow(
+        hash_grouped_aggregate(
+            _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+            .map_batches(partial, batch_format="pyarrow"),
+            ["n_nationkey"],
+            [("cents", "sum", "cents")],
+        )
+    ).to_pandas()
+    total = int(agg["cents"].sum())
+    agg["n_name"] = [nmap[int(k)] for k in agg["n_nationkey"]]
+    agg["revenue"] = agg["cents"].astype("float64") / 100.0
+    agg["share"] = np.round(
+        agg["cents"].to_numpy().astype("float64") / float(total),
+        RANK_ROUND_DECIMALS,
+    )
+    agg = agg.sort_values("n_name").reset_index(drop=True)
+    return pa.table(
+        {
+            "n_name": pa.array(agg["n_name"], pa.string()),
+            "revenue": pa.array(agg["revenue"].to_numpy(), pa.float64()),
+            "share": pa.array(agg["share"].to_numpy(), pa.float64()),
+        }
+    )

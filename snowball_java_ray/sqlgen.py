@@ -3670,3 +3670,24 @@ SELECT source,
          AS dup_rate
 FROM documents GROUP BY source ORDER BY source
 """
+
+
+def nation_revenue_share_sql() -> str:
+    """Share-of-total oracle: exact-cents nation revenue over the
+    exact grand total (same single division)."""
+    return f"""
+WITH rev AS (
+  SELECT n.n_name,
+         sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name,
+       CAST(cents AS DOUBLE) / 100 AS revenue,
+       round(CAST(cents AS DOUBLE)
+             / CAST((SELECT sum(cents) FROM rev) AS DOUBLE),
+             {RANK_ROUND_DECIMALS}) AS share
+FROM rev ORDER BY n_name
+"""

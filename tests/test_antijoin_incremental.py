@@ -75,3 +75,18 @@ def test_source_dup_rates_consistent_with_dedup_exact(ray_session):
     assert (merged["n_docs"] == merged["n_docs_ref"]).all()
     assert (merged["n_unique"] == merged["n_unique_ref"]).all()
     assert (rates["dup_rate"] >= 0).all() and (rates["dup_rate"] < 1).all()
+
+
+def test_nation_revenue_share_sums_to_one(ray_session):
+    """Shares sum to 1 (within rounding) and revenue totals match the
+    raw orders table exactly in cents."""
+    from snowball_java_ray.ops.relational import nation_revenue_share
+
+    got = nation_revenue_share(SF_TINY).to_pandas()
+    assert abs(got["share"].sum() - 1.0) < 1e-6
+    orders = pd.read_parquet(
+        f"{SF_TINY}/orders.parquet", columns=["o_totalprice"]
+    )
+    total_cents = (orders["o_totalprice"] * 100).round().astype("int64").sum()
+    got_cents = (got["revenue"] * 100).round().astype("int64").sum()
+    assert got_cents == total_cents

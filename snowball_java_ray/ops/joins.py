@@ -13,8 +13,6 @@ validated against both the broadcast join and DuckDB."""
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -22,19 +20,15 @@ import ray.data
 
 
 def _bucket_of(values: np.ndarray, n_buckets: int) -> np.ndarray:
-    # deterministic, engine-independent hash (md5 of the key rendered
-    # as a decimal string for ints, verbatim for string keys)
-    if values.dtype.kind in "iu":
-        keys = (str(int(v)) for v in values)
-    else:
-        keys = (str(v) for v in values)
-    return np.array(
-        [
-            int(hashlib.md5(k.encode()).hexdigest()[:8], 16) % n_buckets
-            for k in keys
-        ],
-        dtype=np.int64,
-    )
+    """Deterministic vectorized bucket hash. Bucket identity never
+    surfaces in results (the union of per-bucket joins is the same
+    row set under ANY hash), so the only contract is that both join
+    sides use the same function; ``pd.util.hash_array`` (fixed-key
+    siphash, stable across processes/runs) replaces the r3 per-row
+    md5 Python loop — that loop ran once per joined row on both
+    sides and was the joins' hottest scalar code."""
+    h = pd.util.hash_array(values, categorize=False)
+    return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
 def bucketed_hash_join(
@@ -47,9 +41,14 @@ def bucketed_hash_join(
     salt_on: str | None = None,
 ) -> ray.data.Dataset:
     """Inner join, hash-partitioned on the key. Both sides are tagged
-    with a bucket column and a side marker, unioned, grouped by bucket,
-    and merged per bucket with a pandas hash join. One shuffle total
-    (the groupby); no side is broadcast or materialized whole.
+    with a bucket column and a side marker (the right side's data
+    columns are ``__r__``-prefixed so the union schema is disjoint and
+    each side is recoverable without guessing), unioned, grouped by
+    bucket, and merged per bucket with an Arrow (Acero) hash join —
+    the r3 pandas merge upcast int64→float64 on empty sides, which
+    forced compensating casts downstream (VERDICT r3 item 6). One
+    shuffle total (the groupby); no side is broadcast or materialized
+    whole.
 
     Hot-key salting (``salt`` > 1): the LEFT (probe/fact) side spreads
     each key's rows across ``salt`` sub-buckets by hashing a second,
@@ -58,6 +57,18 @@ def bucketed_hash_join(
     is exact (each probe row still meets every matching build row,
     exactly once); per-task work for a hot key drops by ~salt."""
     assert salt == 1 or salt_on is not None, "salting needs a salt_on column"
+
+    # Capture both sides' schemas up front: a bucket whose rows all
+    # came from one side yields a group table WITHOUT the other
+    # side's columns (Ray's union does not widen per-group blocks),
+    # so join_bucket null-fills from this expected schema before
+    # joining — otherwise the join raises on the missing key and the
+    # output schema would vary per bucket.
+    lsch = left.schema()
+    rsch = right.schema()
+    expected = [(n, t) for n, t in zip(lsch.names, lsch.types)] + [
+        (f"__r__{n}", t) for n, t in zip(rsch.names, rsch.types)
+    ]
 
     def tag_left(t: pa.Table) -> pa.Table:
         keys = t[left_on].to_numpy(zero_copy_only=False)
@@ -73,6 +84,7 @@ def bucketed_hash_join(
     def tag_right(t: pa.Table) -> pa.Table:
         keys = t[right_on].to_numpy(zero_copy_only=False)
         b = _bucket_of(keys, n_buckets)
+        t = t.rename_columns([f"__r__{c}" for c in t.column_names])
         if salt > 1:
             reps = []
             for s in range(salt):
@@ -88,19 +100,41 @@ def bucketed_hash_join(
     lt = left.map_batches(tag_left, batch_format="pyarrow")
     rt = right.map_batches(tag_right, batch_format="pyarrow")
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == "l"].dropna(axis=1, how="all")
-        rg = g[g["__side"] == "r"].dropna(axis=1, how="all")
-        if lg.empty or rg.empty:
-            return pd.DataFrame()
-        out = lg.merge(rg, left_on=left_on, right_on=right_on,
-                       suffixes=("", "_r"))
-        return out.drop(
-            columns=[c for c in out.columns if c.startswith("__")]
+    def join_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        for name, typ in expected:
+            if name not in g.column_names:
+                g = g.append_column(name, pa.nulls(g.num_rows, typ))
+        is_l = pc.equal(g["__side"], "l")
+        lcols = [n for n, _ in expected if not n.startswith("__r__")]
+        rcols = [n for n, _ in expected if n.startswith("__r__")]
+        lg = g.filter(is_l).select(lcols)
+        rg = g.filter(pc.invert(is_l)).select(rcols)
+        rg = rg.rename_columns([c[len("__r__"):] for c in rcols])
+        # use_threads=False pins the join's output row order — Acero's
+        # threaded hash join emits rows in a nondeterministic order,
+        # and the engine's determinism contract is byte-identical
+        # reruns (per-bucket input is already one task's work; stage
+        # parallelism comes from the bucket fan-out, not intra-join
+        # threads)
+        out = lg.join(
+            rg,
+            keys=[left_on],
+            right_keys=[right_on],
+            join_type="inner",
+            right_suffix="_r",
+            use_threads=False,
         )
+        # Acero coalesces a differently-named right key away; the
+        # pandas contract kept both — restore it for consumers that
+        # select by the right-side name
+        if right_on != left_on and right_on not in out.column_names:
+            out = out.append_column(right_on, out[left_on])
+        return out
 
     return lt.union(rt).groupby("__bucket").map_groups(
-        join_bucket, batch_format="pandas"
+        join_bucket, batch_format="pyarrow"
     )
 
 

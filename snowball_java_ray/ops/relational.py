@@ -31,21 +31,6 @@ def _read(sf_dir: str, table: str, columns: list[str]) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
-def round_cols(ds: ray.data.Dataset, decimals: dict[str, int]) -> ray.data.Dataset:
-    """Round float columns to fixed decimals — applied to BOTH the Ray
-    output and the oracle SQL so cross-engine float-summation noise
-    (last-ulp differences from reduction order) can't break value
-    comparison."""
-
-    def fn(t: pa.Table) -> pa.Table:
-        for col, nd in decimals.items():
-            i = t.schema.get_field_index(col)
-            t = t.set_column(i, col, pc.round(t[col], ndigits=nd))
-        return t
-
-    return ds.map_batches(fn, batch_format="pyarrow")
-
-
 def q1_pricing(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q1-shaped: filter -> computed columns -> multi-key grouped
     aggregate over lineitem. Vectorized pyarrow filter + compute;
@@ -244,7 +229,12 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
     vectorized per-batch projection (floor ts to hour), the aggregate a
     grouped shuffle on (event_type, window) — the batch-engine
     expression of a streaming tumbling window (ray_guide: Ray Data has
-    no watermarks; order-independent aggregates need none)."""
+    no watermarks; order-independent aggregates need none).
+
+    ``sum_value`` rides as exact integer cents (r4 — the old
+    round(sum,4) contract was 1-ulp knife-edged: pc.round and DuckDB
+    round produce different nearest doubles for the same decimal),
+    published as cents/100.0 — bit-identical across engines."""
 
     def win(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -260,21 +250,29 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
                     ),
                     0, 19,
                 ),
-                "value": t["value"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t["value"], 100.0)), pa.int64()
+                ),
             }
         )
 
-    out = (
+    def finish(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["cents"]).append_column(
+            "sum_value",
+            pc.divide(pc.cast(t["cents"], pa.float64()), 100.0),
+        )
+
+    return (
         _read(sf_dir, "events", ["event_type", "ts", "value"])
         .map_batches(win, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
         .aggregate(
             Count(alias_name="n_events"),
-            Sum("value", alias_name="sum_value"),
+            Sum("cents", alias_name="cents"),
         )
+        .map_batches(finish, batch_format="pyarrow")
         .sort(["event_type", "window_start"])
     )
-    return round_cols(out, {"sum_value": 4})
 
 
 def events_sessions(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
@@ -291,6 +289,7 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
 
     def sessionize_partition(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        g["cents"] = (g["value"] * 100.0).round().astype("int64")
         new_user = g["user_id"].ne(g["user_id"].shift())
         gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
         new_session = new_user | gap
@@ -307,13 +306,14 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
                 session_start=("ts", "min"),
                 session_end=("ts", "max"),
                 n_events=("event_type", "size"),
-                sum_value=("value", "sum"),
+                sum_value=("cents", "sum"),
             )
             .reset_index(drop=True)
         )
         out["session_start"] = out["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
         out["session_end"] = out["session_end"].dt.strftime("%Y-%m-%d %H:%M:%S")
-        out["sum_value"] = out["sum_value"].round(4)
+        # exact integer cents -> published double (see events_hourly)
+        out["sum_value"] = out["sum_value"].astype("int64") / 100.0
         out["n_events"] = out["n_events"].astype("int64")
         return out[["user_id", "session_id", "session_start", "session_end",
                     "n_events", "sum_value"]]
@@ -340,11 +340,13 @@ def events_sliding(sf_dir: str, window_min: int = 60, slide_min: int = 30) -> ra
     """Sliding windows (60-min window, 30-min slide) per event_type:
     each event is assigned to every window covering it (window_min /
     slide_min assignments) in a vectorized flat-map, then one grouped
-    aggregate — the batch expression of a sliding stream window."""
+    aggregate — the batch expression of a sliding stream window.
+    ``sum_value`` rides as exact integer cents (see events_hourly)."""
     k = window_min // slide_min
 
     def assign(t: pa.Table) -> pa.Table:
         ts = t["ts"].to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
         # epoch minutes, floored to slide grid
         mins = ts.astype("datetime64[m]").astype("int64")
         base = (mins // slide_min) * slide_min
@@ -359,7 +361,7 @@ def events_sliding(sf_dir: str, window_min: int = 60, slide_min: int = 30) -> ra
                             start.astype("datetime64[m]")
                             .astype("datetime64[us]")
                         ),
-                        "value": t["value"],
+                        "cents": cents,
                     }
                 )
             )
@@ -374,7 +376,9 @@ def events_sliding(sf_dir: str, window_min: int = 60, slide_min: int = 30) -> ra
                     0, 19,
                 ),
                 "n_events": t["n_events"],
-                "sum_value": pc.round(t["sum_value"], ndigits=4),
+                "sum_value": pc.divide(
+                    pc.cast(t["cents"], pa.float64()), 100.0
+                ),
             }
         )
 
@@ -382,7 +386,7 @@ def events_sliding(sf_dir: str, window_min: int = 60, slide_min: int = 30) -> ra
         _read(sf_dir, "events", ["event_type", "ts", "value"])
         .map_batches(assign, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .aggregate(Count(alias_name="n_events"), Sum("cents", alias_name="cents"))
         .map_batches(fmt, batch_format="pyarrow")
         .sort(["event_type", "window_start"])
     )

@@ -274,7 +274,7 @@ def events_hourly_sql() -> str:
 SELECT event_type,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        count(*) AS n_events,
-       round(sum(value), 4) AS sum_value
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM events
 GROUP BY event_type, date_trunc('hour', ts)
 ORDER BY event_type, window_start
@@ -305,7 +305,7 @@ SELECT user_id, session_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
        count(*) AS n_events,
-       round(sum(value), 4) AS sum_value
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM sessions
 GROUP BY user_id, session_id
 ORDER BY user_id, session_id
@@ -327,7 +327,7 @@ WITH exploded AS (
 SELECT event_type,
        strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
        count(*) AS n_events,
-       round(sum(value), 4) AS sum_value
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM exploded
 GROUP BY event_type, window_start
 ORDER BY event_type, window_start
@@ -1642,10 +1642,13 @@ ORDER BY query_id, rank
 
 def lm_nll_sql() -> str:
     """Bigram-LM doc scoring (ops/textstats.lm_nll): add-1-smoothed
-    bigram NLL over the analyzed stream. Each bigram contribution is
-    quantized to an integer (floor(x*1e6 + 0.5)) BEFORE summation so
-    the per-doc sum is order-free exact integer arithmetic on both
-    engines."""
+    bigram surprise over the analyzed stream. The contract is 100%
+    log-free exact-integer arithmetic (r4 rewrite — the r3
+    floor(-ln(x)*1e6+0.5) contract was knife-edged on 1-ulp libm
+    ``ln`` divergence between numpy and DuckDB): each bigram
+    contributes ((cp + V) * 1000000) // (c + 1) as BIGINT floor
+    division and the published columns are pure int64 — no float
+    anywhere, so no rounding boundary exists."""
     return f"""
 WITH raw AS (
   SELECT doc_id,
@@ -1673,9 +1676,11 @@ pref AS (SELECT w1, sum(c) AS cp FROM bc GROUP BY w1),
 v AS (SELECT count(DISTINCT term) AS v FROM flt),
 scored AS (
   SELECT g.doc_id, count(*) AS n_bigrams,
-         sum(CAST(floor(
-           -ln((bc.c + 1.0) / (pref.cp + v.v)) * 1000000 + 0.5
-         ) AS BIGINT)) AS s
+         sum(
+           ((CAST(pref.cp AS BIGINT) + CAST(v.v AS BIGINT))
+            * CAST(1000000 AS BIGINT))
+           // (CAST(bc.c AS BIGINT) + CAST(1 AS BIGINT))
+         ) AS s
   FROM big g
   JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
   JOIN pref ON pref.w1 = g.w1
@@ -1683,7 +1688,7 @@ scored AS (
   GROUP BY g.doc_id
 )
 SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
-       round(s / (n_bigrams * 1000000.0), {SCORE_ROUND_DECIMALS}) AS nll
+       CAST(s AS BIGINT) AS s
 FROM scored ORDER BY doc_id
 """
 

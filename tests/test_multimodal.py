@@ -81,6 +81,56 @@ def test_wav_roundtrip():
     assert np.array_equal(got, s3)
 
 
+def test_png_roundtrip_all_filters():
+    """The PNG codec is REAL: byte-exact roundtrip across shapes whose
+    heights cover every scanline filter type (the encoder cycles
+    y % 5), plus a gradient raster where wrong filter math would show
+    instantly, and CRC corruption detection."""
+    import numpy as np
+    import pytest
+
+    from snowball_java_ray.ops.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for (h, w) in [(8, 8), (5, 3), (1, 1), (16, 2), (2, 16), (11, 7)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        w2, h2, back = decode_png(encode_png(px))
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(back, px)
+    g = np.arange(12 * 9 * 3, dtype=np.uint8).reshape(12, 9, 3)
+    assert np.array_equal(decode_png(encode_png(g))[2], g)
+    blob = bytearray(encode_png(g))
+    blob[40] ^= 0xFF  # flip a byte inside IDAT
+    with pytest.raises(ValueError):
+        decode_png(bytes(blob))
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_png_decode_matches_duckdb(ray_session):
+    """End-to-end compressed decode loop vs the digest-rule oracle at
+    sf0.001 — certifies DEFLATE encode -> ship -> real DECODE ->
+    aggregate."""
+    import duckdb
+
+    from snowball_java_ray.ops.multimodal import png_decode
+    from snowball_java_ray.pipelines.api import collect_arrow
+    from snowball_java_ray.sqlgen import png_decode_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = collect_arrow(png_decode(sf)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet'"
+    )
+    want = con.execute(png_decode_sql()).df()
+    assert len(got) == len(want) > 0
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        assert (got[c].values == want[c].values).all(), c
+
+
 def test_decode_rejects_garbage():
     import pytest
 

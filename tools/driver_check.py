@@ -96,7 +96,7 @@ for name in sorted(qs):
                 if status != "OK": break
                 if str(got[sorted(got.columns).index(c) if False else c].dtype if False else got[c].dtype) != str(want[c].dtype):
                     status = f"DTYPE {c}: {got[c].dtype} vs {want[c].dtype}"
-    if status != "OK": fails.append((name, status))
+    if not status.startswith("OK"): fails.append((name, status))
     print(f"{name:28s} {status:30s} {len(got):7d} rows {time.time()-t0:5.1f}s")
 print("\nOFFGRID WARNINGS:", len(warns))
 for n, s in warns: print(" ~", n, s)

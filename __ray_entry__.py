@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "embed_outliers": ann.embed_outliers,
+        # int8 symmetric quantization audit (r4)
+        "embed_quantize": ann.embed_quantize,
         "label_confusion": ann.label_confusion,
         "lsh_ann": ann.lsh_ann_topk,
         "ivf_ann": ann.ivf_ann_topk,
@@ -74,6 +76,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_profile": textstats.lang_profile,
         "cooc_pmi": textstats.cooc_pmi,
         "lm_nll": textstats.lm_nll,
+        # Gopher-style repetition/formatting quality rules (r4)
+        "gopher_rules": textstats.gopher_rules,
+        # URL/email scrub + whitespace normalize accounting (r4)
+        "text_clean": textstats.text_clean,
         "source_report": textstats.source_report,
         "doc_tags": textstats.doc_tags,
         "lang_quantiles": textstats.lang_quantiles,
@@ -212,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_dup_lsh": sqlgen.embed_dup_lsh_sql(),
         "ann_topk": sqlgen.ann_topk_sql(),
         "embed_outliers": sqlgen.embed_outliers_sql(),
+        "embed_quantize": sqlgen.embed_quantize_sql(),
         "label_confusion": sqlgen.label_confusion_sql(),
         "lsh_ann": sqlgen.lsh_ann_sql(),
         "ivf_ann": sqlgen.ivf_ann_sql(),
@@ -223,6 +230,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_profile": sqlgen.lang_profile_sql(),
         "cooc_pmi": sqlgen.cooc_pmi_sql(),
         "lm_nll": sqlgen.lm_nll_sql(),
+        "gopher_rules": sqlgen.gopher_rules_sql(),
+        "text_clean": sqlgen.text_clean_sql(),
         "source_report": sqlgen.source_report_sql(),
         "doc_tags": sqlgen.doc_tags_sql(),
         "lang_quantiles": sqlgen.lang_quantiles_sql(),

@@ -390,6 +390,57 @@ def _label_centroids(ds) -> tuple[dict[int, int], np.ndarray]:
     return {lb: i for i, lb in enumerate(labels_sorted)}, cent
 
 
+def embed_quantize(sf_dir: str) -> ray.data.Dataset:
+    """Int8 symmetric quantization audit — the compression step an
+    embedding store applies before ANN serving: per vector, scale =
+    max-abs over dims, q_j = floor(x_j * 127 / maxabs + 0.5), and the
+    published row carries the scale plus exact integer aggregates of
+    the quantized code (sum and L1 mass) — enough to verify the
+    quantizer end-to-end without shipping the codes.
+
+    One streamed scan, vectorized numpy per batch, no shuffle.
+    Determinism: float32 inputs are widened to float64 (exact), every
+    op in the quantize expression is IEEE correctly-rounded
+    (*, /, +, floor — no libm), and both engines evaluate the SAME
+    expression tree, so q is bit-identical by construction; sums are
+    int64-exact. All-zero vectors quantize to 0 (guarded divide).
+    Oracle: ``sqlgen.embed_quantize_sql``."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        mat = np.stack(
+            t["embedding"].to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        maxabs = np.abs(mat).max(axis=1)
+        safe = np.where(maxabs > 0, maxabs, 1.0)
+        q = np.floor(mat * 127.0 / safe[:, None] + 0.5).astype(np.int64)
+        q[maxabs == 0] = 0
+        return pa.table(
+            {
+                "vec_id": t["vec_id"].cast(pa.int64()),
+                "n_dims": pa.array(
+                    np.full(mat.shape[0], mat.shape[1], np.int64),
+                    pa.int64(),
+                ),
+                "maxabs": pa.array(maxabs, pa.float64()),
+                "sum_q": pa.array(q.sum(axis=1), pa.int64()),
+                "sum_q_abs": pa.array(
+                    np.abs(q).sum(axis=1), pa.int64()
+                ),
+            }
+        )
+
+    import ray.data
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+        )
+        .map_batches(fn, batch_format="pyarrow")
+        .sort("vec_id")
+    )
+
+
 def embed_outliers(sf_dir: str) -> pa.Table:
     """Embedding-space audit: for each label, the EMB_OUTLIER_K
     vectors farthest from their label's centroid (lowest cosine

@@ -925,6 +925,150 @@ def regex_search(sf_dir: str) -> ray.data.Dataset:
     ).sort(["pattern_id", "doc_id"])
 
 
+# URL / email scrub patterns (RE2 on BOTH engines: Arrow's
+# replace_substring_regex and DuckDB's regexp_replace are each RE2, so
+# match semantics are identical by construction)
+URL_PATTERN = r"https?://[^\s]+"
+EMAIL_PATTERN = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_WS_RUN = r"[ \t\r\n]+"
+
+
+def text_clean(sf_dir: str) -> ray.data.Dataset:
+    """Boilerplate scrub accounting — the URL/email strip +
+    whitespace-normalize pass every web-scale pretraining pipeline
+    runs before tokenization: counts URL and email hits, removes
+    them, collapses whitespace runs to single spaces, trims, and
+    publishes before/after char counts. Pure per-doc scan (no
+    shuffle); all columns exact int64. Oracle:
+    ``sqlgen.text_clean_sql`` (same RE2 patterns through DuckDB
+    regexp_replace)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t["text"].combine_chunks(), "")
+        n_urls = pc.count_substring_regex(texts, pattern=URL_PATTERN)
+        n_emails = pc.count_substring_regex(texts, pattern=EMAIL_PATTERN)
+        cleaned = pc.replace_substring_regex(
+            texts, pattern=URL_PATTERN, replacement=""
+        )
+        cleaned = pc.replace_substring_regex(
+            cleaned, pattern=EMAIL_PATTERN, replacement=""
+        )
+        cleaned = pc.replace_substring_regex(
+            cleaned, pattern=_WS_RUN, replacement=" "
+        )
+        cleaned = pc.utf8_trim(cleaned, characters=" ")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_urls": n_urls.cast(pa.int64()),
+                "n_emails": n_emails.cast(pa.int64()),
+                "raw_chars": pc.utf8_length(texts).cast(pa.int64()),
+                "clean_chars": pc.utf8_length(cleaned).cast(pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(
+        fn, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
+def gopher_rules(sf_dir: str) -> ray.data.Dataset:
+    """Gopher/CCNet-style repetition + formatting quality signals per
+    doc (Rae et al. 2021 "Scaling Language Models" appendix A quality
+    heuristics, re-expressed exactly): line counts, duplicate-line
+    fraction, bullet-point and ellipsis line fractions, and the
+    top-bigram concentration over the analyzed token stream — the
+    standard repetition filters a pretraining pipeline applies before
+    dedup.
+
+    One embarrassingly-parallel corpus scan (every stat is per-doc —
+    no shuffle at all); lines via one vectorized ``split_pattern`` +
+    ``list_parent_indices``, per-doc distinct lines and top-bigram
+    counts via Arrow C++ hash ``group_by`` within the batch.
+
+    Determinism contract: all published counts are exact int64; the
+    two fraction columns are int/int IEEE divisions of those same
+    integers (bit-identical across engines — no libm, no rounding).
+    ``n_lines >= 1`` always (splitting '' yields ['']), so the
+    divisions are total. Oracle: ``sqlgen.gopher_rules_sql``."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t["text"].combine_chunks(), "")
+        n = len(texts)
+        # --- line stats: one split, flat operations over all lines
+        lines_list = pc.split_pattern(texts, pattern="\n")
+        flat = pc.list_flatten(lines_list)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        row_idx = pc.list_parent_indices(lines_list).to_numpy(
+            zero_copy_only=False
+        )
+        n_lines = np.bincount(row_idx, minlength=n).astype(np.int64)
+        dt = (
+            pa.table({"r": pa.array(row_idx, pa.int64()), "l": flat})
+            .group_by(["r", "l"])
+            .aggregate([])
+        )
+        n_distinct = np.bincount(
+            dt["r"].to_numpy(zero_copy_only=False), minlength=n
+        ).astype(np.int64)
+        bullet = pc.or_(
+            pc.starts_with(flat, pattern="-"),
+            pc.starts_with(flat, pattern="*"),
+        ).to_numpy(zero_copy_only=False)
+        bullet_lines = np.bincount(
+            row_idx[bullet], minlength=n
+        ).astype(np.int64)
+        ell = pc.ends_with(flat, pattern="...").to_numpy(
+            zero_copy_only=False
+        )
+        ellipsis_lines = np.bincount(
+            row_idx[ell], minlength=n
+        ).astype(np.int64)
+        # --- bigram concentration (docs are atomic rows -> whole doc
+        # in this batch; analyzed stream == lm_nll's)
+        bidx, w1, w2 = _batch_bigrams(t)
+        n_big = np.zeros(n, np.int64)
+        top_big = np.zeros(n, np.int64)
+        if len(bidx):
+            n_big = np.bincount(bidx, minlength=n).astype(np.int64)
+            bt = (
+                pa.table(
+                    {"r": pa.array(bidx, pa.int64()), "w1": w1, "w2": w2}
+                )
+                .group_by(["r", "w1", "w2"])
+                .aggregate([([], "count_all")])
+            )
+            rr = bt["r"].to_numpy(zero_copy_only=False)
+            cc = bt["count_all"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            np.maximum.at(top_big, rr, cc)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_distinct_lines": pa.array(n_distinct, pa.int64()),
+                "bullet_lines": pa.array(bullet_lines, pa.int64()),
+                "ellipsis_lines": pa.array(ellipsis_lines, pa.int64()),
+                "n_bigrams": pa.array(n_big, pa.int64()),
+                "top_bigram_n": pa.array(top_big, pa.int64()),
+                "dup_line_frac": pa.array(
+                    (n_lines - n_distinct).astype(np.float64) / n_lines,
+                    pa.float64(),
+                ),
+                "top_bigram_frac": pa.array(
+                    top_big.astype(np.float64) / np.maximum(n_big, 1),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(
+        fn, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
 def _batch_bigrams(t: pa.Table, text_col: str = "text"):
     """Vectorized per-batch bigram extraction over the ANALYZED token
     stream (consecutive surviving tokens within one doc). Returns

@@ -1693,6 +1693,121 @@ FROM scored ORDER BY doc_id
 """
 
 
+def text_clean_sql() -> str:
+    """URL/email scrub accounting (ops/textstats.text_clean). Same
+    RE2 patterns through DuckDB regexp_replace(..., 'g'); counts via
+    len(regexp_extract_all). All columns exact int64."""
+    from snowball_java_ray.ops.textstats import EMAIL_PATTERN, URL_PATTERN
+
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '{URL_PATTERN}'))
+            AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '{EMAIL_PATTERN}'))
+            AS BIGINT) AS n_emails,
+       CAST(length(coalesce(text, '')) AS BIGINT) AS raw_chars,
+       CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(
+              coalesce(text, ''), '{URL_PATTERN}', '', 'g'),
+              '{EMAIL_PATTERN}', '', 'g'),
+              '[ \t\r\n]+', ' ', 'g'), ' ')) AS BIGINT) AS clean_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+def embed_quantize_sql() -> str:
+    """Int8 quantization audit (ops/ann.embed_quantize): q = floor(
+    CAST(x AS DOUBLE) * 127 / maxabs + 0.5) — the identical IEEE
+    float64 expression tree as the engine (float32 widened exactly,
+    no libm), so q and the int64 sums are bit-identical."""
+    return """
+WITH e AS (SELECT vec_id, unnest(embedding) AS xf FROM embeddings),
+x AS (SELECT vec_id, CAST(xf AS DOUBLE) AS x FROM e),
+m AS (SELECT vec_id, count(*) AS n_dims, max(abs(x)) AS maxabs
+      FROM x GROUP BY vec_id),
+q AS (
+  SELECT x.vec_id,
+         CASE WHEN m.maxabs = 0 THEN 0
+              ELSE CAST(floor(x.x * 127.0 / m.maxabs + 0.5) AS BIGINT)
+         END AS q
+  FROM x JOIN m ON m.vec_id = x.vec_id
+)
+SELECT m.vec_id, CAST(m.n_dims AS BIGINT) AS n_dims, m.maxabs AS maxabs,
+       CAST(sum(q.q) AS BIGINT) AS sum_q,
+       CAST(sum(abs(q.q)) AS BIGINT) AS sum_q_abs
+FROM m JOIN q ON q.vec_id = m.vec_id
+GROUP BY m.vec_id, m.n_dims, m.maxabs
+ORDER BY m.vec_id
+"""
+
+
+def gopher_rules_sql() -> str:
+    """Gopher-style repetition/formatting signals
+    (ops/textstats.gopher_rules). All counts are exact BIGINTs; the
+    fraction columns are int/int IEEE divisions of those same
+    integers, so both engines produce bit-identical doubles — no libm
+    and no rounding anywhere. Splitting '' yields [''], so every doc
+    has n_lines >= 1 and the divisions are total."""
+    return f"""
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS ln
+  FROM documents
+),
+ls AS (
+  SELECT doc_id,
+         count(*) AS n_lines,
+         count(DISTINCT ln) AS n_distinct_lines,
+         sum(CASE WHEN ln LIKE '-%' OR ln LIKE '*%' THEN 1 ELSE 0 END)
+           AS bullet_lines,
+         sum(CASE WHEN ln LIKE '%...' THEN 1 ELSE 0 END) AS ellipsis_lines
+  FROM lines GROUP BY doc_id
+),
+raw AS (
+  SELECT doc_id,
+         string_split_regex(lower(text), '{TOKEN_SPLIT_PATTERN}') AS tl
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, unnest(tl) AS term,
+         unnest(range(1, len(tl) + 1)) AS rawpos
+  FROM raw
+),
+flt AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) AS pos
+  FROM tokpos
+  WHERE term <> '' AND NOT regexp_full_match(term, '{_NUM_SQL}')
+    AND term NOT IN ({_STOPLIST_SQL})
+),
+big AS (
+  SELECT a.doc_id, a.term AS w1, b.term AS w2
+  FROM flt a JOIN flt b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+bper AS (
+  SELECT doc_id, w1, w2, count(*) AS c FROM big GROUP BY doc_id, w1, w2
+),
+bs AS (
+  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_n
+  FROM bper GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(ls.n_lines AS BIGINT) AS n_lines,
+       CAST(ls.n_distinct_lines AS BIGINT) AS n_distinct_lines,
+       CAST(ls.bullet_lines AS BIGINT) AS bullet_lines,
+       CAST(ls.ellipsis_lines AS BIGINT) AS ellipsis_lines,
+       CAST(coalesce(bs.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(bs.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+       CAST(ls.n_lines - ls.n_distinct_lines AS DOUBLE)
+         / CAST(ls.n_lines AS DOUBLE) AS dup_line_frac,
+       CAST(coalesce(bs.top_bigram_n, 0) AS DOUBLE)
+         / CAST(greatest(coalesce(bs.n_bigrams, 0), 1) AS DOUBLE)
+         AS top_bigram_frac
+FROM documents d
+LEFT JOIN ls ON ls.doc_id = d.doc_id
+LEFT JOIN bs ON bs.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def bm25_explain_sql() -> str:
     """Per-term score breakdown for each query's rank-1 doc
     (pipelines/api.bm25_explain_pipeline)."""

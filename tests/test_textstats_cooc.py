@@ -103,6 +103,150 @@ def test_dup_clusters_connected_components(ray_session):
         assert lbl[a] == lbl[b]
 
 
+def test_gopher_rules_matches_duckdb_and_edges(ray_session, tmp_path):
+    """Gopher repetition rules vs the oracle at sf0.001, plus an
+    engineered corpus hitting the edge cases: empty text (1 line, 0
+    bigrams), all-duplicate lines, bullet/ellipsis lines, and a
+    repeated-bigram doc where top_bigram_frac == 1."""
+    import pyarrow.parquet as pq
+
+    from snowball_java_ray.ops.textstats import gopher_rules
+    from snowball_java_ray.sqlgen import gopher_rules_sql
+
+    got = collect_arrow(gopher_rules(SF_TINY)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_TINY}/documents.parquet'"
+    )
+    exp = con.execute(gopher_rules_sql()).df()
+    assert len(got) == len(exp) > 0
+    assert list(got.columns) == list(exp.columns)
+    for c in got.columns:
+        assert (got[c].values == exp[c].values).all(), c
+
+    texts = [
+        "",  # 1 empty line, no tokens
+        "same line\nsame line\nsame line",  # dup_line_frac = 2/3
+        "- bullet one\n* bullet two\nplain",  # 2 bullet lines
+        "trailing off...\nand more...",  # 2 ellipsis lines
+        "alpha beta alpha beta alpha beta",  # one dominant bigram
+    ]
+    d = tmp_path / "sfg"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    g = collect_arrow(gopher_rules(str(d))).to_pandas().set_index("doc_id")
+    con2 = duckdb.connect()
+    con2.execute(
+        f"create view documents as select * from '{d}/documents.parquet'"
+    )
+    w = con2.execute(gopher_rules_sql()).df().set_index("doc_id")
+    for c in g.columns:
+        assert (g[c].values == w[c].values).all(), c
+    assert g.loc[0, "n_lines"] == 1 and g.loc[0, "n_bigrams"] == 0
+    assert g.loc[1, "dup_line_frac"] == 2.0 / 3.0
+    assert g.loc[2, "bullet_lines"] == 2
+    assert g.loc[3, "ellipsis_lines"] == 2
+    # 'alpha beta' repeats 3x; bigrams: (a,b)x3 + (b,a)x2 = 5 total
+    assert g.loc[4, "top_bigram_n"] == 3
+    assert g.loc[4, "top_bigram_frac"] == 3.0 / 5.0
+
+
+def test_text_clean_matches_duckdb_and_edges(ray_session, tmp_path):
+    """URL/email scrub vs the oracle at sf0.001, plus engineered docs
+    exercising real hits: URLs mid-sentence, emails, mixed whitespace
+    runs, empty text."""
+    import pyarrow.parquet as pq
+
+    from snowball_java_ray.ops.textstats import text_clean
+    from snowball_java_ray.sqlgen import text_clean_sql
+
+    got = collect_arrow(text_clean(SF_TINY)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_TINY}/documents.parquet'"
+    )
+    exp = con.execute(text_clean_sql()).df()
+    assert len(got) == len(exp) > 0
+    for c in got.columns:
+        assert (got[c].values == exp[c].values).all(), c
+
+    texts = [
+        "see https://example.com/a?b=1 and http://x.y/z now",
+        "mail me at alice@example.org or bob.smith+tag@sub.dom.co",
+        "spaces\t\tand\n\nnewlines   everywhere ",
+        "",
+        "no hits here",
+    ]
+    d = tmp_path / "sfc"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    g = collect_arrow(text_clean(str(d))).to_pandas().set_index("doc_id")
+    con2 = duckdb.connect()
+    con2.execute(
+        f"create view documents as select * from '{d}/documents.parquet'"
+    )
+    w = con2.execute(text_clean_sql()).df().set_index("doc_id")
+    for c in g.columns:
+        assert (g[c].values == w[c].values).all(), c
+    assert g.loc[0, "n_urls"] == 2 and g.loc[0, "n_emails"] == 0
+    assert g.loc[1, "n_emails"] == 2
+    assert g.loc[2, "clean_chars"] < g.loc[2, "raw_chars"]
+    assert g.loc[3, "raw_chars"] == 0 and g.loc[3, "clean_chars"] == 0
+    assert g.loc[4, "clean_chars"] == g.loc[4, "raw_chars"]
+
+
+def test_embed_quantize_invariants(ray_session):
+    """Quantizer bounds: |q_j| <= 127 implies sum_q_abs <= 127*n_dims;
+    per-vector recompute of the exact expression matches; maxabs is
+    the widened float32 max-abs of the raw vector."""
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    from snowball_java_ray.ops.ann import embed_quantize
+    from snowball_java_ray.pipelines.api import collect_arrow as _ca
+
+    sf = "/root/testdata/sf0.001"
+    got = _ca(embed_quantize(sf)).to_pandas().set_index("vec_id")
+    assert (got["sum_q_abs"] <= 127 * got["n_dims"]).all()
+    assert (got["sum_q_abs"] >= got["sum_q"].abs()).all()
+    raw = pq.read_table(sf + "/embeddings.parquet").to_pandas().set_index(
+        "vec_id"
+    )
+    for vid in list(got.index)[:5]:
+        x = np.asarray(raw.loc[vid, "embedding"], np.float64)
+        m = np.abs(x).max()
+        q = (
+            np.floor(x * 127.0 / m + 0.5).astype(np.int64)
+            if m > 0
+            else np.zeros(len(x), np.int64)
+        )
+        assert got.loc[vid, "maxabs"] == m
+        assert got.loc[vid, "sum_q"] == q.sum()
+        assert got.loc[vid, "sum_q_abs"] == np.abs(q).sum()
+
+
 def test_connected_components_chain(ray_session):
     """VERDICT r3 #7 regression: a 64-node chain (diameter 63) — the
     adversarial shape for neighbor-only min-label propagation, which

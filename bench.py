@@ -568,6 +568,45 @@ def run_bench() -> dict:
     return out
 
 
+def host_cpu_probe(secs: float = 6.0) -> dict:
+    """Pure-CPU 8-vs-32-process spin throughput (r4): measures how much
+    8->32-way speedup the HOST can physically deliver right now. This
+    box is a shared VM whose 32 vCPUs are sometimes backed by fewer
+    physical cores (guest steal accounting stays in single digits even
+    then, so throughput is the only honest probe — see
+    tools/effective_cores.py). host_cpu_efficiency is the CEILING any
+    Ray scaling leg can reach in that window; record it NEXT TO every
+    scaling number so a degraded host is distinguishable from a
+    degraded engine."""
+    import multiprocessing as mp
+
+    def spin(seconds, q):
+        t0 = time.perf_counter()
+        x = 0
+        while time.perf_counter() - t0 < seconds:
+            x += 1
+        q.put(x)
+
+    def leg(nproc):
+        q = mp.Queue()
+        ps = [
+            mp.Process(target=spin, args=(secs, q)) for _ in range(nproc)
+        ]
+        for p in ps:
+            p.start()
+        tot = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+        return tot / secs / 1e6
+
+    r8, r32 = leg(8), leg(32)
+    return {
+        "host_par8_mps": round(r8, 1),
+        "host_par32_mps": round(r32, 1),
+        "host_cpu_efficiency": round(r32 / r8 / 4, 3),
+    }
+
+
 def run_scaling() -> dict:
     # Scaling legs need enough work that fixed pipeline overhead (~5s)
     # doesn't cap the speedup: ~4M docs => ~70s at 8 cpus. Override
@@ -575,6 +614,7 @@ def run_scaling() -> dict:
     scaling_factor = os.environ.get(
         "GRAFT_SCALING_REPLICATE", str(max(REPLICATE, 800))
     )
+    probe_before = host_cpu_probe()
 
     def run(ncpu: int) -> dict:
         env = dict(
@@ -680,6 +720,10 @@ def run_scaling() -> dict:
         "bm25_qps_32cpu": hi.get("bm25_queries_per_sec"),
         "sf": SF_DIR,
         "n_docs": lo["n_docs"],
+        # host condition bracketing the run: the ceiling any leg could
+        # have reached (see host_cpu_probe docstring)
+        "host_probe_before": probe_before,
+        "host_probe_after": host_cpu_probe(),
     }
 
 

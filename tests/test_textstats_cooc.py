@@ -103,6 +103,20 @@ def test_dup_clusters_connected_components(ray_session):
         assert lbl[a] == lbl[b]
 
 
+def test_r4_entries_deterministic(ray_session):
+    """Byte-identical rerun for each round-4 entry (the engine's
+    determinism contract): same sf dir, two executions, exact table
+    equality."""
+    from snowball_java_ray.ops.ann import embed_quantize
+    from snowball_java_ray.ops.multimodal import png_decode
+    from snowball_java_ray.ops.textstats import gopher_rules, text_clean
+
+    for fn in (gopher_rules, text_clean, embed_quantize, png_decode):
+        a = collect_arrow(fn(SF_TINY)).to_pandas()
+        b = collect_arrow(fn(SF_TINY)).to_pandas()
+        assert a.equals(b), fn.__name__
+
+
 def test_gopher_rules_matches_duckdb_and_edges(ray_session, tmp_path):
     """Gopher repetition rules vs the oracle at sf0.001, plus an
     engineered corpus hitting the edge cases: empty text (1 line, 0

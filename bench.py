@@ -166,6 +166,18 @@ def run_bench() -> dict:
     import numpy as np
     import ray
 
+    # host condition stamp (shared VM: legs measure 1.5-2x slower when
+    # other tenants load the host — see BENCH/BASELINE.md r4 section);
+    # probed BEFORE ray.init so the spin processes don't fight workers.
+    # Skipped in the scaling protocol's single-leg subprocess modes —
+    # run_scaling() brackets the whole run with its own probes.
+    sub_leg = any(
+        os.environ.get(k)
+        for k in ("GRAFT_BUILD_ONLY", "GRAFT_MINHASH_ONLY",
+                  "GRAFT_SERVE_ONLY")
+    )
+    host_probe = None if sub_leg else host_cpu_probe(secs=4.0)
+
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -563,6 +575,7 @@ def run_bench() -> dict:
         "bm25_p50_ms": round(float(np.percentile(lat_ms, 50)), 3),
         "bm25_p99_ms": round(float(np.percentile(lat_ms, 99)), 3),
         "n_results": int(n_results),
+        "host_probe": host_probe,
     }
     ray.shutdown()
     return out

@@ -55,6 +55,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh": dedup.minhash_lsh_candidates,
         "simhash": dedup.simhash_docs,
         "dup_clusters": dedup.dup_clusters,
+        # iterative graph analytics over the dup graph (r4): exact-int
+        # power method, unrolled SQL oracle
+        "pagerank": dedup.pagerank,
         "canonical_docs": dedup.canonical_docs,
         "simhash_pairs": dedup.simhash_pairs,
         "embed_dup_pairs": dedup.embed_dup_pairs,
@@ -212,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": sqlgen.minhash_lsh_sql(),
         "simhash": sqlgen.simhash_sql(),
         "dup_clusters": sqlgen.dup_clusters_sql(),
+        "pagerank": sqlgen.pagerank_sql(),
         "canonical_docs": sqlgen.canonical_docs_sql(),
         "simhash_pairs": sqlgen.simhash_pairs_sql(),
         "embed_dup_pairs": sqlgen.embed_dup_pairs_sql(),

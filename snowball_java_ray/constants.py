@@ -470,3 +470,12 @@ BLOOM_K = 3
 # bucket sums, so the oracle reproduces every over-count.
 CMS_WIDTH = 1 << 10
 CMS_DEPTH = 3
+
+# PageRank over the near-dup candidate graph (ops/dedup.pagerank):
+# fixed-iteration power method in EXACT integer arithmetic so the
+# unrolled SQL oracle matches bitwise. Ranks ride as integer
+# micro-units (PAGERANK_SCALE); per iteration
+#   r' = (15 * SCALE) // 100 + (85 * sum_in(r_j // deg_j)) // 100
+# — every op an int64 floor op, identical in numpy and DuckDB.
+PAGERANK_ITERS = 3
+PAGERANK_SCALE = 1_000_000

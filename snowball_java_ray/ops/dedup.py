@@ -901,6 +901,112 @@ def dup_clusters(sf_dir: str, max_iters: int = 16) -> ray.data.Dataset:
     return labels.map_batches(rename, batch_format="pyarrow").sort("doc_id")
 
 
+def pagerank(sf_dir: str, iters: int | None = None) -> ray.data.Dataset:
+    """Distributed PageRank over the MinHash-LSH near-dup candidate
+    graph — the iterative graph-analytics shape (power method)
+    complementing ``connected_components``: a doc's rank measures how
+    centrally it sits in a cluster of near-duplicates (high-rank docs
+    are the "hub" variants a curation pipeline keeps or audits first).
+
+    EXACT integer arithmetic end-to-end (see constants.PAGERANK_*):
+    ranks are int64 micro-units, each iteration computes
+    ``r' = (15*SCALE)//100 + (85 * sum_in(r_j // deg_j)) // 100``
+    with nothing but int64 floor ops — the unrolled SQL oracle
+    (``sqlgen.pagerank_sql``) evaluates the identical expression, so
+    values match bitwise with no float anywhere. Every node of the
+    symmetric candidate graph has deg >= 1 and >= 1 in-neighbor, so
+    the node set is invariant across iterations.
+
+    Scale shape: degrees are attached to the edge list ONCE (one
+    bucketed join, materialized); each iteration is one
+    ``bucketed_hash_join`` (edges+deg x ranks) + one
+    ``hash_grouped_aggregate`` (sum by dst) + a ``settle``
+    repartition (same block-hygiene lesson as connected_components).
+    Rank tables are one row per node — never more than the label
+    table of CC."""
+    from snowball_java_ray.constants import PAGERANK_ITERS, PAGERANK_SCALE
+    from snowball_java_ray.ops.joins import bucketed_hash_join
+
+    iters = PAGERANK_ITERS if iters is None else iters
+    SCALE = PAGERANK_SCALE
+    BASE = (15 * SCALE) // 100
+
+    pairs = minhash_lsh_candidates(sf_dir)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    P = max(join_partitions(), int(edges.count() // 2_000_000) + 1)
+
+    def settle(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.repartition(P).materialize()
+
+    deg = settle(
+        hash_grouped_aggregate(edges, ["src"], [("", "count_all", "d")])
+    )
+    # attach out-degree to every edge once (the join key "src" is the
+    # same name on both sides; Acero coalesces it)
+    edged = settle(bucketed_hash_join(edges, deg, "src", "src"))
+
+    def init_r(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc": t["src"],
+                "r": pa.array(
+                    np.full(t.num_rows, SCALE, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ranks = settle(deg.map_batches(init_r, batch_format="pyarrow"))
+
+    def contrib(t: pa.Table) -> pa.Table:
+        r = t["r"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"dst": t["dst"], "c": pa.array(r // d, pa.int64())}
+        )
+
+    def damp(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc": t["dst"],
+                "r": pa.array(BASE + (85 * s) // 100, pa.int64()),
+            }
+        )
+
+    for _ in range(iters):
+        j = bucketed_hash_join(edged, ranks, "src", "doc")
+        sums = hash_grouped_aggregate(
+            j.map_batches(contrib, batch_format="pyarrow"),
+            ["dst"],
+            [("c", "sum", "s")],
+        )
+        ranks = settle(sums.map_batches(damp, batch_format="pyarrow"))
+
+    out = bucketed_hash_join(ranks, deg, "doc", "src")
+
+    def publish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc"],
+                "deg": t["d"],
+                "pagerank": t["r"],
+            }
+        )
+
+    return out.map_batches(publish, batch_format="pyarrow").sort("doc_id")
+
+
 def canonical_docs(sf_dir: str) -> pa.Table:
     """Near-dup canonicalization: one representative per LSH near-dup
     cluster — the doc with the most analyzed terms (richest content),

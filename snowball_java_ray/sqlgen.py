@@ -650,6 +650,45 @@ FROM reach GROUP BY a ORDER BY doc_id
 """
 
 
+def pagerank_sql() -> str:
+    """Fixed-iteration PageRank over the LSH candidate graph
+    (ops/dedup.pagerank): the power method UNROLLED to
+    PAGERANK_ITERS CTE levels, every op an int64 floor op
+    (`//`, `*`, `+`) so the values match the engine bitwise — no
+    float, no libm, no rounding boundary."""
+    from snowball_java_ray.constants import PAGERANK_ITERS, PAGERANK_SCALE
+
+    base = (15 * PAGERANK_SCALE) // 100
+    its = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        its.append(f"""r{i} AS (
+  SELECT e.dst AS doc,
+         CAST({base} AS BIGINT)
+           + (85 * sum(r{i - 1}.r // deg.d)) // 100 AS r
+  FROM edges e
+  JOIN deg ON deg.src = e.src
+  JOIN r{i - 1} ON r{i - 1}.doc = e.src
+  GROUP BY e.dst
+)""")
+    its_sql = ",\n".join(its)
+    k = PAGERANK_ITERS
+    return f"""
+WITH pairs AS (SELECT * FROM ({minhash_lsh_sql()}) q),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT src AS doc, CAST({PAGERANK_SCALE} AS BIGINT) AS r FROM deg),
+{its_sql}
+SELECT r{k}.doc AS doc_id, CAST(deg.d AS BIGINT) AS deg,
+       CAST(r{k}.r AS BIGINT) AS pagerank
+FROM r{k} JOIN deg ON deg.src = r{k}.doc
+ORDER BY doc_id
+"""
+
+
 def canonical_docs_sql() -> str:
     """Near-dup canonicalization (ops/dedup.canonical_docs): per
     cluster keep the doc with the most analyzed terms, ties to lowest

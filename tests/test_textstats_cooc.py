@@ -103,6 +103,33 @@ def test_dup_clusters_connected_components(ray_session):
         assert lbl[a] == lbl[b]
 
 
+def test_pagerank_matches_duckdb_and_invariants(ray_session):
+    """Exact-int PageRank vs the unrolled SQL oracle at sf0.001;
+    structural invariants: every rank >= the damping base, node set ==
+    the dup-graph node set, all int64."""
+    from snowball_java_ray.constants import PAGERANK_SCALE
+    from snowball_java_ray.ops.dedup import minhash_lsh_candidates, pagerank
+    from snowball_java_ray.sqlgen import pagerank_sql
+
+    got = collect_arrow(pagerank(SF_TINY)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_TINY}/documents.parquet'"
+    )
+    exp = con.execute(pagerank_sql()).df()
+    assert len(got) == len(exp) > 0
+    assert list(got.columns) == list(exp.columns)
+    for c in got.columns:
+        assert (got[c].values == exp[c].values).all(), c
+    assert str(got["pagerank"].dtype) == "int64"
+    base = (15 * PAGERANK_SCALE) // 100
+    assert (got["pagerank"] >= base).all()
+    pairs = collect_arrow(minhash_lsh_candidates(SF_TINY)).to_pandas()
+    nodes = set(pairs["doc_a"]) | set(pairs["doc_b"])
+    assert set(got["doc_id"]) == nodes
+
+
 def test_r4_entries_deterministic(ray_session):
     """Byte-identical rerun for each round-4 entry (the engine's
     determinism contract): same sf dir, two executions, exact table

@@ -189,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_matrix": relational.corr_matrix,
         "bloom_probe": textstats.bloom_probe,
         "cms_counts": textstats.cms_counts,
+        # HyperLogLog vocabulary-cardinality registers (r4)
+        "hll_registers": textstats.hll_registers,
         "bm25_corrected": api.bm25_corrected_pipeline,
         "lang_mismatch": textstats.lang_mismatch,
         "source_dup_rates": dedup.source_dup_rates,
@@ -336,6 +338,7 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix": sqlgen.corr_matrix_sql(),
         "bloom_probe": sqlgen.bloom_probe_sql(),
         "cms_counts": sqlgen.cms_counts_sql(),
+        "hll_registers": sqlgen.hll_registers_sql(),
         "bm25_corrected": sqlgen.bm25_corrected_sql(),
         "lang_mismatch": sqlgen.lang_mismatch_sql(),
         "source_dup_rates": sqlgen.source_dup_rates_sql(),

@@ -479,3 +479,12 @@ CMS_DEPTH = 3
 # — every op an int64 floor op, identical in numpy and DuckDB.
 PAGERANK_ITERS = 3
 PAGERANK_SCALE = 1_000_000
+
+# HyperLogLog vocabulary-cardinality sketch (ops/textstats.hll_registers):
+# md5-derived 60-bit term hashes; low HLL_P bits pick the register, the
+# remaining 54 bits w give rank = trailing_zeros(w) + 1 (w == 0 -> 55,
+# the max). Published = the 2^HLL_P exact-integer register maxima (the
+# float harmonic-mean ESTIMATE is client-side — no libm in the oracle
+# contract). Registers are mergeable by max, so partials combine
+# map-side and the shuffle moves <= 2^HLL_P rows per batch.
+HLL_P = 6

@@ -1490,6 +1490,72 @@ def chunk_documents(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def hll_registers(sf_dir: str) -> pa.Table:
+    """HyperLogLog sketch of the corpus VOCABULARY cardinality — the
+    mergeable distinct-count structure a 100-TB pipeline uses where
+    `table_profile`'s exact distinct shuffle would be prohibitive.
+    DETERMINISTIC and fully SQL-replicable: term hash = md5int60, low
+    HLL_P bits pick the register, rank = trailing_zeros(remaining 54
+    bits) + 1 (0 -> 55), published value = the 2^HLL_P exact int64
+    register MAXIMA (the float harmonic-mean estimate stays
+    client-side — no libm in the contract). Oracle:
+    ``sqlgen.hll_registers_sql`` (trailing zeros via the
+    bit_count((w & -w) - 1) identity on BIGINTs).
+
+    Scale shape: per-batch partials emit <= 2^HLL_P (register,
+    max_rank) rows over the batch's DISTINCT terms (map-side
+    combine), one tiny fixed-cardinality aggregate merges them by
+    max; the vocabulary never gathers anywhere. Registers are
+    mergeable across corpora by the same max — the union-sketch
+    property that makes HLL the scale path."""
+    from snowball_java_ray.constants import HLL_P
+    from snowball_java_ray.ops.dedup import md5int60
+    from snowball_java_ray.ops.dedup import hash_grouped_aggregate
+    from snowball_java_ray.pipelines.api import collect_arrow
+
+    M = 1 << HLL_P
+    MAXRANK = 60 - HLL_P + 1  # w == 0 sentinel rank
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t["text"].combine_chunks(), "")
+        _, flat = tokenize_arrow(texts)
+        terms = pc.unique(flat).to_pylist()
+        regmax = np.zeros(M, np.int64)
+        for term in terms:
+            h = md5int60(term)
+            reg = h % M
+            w = h >> HLL_P
+            rank = (w & -w).bit_length() if w else MAXRANK
+            if rank > regmax[reg]:
+                regmax[reg] = rank
+        hit = np.flatnonzero(regmax)
+        return pa.table(
+            {
+                "register": pa.array(hit.astype(np.int64), pa.int64()),
+                "max_rank": pa.array(regmax[hit], pa.int64()),
+            }
+        )
+
+    merged = collect_arrow(
+        hash_grouped_aggregate(
+            _read_docs(sf_dir).map_batches(partial, batch_format="pyarrow"),
+            ["register"],
+            [("max_rank", "max", "max_rank")],
+        )
+    )
+    # fixed 2^HLL_P-row publish: zero-fill unhit registers
+    out = np.zeros(M, np.int64)
+    out[merged["register"].to_numpy(zero_copy_only=False)] = merged[
+        "max_rank"
+    ].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "register": pa.array(np.arange(M, dtype=np.int64), pa.int64()),
+            "max_rank": pa.array(out, pa.int64()),
+        }
+    )
+
+
 def bloom_probe(sf_dir: str) -> pa.Table:
     """Bloom-filter membership over the corpus vocabulary — the
     probabilistic-data-structure shape with a DETERMINISTIC, fully

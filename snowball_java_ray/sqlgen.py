@@ -557,6 +557,35 @@ _SHINGLES_CTE = _shingles_cte(NGRAM_N)
 _MD5INT60 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
+def hll_registers_sql() -> str:
+    """HyperLogLog register maxima over the analyzed vocabulary
+    (ops/textstats.hll_registers): md5int60 hash, low HLL_P bits =
+    register, rank = trailing_zeros(w) + 1 via the exact BIGINT
+    identity bit_count((w & -w) - 1); w = 0 publishes the sentinel
+    max rank. Pure integer ops — bitwise-identical on both engines."""
+    from snowball_java_ray.constants import HLL_P
+
+    m = 1 << HLL_P
+    maxrank = 60 - HLL_P + 1
+    h = _MD5INT60.format(expr="term")
+    return f"""
+WITH {tokenize_cte()},
+vocab AS (SELECT DISTINCT term FROM toks),
+hx AS (SELECT {h} AS h FROM vocab),
+rw AS (SELECT h % {m} AS register, h >> {HLL_P} AS w FROM hx),
+rk AS (SELECT register,
+              CASE WHEN w = 0 THEN {maxrank}
+                   ELSE bit_count((w & -w) - 1) + 1 END AS rank
+       FROM rw),
+regs AS (SELECT register, max(rank) AS max_rank FROM rk GROUP BY register)
+SELECT t.register,
+       CAST(coalesce(regs.max_rank, 0) AS BIGINT) AS max_rank
+FROM generate_series(0, {m - 1}) AS t(register)
+LEFT JOIN regs ON regs.register = t.register
+ORDER BY t.register
+"""
+
+
 def dedup_exact_sql() -> str:
     return """
 SELECT md5(text) AS content_md5,

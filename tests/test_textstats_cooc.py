@@ -103,6 +103,41 @@ def test_dup_clusters_connected_components(ray_session):
         assert lbl[a] == lbl[b]
 
 
+def test_hll_registers_matches_duckdb_and_merges(ray_session, tmp_path):
+    """HLL registers vs the oracle at sf0.001, plus the union-sketch
+    property: registers of two disjoint half-corpora merged by max ==
+    registers of the full corpus (what makes HLL the mergeable scale
+    path)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from snowball_java_ray.ops.textstats import hll_registers
+    from snowball_java_ray.sqlgen import hll_registers_sql
+
+    got = hll_registers(SF_TINY).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_TINY}/documents.parquet'"
+    )
+    exp = con.execute(hll_registers_sql()).df()
+    assert got["register"].tolist() == exp["register"].tolist()
+    assert got["max_rank"].tolist() == exp["max_rank"].tolist()
+    assert (got["max_rank"] >= 0).all() and (got["max_rank"] <= 55).all()
+
+    full = pq.read_table(f"{SF_TINY}/documents.parquet")
+    half = full.num_rows // 2
+    d1, d2 = tmp_path / "h1", tmp_path / "h2"
+    d1.mkdir(); d2.mkdir()
+    pq.write_table(full.slice(0, half), str(d1 / "documents.parquet"))
+    pq.write_table(full.slice(half), str(d2 / "documents.parquet"))
+    a = hll_registers(str(d1)).to_pandas()["max_rank"].to_numpy()
+    b = hll_registers(str(d2)).to_pandas()["max_rank"].to_numpy()
+    assert (
+        np.maximum(a, b) == got["max_rank"].to_numpy()
+    ).all()
+
+
 def test_pagerank_matches_duckdb_and_invariants(ray_session):
     """Exact-int PageRank vs the unrolled SQL oracle at sf0.001;
     structural invariants: every rank >= the damping base, node set ==

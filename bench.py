@@ -533,6 +533,27 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     ngram_jaccard_pairs(SF_DIR).count()
     timings["dedup_jaccard"] = time.perf_counter() - t0
+    # round-4 op legs (raw sf tables, driver-gate scale)
+    from snowball_java_ray.ops.dedup import pagerank
+    from snowball_java_ray.ops.textstats import (
+        gopher_rules,
+        hll_registers,
+        text_clean,
+    )
+
+    t0 = time.perf_counter()
+    gopher_rules(SF_DIR).count()
+    timings["gopher_rules"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    text_clean(SF_DIR).count()
+    timings["text_clean"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    hll_registers(SF_DIR).num_rows
+    timings["hll_registers"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pagerank(SF_DIR).count()
+    timings["pagerank"] = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     n_ann = ann_topk(SF_DIR).count()
     timings["ann_topk"] = time.perf_counter() - t0

@@ -216,6 +216,55 @@ def test_salted_bucketed_join_identical(ray_session):
     assert plain[sorted(plain.columns)].equals(salted[sorted(salted.columns)])
 
 
+def test_bucketed_join_equals_pandas_merge_randomized(ray_session):
+    """The Acero bucketed join == a driver-side pandas inner merge on
+    randomized frames covering the contract's edge shapes: duplicate
+    keys (row multiplication), keys present on only one side,
+    single-side-empty buckets, a fully empty side, and differing key
+    names."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from snowball_java_ray.ops.joins import bucketed_hash_join
+
+    rng = np.random.default_rng(1234)
+    for trial, (nl, nr, kmax) in enumerate(
+        [(200, 150, 30), (50, 400, 10), (300, 0, 20), (1, 1, 1)]
+    ):
+        left = pd.DataFrame(
+            {
+                "k": rng.integers(0, kmax + 1, nl),
+                "lv": rng.integers(-(10**6), 10**6, nl),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k2": rng.integers(0, kmax + 1, nr) if nr else
+                np.array([], np.int64),
+                "rv": rng.integers(-(10**6), 10**6, nr) if nr else
+                np.array([], np.int64),
+            }
+        )
+        got = bucketed_hash_join(
+            ray.data.from_arrow(pa.Table.from_pandas(left)),
+            ray.data.from_arrow(pa.Table.from_pandas(right)),
+            "k",
+            "k2",
+            n_buckets=4,
+        ).to_pandas()
+        want = left.merge(right, left_on="k", right_on="k2")
+        assert len(got) == len(want), trial
+        if len(want):
+            cols = sorted(want.columns)
+            g = got[cols].sort_values(cols, ignore_index=True)
+            w = want[cols].sort_values(cols, ignore_index=True)
+            for c in cols:
+                assert (g[c].values == w[c].values).all(), (trial, c)
+                assert str(g[c].dtype) == "int64", (trial, c)
+
+
 def test_compact_chunks_ds_equals_driver_compactor(ray_session, tmp_path):
     """The distributed segment merge == the driver-side compactor ==
     scoring-identical to a single-shot build."""

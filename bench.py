@@ -614,12 +614,10 @@ def host_cpu_probe(secs: float = 6.0) -> dict:
     degraded engine."""
     import multiprocessing as mp
 
-    def spin(seconds, q):
-        t0 = time.perf_counter()
-        x = 0
-        while time.perf_counter() - t0 < seconds:
-            x += 1
-        q.put(x)
+    # ONE spin kernel shared with the standalone probe (the two
+    # probes differ only in leg shape, not methodology)
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from effective_cores import spin
 
     def leg(nproc):
         q = mp.Queue()

@@ -747,6 +747,40 @@ def embed_dup_pairs_lsh(
     )
 
 
+def node_settle(n_nodes: int):
+    """Block-hygiene repartitioner for iterative node-table loops
+    (connected_components / pagerank): returns a settle(ds) that
+    repartitions to a FIXED count — one block per ~2M node rows,
+    floored at ``join_partitions()`` — and materializes. Sized from
+    the NODE population, not edges (dense graphs would otherwise
+    fragment node tables by the average degree)."""
+    P = max(join_partitions(), int(n_nodes // 2_000_000) + 1)
+
+    def settle(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.repartition(P).materialize()
+
+    return settle
+
+
+def lsh_edges(sf_dir: str) -> ray.data.Dataset:
+    """Symmetric (src, dst) int64 edge list of the MinHash-LSH
+    candidate graph, materialized — the shared input of the graph
+    operators (dup_clusters' connected components, pagerank)."""
+    pairs = minhash_lsh_candidates(sf_dir)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+
 def connected_components(
     edges: ray.data.Dataset, max_iters: int = 16
 ) -> ray.data.Dataset:
@@ -782,12 +816,6 @@ def connected_components(
     16 giant ones, while tiny graphs stay at the cheap minimum."""
     from snowball_java_ray.ops.joins import bucketed_hash_join
 
-    n_nodes_hint = edges.count()  # edges are materialized by callers
-    P = max(join_partitions(), int(n_nodes_hint // 2_000_000) + 1)
-
-    def settle(ds: ray.data.Dataset) -> ray.data.Dataset:
-        return ds.repartition(P).materialize()
-
     def init_labels(t: pa.Table) -> pa.Table:
         src = t["src"].to_numpy(zero_copy_only=False)
         dst = t["dst"].to_numpy(zero_copy_only=False)
@@ -798,13 +826,17 @@ def connected_components(
             }
         )
 
-    labels = settle(
-        hash_grouped_aggregate(
-            edges.map_batches(init_labels, batch_format="pyarrow"),
-            ["doc"],
-            [("lbl", "min", "lbl")],
-        )
-    )
+    labels = hash_grouped_aggregate(
+        edges.map_batches(init_labels, batch_format="pyarrow"),
+        ["doc"],
+        [("lbl", "min", "lbl")],
+    ).materialize()
+    # size from the NODE population (one row per node in `labels`),
+    # not the edge count — on a dense graph edges ~ nodes x degree and
+    # edge-based sizing would fragment the label table into blocks
+    # avg-degree times too small
+    settle = node_settle(labels.count())
+    labels = settle(labels)
     total = labels.sum("lbl")
     converged = False
 
@@ -876,22 +908,7 @@ def dup_clusters(sf_dir: str, max_iters: int = 16) -> ray.data.Dataset:
     non-convergence instead of returning wrong labels). Oracle:
     ``sqlgen.dup_clusters_sql`` (recursive-CTE transitive closure
     over the same pair SQL)."""
-    import pyarrow.compute as pc
-
-    pairs = minhash_lsh_candidates(sf_dir)
-
-    def to_edges(t: pa.Table) -> pa.Table:
-        a = t["doc_a"].to_numpy(zero_copy_only=False)
-        b = t["doc_b"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "src": pa.array(np.concatenate([a, b]), pa.int64()),
-                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
-            }
-        )
-
-    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
-    labels = connected_components(edges, max_iters=max_iters)
+    labels = connected_components(lsh_edges(sf_dir), max_iters=max_iters)
 
     def rename(t: pa.Table) -> pa.Table:
         return t.select(["doc", "lbl"]).rename_columns(
@@ -931,27 +948,13 @@ def pagerank(sf_dir: str, iters: int | None = None) -> ray.data.Dataset:
     SCALE = PAGERANK_SCALE
     BASE = (15 * SCALE) // 100
 
-    pairs = minhash_lsh_candidates(sf_dir)
-
-    def to_edges(t: pa.Table) -> pa.Table:
-        a = t["doc_a"].to_numpy(zero_copy_only=False)
-        b = t["doc_b"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "src": pa.array(np.concatenate([a, b]), pa.int64()),
-                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
-            }
-        )
-
-    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
-    P = max(join_partitions(), int(edges.count() // 2_000_000) + 1)
-
-    def settle(ds: ray.data.Dataset) -> ray.data.Dataset:
-        return ds.repartition(P).materialize()
-
-    deg = settle(
-        hash_grouped_aggregate(edges, ["src"], [("", "count_all", "d")])
-    )
+    edges = lsh_edges(sf_dir)
+    deg = hash_grouped_aggregate(
+        edges, ["src"], [("", "count_all", "d")]
+    ).materialize()
+    # one row per node in `deg` -> node-population settle sizing
+    settle = node_settle(deg.count())
+    deg = settle(deg)
     # attach out-degree to every edge once (the join key "src" is the
     # same name on both sides; Acero coalesces it)
     edged = settle(bucketed_hash_join(edges, deg, "src", "src"))

@@ -22,11 +22,19 @@ import ray.data
 def _bucket_of(values: np.ndarray, n_buckets: int) -> np.ndarray:
     """Deterministic vectorized bucket hash. Bucket identity never
     surfaces in results (the union of per-bucket joins is the same
-    row set under ANY hash), so the only contract is that both join
-    sides use the same function; ``pd.util.hash_array`` (fixed-key
+    row set under ANY hash), so the contract is that EQUAL KEYS on
+    the two sides hash equally; ``pd.util.hash_array`` (fixed-key
     siphash, stable across processes/runs) replaces the r3 per-row
     md5 Python loop — that loop ran once per joined row on both
-    sides and was the joins' hottest scalar code."""
+    sides and was the joins' hottest scalar code. hash_array is
+    dtype-sensitive (int32(-5) and int64(-5) hash differently), so
+    keys are normalized to a canonical width first — without this, a
+    join whose sides carry the same values at different widths would
+    silently bucket them apart and drop matching rows."""
+    if values.dtype.kind in "iu":
+        values = values.astype(np.int64, copy=False)
+    elif values.dtype.kind == "f":
+        values = values.astype(np.float64, copy=False)
     h = pd.util.hash_array(values, categorize=False)
     return (h % np.uint64(n_buckets)).astype(np.int64)
 
@@ -159,7 +167,9 @@ def customer_order_totals(sf_dir: str) -> ray.data.Dataset:
             {
                 "c_custkey": t["c_custkey"].cast(pa.int64()),
                 "price_c": pc.cast(
-                    pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+                    pc.floor(
+                        pc.add(pc.multiply(t["o_totalprice"], 100.0), 0.5)
+                    ), pa.int64()
                 ),
             }
         )

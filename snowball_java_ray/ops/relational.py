@@ -19,6 +19,7 @@ Join strategy notes (SURVEY.md §2.4):
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -49,8 +50,8 @@ def q1_pricing(sf_dir: str) -> ray.data.Dataset:
         t = t.filter(
             pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02")))
         )
-        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
-        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        price_c = pc.cast(pc.floor(pc.add(pc.multiply(t["l_extendedprice"], 100.0), 0.5)), pa.int64())
+        disc_c = pc.cast(pc.floor(pc.add(pc.multiply(t["l_discount"], 100.0), 0.5)), pa.int64())
         disc4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
         return pa.table(
             {
@@ -139,8 +140,8 @@ def order_revenue_by_priority(sf_dir: str) -> ray.data.Dataset:
     line item."""
 
     def revenue_partial(t: pa.Table) -> pa.Table:
-        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
-        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        price_c = pc.cast(pc.floor(pc.add(pc.multiply(t["l_extendedprice"], 100.0), 0.5)), pa.int64())
+        disc_c = pc.cast(pc.floor(pc.add(pc.multiply(t["l_discount"], 100.0), 0.5)), pa.int64())
         rev4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
         tmp = pa.table({"l_orderkey": t["l_orderkey"], "rev4": rev4})
         return tmp.group_by("l_orderkey").aggregate([("rev4", "sum")]).rename_columns(
@@ -251,7 +252,7 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
                     0, 19,
                 ),
                 "cents": pc.cast(
-                    pc.round(pc.multiply(t["value"], 100.0)), pa.int64()
+                    pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)), pa.int64()
                 ),
             }
         )
@@ -289,7 +290,7 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
 
     def sessionize_partition(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts"], kind="mergesort")
-        g["cents"] = (g["value"] * 100.0).round().astype("int64")
+        g["cents"] = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype("int64")
         new_user = g["user_id"].ne(g["user_id"].shift())
         gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
         new_session = new_user | gap
@@ -346,7 +347,7 @@ def events_sliding(sf_dir: str, window_min: int = 60, slide_min: int = 30) -> ra
 
     def assign(t: pa.Table) -> pa.Table:
         ts = t["ts"].to_numpy(zero_copy_only=False)
-        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)), pa.int64())
         # epoch minutes, floored to slide grid
         mins = ts.astype("datetime64[m]").astype("int64")
         base = (mins // slide_min) * slide_min
@@ -502,10 +503,10 @@ def q3_shipping(sf_dir: str) -> pa.Table:
 
     def revenue_partial(t: pa.Table) -> pa.Table:
         price_c = pc.cast(
-            pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()
+            pc.floor(pc.add(pc.multiply(t["l_extendedprice"], 100.0), 0.5)), pa.int64()
         )
         disc_c = pc.cast(
-            pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64()
+            pc.floor(pc.add(pc.multiply(t["l_discount"], 100.0), 0.5)), pa.int64()
         )
         rev4 = pc.multiply(
             price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c)
@@ -668,10 +669,10 @@ def q5_region_revenue(sf_dir: str) -> pa.Table:
                  "rev4": pa.array([], pa.int64())}
             )
         price_c = pc.cast(
-            pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()
+            pc.floor(pc.add(pc.multiply(t["l_extendedprice"], 100.0), 0.5)), pa.int64()
         )
         disc_c = pc.cast(
-            pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64()
+            pc.floor(pc.add(pc.multiply(t["l_discount"], 100.0), 0.5)), pa.int64()
         )
         rev4 = pc.multiply(
             price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c)
@@ -771,10 +772,10 @@ def promo_share_monthly(sf_dir: str) -> pa.Table:
         hit = keys[idx] == lp
         is_promo = np.where(hit, flags[idx], False)
         price_c = pc.cast(
-            pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()
+            pc.floor(pc.add(pc.multiply(t["l_extendedprice"], 100.0), 0.5)), pa.int64()
         )
         disc_c = pc.cast(
-            pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64()
+            pc.floor(pc.add(pc.multiply(t["l_discount"], 100.0), 0.5)), pa.int64()
         )
         rev4 = pc.multiply(
             price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c)
@@ -989,7 +990,7 @@ def events_attribution(sf_dir: str, window_min: int | None = None) -> ray.data.D
         ct = c["ts"].to_numpy().astype("datetime64[us]").astype("int64")
         pu = p["user_id"].to_numpy().astype("int64")
         pt = p["ts"].to_numpy().astype("datetime64[us]").astype("int64")
-        v_c = np.round(p["value"].to_numpy() * 100.0).astype("int64")
+        v_c = np.floor(p["value"].to_numpy() * 100.0 + 0.5).astype("int64")
         # dense user ordinals over the union (raw user ids may be huge)
         uniq, inv = np.unique(np.concatenate([cu, pu]), return_inverse=True)
         cuo, puo = inv[: len(cu)], inv[len(cu):]
@@ -1196,7 +1197,7 @@ def events_running_total(sf_dir: str) -> ray.data.Dataset:
                 "event_id": g["event_id"].to_numpy(),
                 "ts_us": g["ts"].to_numpy().astype("datetime64[us]")
                 .astype("int64"),
-                "v_c": np.round(g["value"].to_numpy() * 100.0).astype(
+                "v_c": np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype(
                     "int64"
                 ),
             }
@@ -1243,7 +1244,7 @@ def events_pivot(sf_dir: str) -> ray.data.Dataset:
         for ty in PIVOT_EVENT_TYPES:
             cols[f"n_{ty}"] = pc.cast(pc.equal(et, ty), pa.int64())
         cents = pc.cast(
-            pc.round(pc.multiply(t["value"], pa.scalar(100.0))),
+            pc.floor(pc.add(pc.multiply(t["value"], pa.scalar(100.0)), pa.scalar(0.5))),
             pa.int64(),
         )
         is_p = pc.cast(pc.equal(et, "purchase"), pa.int64())
@@ -1499,7 +1500,7 @@ def orders_histogram(sf_dir: str) -> ray.data.Dataset:
     def partial(t: pa.Table) -> pa.Table:
         x = t["o_totalprice"].to_numpy(zero_copy_only=False)
         bucket = np.floor(x / ORDER_HIST_WIDTH).astype(np.int64)
-        cents = np.round(x * 100.0).astype(np.int64)
+        cents = np.floor(x * 100.0 + 0.5).astype(np.int64)
         flat = pa.table(
             {
                 "bucket": pa.array(bucket, pa.int64()),
@@ -1819,7 +1820,7 @@ def events_rollup(sf_dir: str) -> pa.Table:
             0, 10,
         )
         cents = pc.cast(
-            pc.round(pc.multiply(t["value"], pa.scalar(100.0))),
+            pc.floor(pc.add(pc.multiply(t["value"], pa.scalar(100.0)), pa.scalar(0.5))),
             pa.int64(),
         )
         flat = pa.table(
@@ -1903,14 +1904,14 @@ def top_sessions(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
         new_session = new_user | gap
         gsid = new_session.cumsum()
         first_of_user = gsid.where(new_user).ffill()
-        cents = (g["value"] * 100.0).round().astype("int64")
+        cents = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype("int64")
         agg = (
             pd.DataFrame(
                 {
                     "user_id": g["user_id"].to_numpy(),
                     "session_id": (gsid - first_of_user).astype("int64")
                     .to_numpy(),
-                    "cents": cents.to_numpy(),
+                    "cents": cents,
                     "__gsid": gsid.to_numpy(),
                 }
             )

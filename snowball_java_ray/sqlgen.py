@@ -124,10 +124,10 @@ def q1_pricing_sql() -> str:
     return """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
-       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
          AS sum_base_price,
-       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000
          AS sum_disc_price,
        round(avg(l_quantity), 6) AS avg_qty,
        count(*) AS count_order
@@ -156,8 +156,8 @@ def order_revenue_by_priority_sql() -> str:
     return """
 WITH per_order AS (
   SELECT l_orderkey,
-         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev4
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS rev4
   FROM lineitem GROUP BY l_orderkey
 )
 SELECT o.o_orderpriority,
@@ -197,8 +197,8 @@ o AS (
 ),
 l AS (
   SELECT l_orderkey,
-         CAST(round(l_extendedprice * 100) AS BIGINT)
-         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+         * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev4
   FROM lineitem WHERE l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
 ),
 j AS (
@@ -274,7 +274,7 @@ def events_hourly_sql() -> str:
 SELECT event_type,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
 FROM events
 GROUP BY event_type, date_trunc('hour', ts)
 ORDER BY event_type, window_start
@@ -305,7 +305,7 @@ SELECT user_id, session_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
 FROM sessions
 GROUP BY user_id, session_id
 ORDER BY user_id, session_id
@@ -327,7 +327,7 @@ WITH exploded AS (
 SELECT event_type,
        strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
 FROM exploded
 GROUP BY event_type, window_start
 ORDER BY event_type, window_start
@@ -376,7 +376,7 @@ WITH c AS (
   SELECT user_id, ts FROM events WHERE event_type = '{ASOF_RIGHT_EVENT}'
 ),
 p AS (
-  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS v_c
+  SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
   FROM events WHERE event_type = '{ASOF_LEFT_EVENT}'
 )
 SELECT p.user_id, count(*) AS n_pairs,
@@ -421,7 +421,7 @@ def events_running_total_sql() -> str:
     window sum — same CAST as the engine)."""
     return """
 SELECT user_id, event_id,
-       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
          ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100 AS running_value
 FROM events
@@ -1765,7 +1765,11 @@ def text_clean_sql() -> str:
     """URL/email scrub accounting (ops/textstats.text_clean). Same
     RE2 patterns through DuckDB regexp_replace(..., 'g'); counts via
     len(regexp_extract_all). All columns exact int64."""
-    from snowball_java_ray.ops.textstats import EMAIL_PATTERN, URL_PATTERN
+    from snowball_java_ray.ops.textstats import (
+        _WS_RUN,
+        EMAIL_PATTERN,
+        URL_PATTERN,
+    )
 
     return f"""
 SELECT doc_id,
@@ -1777,7 +1781,7 @@ SELECT doc_id,
        CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(
               coalesce(text, ''), '{URL_PATTERN}', '', 'g'),
               '{EMAIL_PATTERN}', '', 'g'),
-              '[ \t\r\n]+', ' ', 'g'), ' ')) AS BIGINT) AS clean_chars
+              '{_WS_RUN}', ' ', 'g'), ' ')) AS BIGINT) AS clean_chars
 FROM documents ORDER BY doc_id
 """
 
@@ -2644,7 +2648,7 @@ def events_pivot_sql() -> str:
 SELECT user_id,
        {counts},
        CAST(sum(CASE WHEN event_type = 'purchase'
-                THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
             AS DOUBLE) / 100 AS purchase_value
 FROM events GROUP BY user_id ORDER BY user_id
 """
@@ -3082,7 +3086,7 @@ def orders_histogram_sql() -> str:
     return f"""
 SELECT CAST(floor(o_totalprice / {ORDER_HIST_WIDTH!r}) AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
          / 100 AS total_value
 FROM orders GROUP BY bucket ORDER BY bucket
 """
@@ -3230,7 +3234,7 @@ def events_rollup_sql() -> str:
 WITH e AS (
   SELECT event_type,
          strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-         CAST(round(value * 100) AS BIGINT) AS cents
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
   FROM events
 )
 SELECT event_type, day,
@@ -3522,7 +3526,7 @@ sessions AS (
 agg AS (
   SELECT user_id, session_id,
          CAST(count(*) AS BIGINT) AS n_events,
-         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
   FROM sessions GROUP BY user_id, session_id
 ),
 ranked AS (
@@ -3608,9 +3612,9 @@ def events_regression_sql() -> str:
 WITH s AS (
   SELECT count(*) AS n,
          sum(CAST(hour(ts) AS HUGEINT)) AS sx,
-         sum(CAST(round(value * 100) AS HUGEINT)) AS sy,
+         sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS sy,
          sum(CAST(hour(ts) AS HUGEINT)
-             * CAST(round(value * 100) AS HUGEINT)) AS sxy,
+             * CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS sxy,
          sum(CAST(hour(ts) AS HUGEINT)
              * CAST(hour(ts) AS HUGEINT)) AS sxx
   FROM events

@@ -86,16 +86,20 @@ for name in sorted(qs):
                         status = f"FLOAT {c} [{i}]: {a[i]!r} vs {b[i]!r}"; break
                 elif gc.astype(str).tolist() != wc.astype(str).tolist():
                     status = f"VALUES {c}"; break
+            # dtype check (driver compares schema) — runs even when an
+            # offgrid warn will decorate the status below (the r4a bug:
+            # the warn set status != "OK" first and short-circuited
+            # this loop, silently skipping dtype checks for any entry
+            # with a raw-float column)
+            if status == "OK":
+                for c in g.columns:
+                    if str(got[c].dtype) != str(want[c].dtype):
+                        status = f"DTYPE {c}: {got[c].dtype} vs {want[c].dtype}"; break
             if status == "OK":
                 og = offgrid(got)
                 if og:
                     warns.append((name, f"OFFGRID {','.join(og)}"))
                     status = f"OK (offgrid warn: {','.join(og)})"
-            # dtype check (driver compares schema)
-            for c in g.columns:
-                if status != "OK": break
-                if str(got[sorted(got.columns).index(c) if False else c].dtype if False else got[c].dtype) != str(want[c].dtype):
-                    status = f"DTYPE {c}: {got[c].dtype} vs {want[c].dtype}"
     if not status.startswith("OK"): fails.append((name, status))
     print(f"{name:28s} {status:30s} {len(got):7d} rows {time.time()-t0:5.1f}s")
 print("\nOFFGRID WARNINGS:", len(warns))

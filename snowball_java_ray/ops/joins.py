@@ -47,8 +47,14 @@ def bucketed_hash_join(
     n_buckets: int = 16,
     salt: int = 1,
     salt_on: str | None = None,
+    join_type: str = "inner",
 ) -> ray.data.Dataset:
-    """Inner join, hash-partitioned on the key. Both sides are tagged
+    """Hash-partitioned join (``join_type``: "inner" or "left outer").
+    Unlike Ray's native hash-shuffle ``Dataset.join`` — which raises
+    ArrowInvalid when a partition's right side comes up EMPTY and
+    schema-less (observed at sf0.001 in curated_corpus) — the
+    schema-capture + null-fill below makes one-sided buckets
+    well-defined for every join type. Both sides are tagged
     with a bucket column and a side marker (the right side's data
     columns are ``__r__``-prefixed so the union schema is disjoint and
     each side is recoverable without guessing), unioned, grouped by
@@ -130,7 +136,7 @@ def bucketed_hash_join(
             rg,
             keys=[left_on],
             right_keys=[right_on],
-            join_type="inner",
+            join_type=join_type,
             right_suffix="_r",
             use_threads=False,
         )

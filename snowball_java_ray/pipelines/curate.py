@@ -94,8 +94,14 @@ def curated_corpus(sf_dir: str) -> ray.data.Dataset:
         .materialize()  # probed twice: survivor join + final anti-join
     )
 
-    surv_docs = docs.join(
-        keep_ds, join_type="inner", num_partitions=n_part, on=("doc_id",)
+    # engine bucketed join, not Ray's native Dataset.join: the native
+    # hash-shuffle join raises ArrowInvalid when a partition's right
+    # side is empty/schema-less (bites at sf0.001 where the drop set
+    # is tiny); bucketed_hash_join null-fills one-sided buckets
+    from snowball_java_ray.ops.joins import bucketed_hash_join
+
+    surv_docs = bucketed_hash_join(
+        docs, keep_ds, "doc_id", "doc_id", n_buckets=n_part
     )
 
     pairs = dd.minhash_lsh_pairs_ds(surv_docs)
@@ -113,8 +119,9 @@ def curated_corpus(sf_dir: str) -> ray.data.Dataset:
         [("__drop", "min", "__drop")],
     )
 
-    survivors = keep_ds.join(
-        dropped, join_type="left_outer", num_partitions=n_part, on=("doc_id",)
+    survivors = bucketed_hash_join(
+        keep_ds, dropped, "doc_id", "doc_id",
+        n_buckets=n_part, join_type="left outer",
     )
 
     def alive(t: pa.Table) -> pa.Table:

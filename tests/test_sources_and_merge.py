@@ -263,6 +263,24 @@ def test_bucketed_join_equals_pandas_merge_randomized(ray_session):
             for c in cols:
                 assert (g[c].values == w[c].values).all(), (trial, c)
                 assert str(g[c].dtype) == "int64", (trial, c)
+        # left-outer path (the sf0.001 curated_corpus shape: right
+        # side possibly empty, unmatched left rows null-extended)
+        gout = bucketed_hash_join(
+            ray.data.from_arrow(pa.Table.from_pandas(left)),
+            ray.data.from_arrow(pa.Table.from_pandas(right)),
+            "k",
+            "k2",
+            n_buckets=4,
+            join_type="left outer",
+        ).to_pandas()
+        wout = left.merge(right, left_on="k", right_on="k2", how="left")
+        assert len(gout) == len(wout), trial
+        gl = gout.sort_values(["k", "lv"], ignore_index=True)
+        wl = wout.sort_values(["k", "lv"], ignore_index=True)
+        assert (gl["k"].values == wl["k"].values).all(), trial
+        assert (
+            gl["rv"].isna().sum() == wl["rv"].isna().sum()
+        ), trial
 
 
 def test_compact_chunks_ds_equals_driver_compactor(ray_session, tmp_path):

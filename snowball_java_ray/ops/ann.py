@@ -410,6 +410,17 @@ def embed_quantize(sf_dir: str) -> ray.data.Dataset:
         mat = np.stack(
             t["embedding"].to_numpy(zero_copy_only=False)
         ).astype(np.float64)
+        # A NaN/Inf coordinate makes maxabs non-finite and floor(NaN)
+        # an arbitrary int64 here, while the DuckDB oracle's BIGINT
+        # cast raises — fail loudly so both engines agree on bad input
+        if not np.isfinite(mat).all():
+            bad = t["vec_id"].to_numpy(zero_copy_only=False)[
+                ~np.isfinite(mat).all(axis=1)
+            ]
+            raise ValueError(
+                f"embed_quantize: non-finite embedding values in "
+                f"vec_ids {bad[:5].tolist()}"
+            )
         maxabs = np.abs(mat).max(axis=1)
         safe = np.where(maxabs > 0, maxabs, 1.0)
         q = np.floor(mat * 127.0 / safe[:, None] + 0.5).astype(np.int64)
@@ -421,7 +432,10 @@ def embed_quantize(sf_dir: str) -> ray.data.Dataset:
                     np.full(mat.shape[0], mat.shape[1], np.int64),
                     pa.int64(),
                 ),
-                "maxabs": pa.array(maxabs, pa.float64()),
+                # published on the 6-dp grid (raw maxabs stays the
+                # quantizer scale; only the audit column is rounded,
+                # identically on the oracle side)
+                "maxabs": pa.array(np.round(maxabs, 6), pa.float64()),
                 "sum_q": pa.array(q.sum(axis=1), pa.int64()),
                 "sum_q_abs": pa.array(
                     np.abs(q).sum(axis=1), pa.int64()

@@ -941,6 +941,29 @@ def pagerank(sf_dir: str, iters: int | None = None) -> ray.data.Dataset:
     repartition (same block-hygiene lesson as connected_components).
     Rank tables are one row per node — never more than the label
     table of CC."""
+    out = pagerank_over(lsh_edges(sf_dir), iters=iters)
+
+    def publish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc"],
+                "deg": t["d"],
+                "pagerank": t["r"],
+            }
+        )
+
+    return out.map_batches(publish, batch_format="pyarrow").sort("doc_id")
+
+
+def pagerank_over(
+    edges: ray.data.Dataset, iters: int | None = None
+) -> ray.data.Dataset:
+    """PageRank power method over an arbitrary SYMMETRIC (src, dst)
+    int64 edge Dataset (see ``pagerank`` for the exact-int contract);
+    returns unsorted (doc, d, r) node rows. Split out so the graph
+    bench can run the identical machinery over the synthetic
+    million-node graph (``sources.graphgen``), not just the LSH dup
+    graph."""
     from snowball_java_ray.constants import PAGERANK_ITERS, PAGERANK_SCALE
     from snowball_java_ray.ops.joins import bucketed_hash_join
 
@@ -948,7 +971,6 @@ def pagerank(sf_dir: str, iters: int | None = None) -> ray.data.Dataset:
     SCALE = PAGERANK_SCALE
     BASE = (15 * SCALE) // 100
 
-    edges = lsh_edges(sf_dir)
     deg = hash_grouped_aggregate(
         edges, ["src"], [("", "count_all", "d")]
     ).materialize()
@@ -996,18 +1018,7 @@ def pagerank(sf_dir: str, iters: int | None = None) -> ray.data.Dataset:
         )
         ranks = settle(sums.map_batches(damp, batch_format="pyarrow"))
 
-    out = bucketed_hash_join(ranks, deg, "doc", "src")
-
-    def publish(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": t["doc"],
-                "deg": t["d"],
-                "pagerank": t["r"],
-            }
-        )
-
-    return out.map_batches(publish, batch_format="pyarrow").sort("doc_id")
+    return bucketed_hash_join(ranks, deg, "doc", "src")
 
 
 def canonical_docs(sf_dir: str) -> pa.Table:

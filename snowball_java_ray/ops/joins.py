@@ -35,6 +35,12 @@ def _bucket_of(values: np.ndarray, n_buckets: int) -> np.ndarray:
         values = values.astype(np.int64, copy=False)
     elif values.dtype.kind == "f":
         values = values.astype(np.float64, copy=False)
+        # hash_array hashes BIT PATTERNS, but join equality is value
+        # equality: -0.0 == 0.0 yet their patterns hash apart, which
+        # would silently bucket matching rows into different groups
+        # and drop pairs. Canonicalize the zero. (NaN keys are out of
+        # contract for join keys — NaN equals nothing either way.)
+        values = np.where(values == 0.0, 0.0, values)
     h = pd.util.hash_array(values, categorize=False)
     return (h % np.uint64(n_buckets)).astype(np.int64)
 
@@ -126,6 +132,15 @@ def bucketed_hash_join(
         lg = g.filter(is_l).select(lcols)
         rg = g.filter(pc.invert(is_l)).select(rcols)
         rg = rg.rename_columns([c[len("__r__"):] for c in rcols])
+        # Match marker for the restored-right-key fixup below: every
+        # genuine right row carries true, so after an outer join a
+        # null marker identifies an UNMATCHED left row — whose right
+        # key must be NULL, not a copy of the left key.
+        restore_key = right_on != left_on
+        if restore_key and join_type != "inner":
+            rg = rg.append_column(
+                "__m__", pa.array(np.ones(len(rg), dtype=bool))
+            )
         # use_threads=False pins the join's output row order — Acero's
         # threaded hash join emits rows in a nondeterministic order,
         # and the engine's determinism contract is byte-identical
@@ -142,9 +157,22 @@ def bucketed_hash_join(
         )
         # Acero coalesces a differently-named right key away; the
         # pandas contract kept both — restore it for consumers that
-        # select by the right-side name
-        if right_on != left_on and right_on not in out.column_names:
-            out = out.append_column(right_on, out[left_on])
+        # select by the right-side name. On outer joins the restored
+        # key is the left key masked by the match marker (NULL where
+        # no right row matched), matching pandas-merge semantics.
+        if restore_key and right_on not in out.column_names:
+            if join_type == "inner":
+                out = out.append_column(right_on, out[left_on])
+            else:
+                key_typ = out.schema.field(left_on).type
+                restored = pc.if_else(
+                    pc.is_valid(out["__m__"]),
+                    out[left_on].combine_chunks(),
+                    pa.scalar(None, type=key_typ),
+                )
+                out = out.append_column(right_on, restored)
+        if "__m__" in out.column_names:
+            out = out.drop_columns(["__m__"])
         return out
 
     return lt.union(rt).groupby("__bucket").map_groups(

@@ -1972,7 +1972,7 @@ def events_regression(sf_dir: str) -> pa.Table:
     precision.)"""
     import numpy as np
 
-    from snowball_java_ray.constants import RANK_ROUND_DECIMALS
+    from snowball_java_ray.constants import SCORE_ROUND_DECIMALS
     from snowball_java_ray.pipelines.api import collect_arrow
 
     def partial(t: pa.Table) -> pa.Table:
@@ -2011,10 +2011,10 @@ def events_regression(sf_dir: str) -> pa.Table:
         {
             "n": pa.array([n], pa.int64()),
             "slope": pa.array(
-                [round(slope, RANK_ROUND_DECIMALS)], pa.float64()
+                [round(slope, SCORE_ROUND_DECIMALS)], pa.float64()
             ),
             "intercept": pa.array(
-                [round(intercept, RANK_ROUND_DECIMALS)], pa.float64()
+                [round(intercept, SCORE_ROUND_DECIMALS)], pa.float64()
             ),
         }
     )
@@ -2034,7 +2034,7 @@ def corr_matrix(sf_dir: str) -> pa.Table:
 
     from snowball_java_ray.constants import (
         CORR_COLUMNS,
-        RANK_ROUND_DECIMALS,
+        SCORE_ROUND_DECIMALS,
     )
     from snowball_java_ray.pipelines.api import collect_arrow
 
@@ -2112,7 +2112,10 @@ def corr_matrix(sf_dir: str) -> pa.Table:
         )
         rows["col_a"].append(a)
         rows["col_b"].append(b)
-        rows["corr"].append(round(corr, RANK_ROUND_DECIMALS))
+        # published on the 6-dp SCORE grid (r4 off-grid detector hit:
+        # the previous 9-dp rank grid is finer than the published-float
+        # contract the driver-hash risk analysis assumes)
+        rows["corr"].append(round(corr, SCORE_ROUND_DECIMALS))
     tbl = pa.table(
         {
             "col_a": pa.array(rows["col_a"], pa.string()),
@@ -2175,10 +2178,11 @@ def nation_revenue_share(sf_dir: str) -> pa.Table:
     total = int(agg["cents"].sum())
     agg["n_name"] = [nmap[int(k)] for k in agg["n_nationkey"]]
     agg["revenue"] = agg["cents"].astype("float64") / 100.0
-    agg["share"] = np.round(
-        agg["cents"].to_numpy().astype("float64") / float(total),
-        RANK_ROUND_DECIMALS,
-    )
+    # 6-dp floor quantizer, mirrored verbatim in the oracle
+    agg["share"] = np.floor(
+        agg["cents"].to_numpy().astype("float64") / float(total) * 1e6
+        + 0.5
+    ) / 1e6
     agg = agg.sort_values("n_name").reset_index(drop=True)
     return pa.table(
         {

@@ -1053,12 +1053,22 @@ def gopher_rules(sf_dir: str) -> ray.data.Dataset:
                 "ellipsis_lines": pa.array(ellipsis_lines, pa.int64()),
                 "n_bigrams": pa.array(n_big, pa.int64()),
                 "top_bigram_n": pa.array(top_big, pa.int64()),
+                # fractions on the 6-dp grid via the boundary-proof
+                # floor quantizer (identical expression in the oracle;
+                # round() would half-even vs DuckDB's half-away on
+                # small-int ratios like 1/128)
                 "dup_line_frac": pa.array(
-                    (n_lines - n_distinct).astype(np.float64) / n_lines,
+                    np.floor(
+                        (n_lines - n_distinct).astype(np.float64)
+                        / n_lines * 1e6 + 0.5
+                    ) / 1e6,
                     pa.float64(),
                 ),
                 "top_bigram_frac": pa.array(
-                    top_big.astype(np.float64) / np.maximum(n_big, 1),
+                    np.floor(
+                        top_big.astype(np.float64)
+                        / np.maximum(n_big, 1) * 1e6 + 0.5
+                    ) / 1e6,
                     pa.float64(),
                 ),
             }
@@ -1201,7 +1211,17 @@ def lm_nll(sf_dir: str) -> pa.Table:
         bkey = pc.binary_join_element_wise(w1, w2, SEP)
         c = cs[pc.index_in(bkey, keys).to_numpy(zero_copy_only=False)]
         cp = cps[pc.index_in(w1, pw1).to_numpy(zero_copy_only=False)]
-        # exact-integer scaled inverse probability (see docstring)
+        # exact-integer scaled inverse probability (see docstring).
+        # numpy int64 multiply WRAPS silently on overflow while the
+        # DuckDB twin promotes to HUGEINT and fails its BIGINT cast —
+        # enforce the documented corpus-size limit so an overflow
+        # raises here instead of publishing wrapped values.
+        if len(cp) and int(cp.max()) + int(V) >= (1 << 62) // 1_000_000:
+            raise OverflowError(
+                "lm_nll exact-integer contract exceeded: max prefix "
+                f"count {int(cp.max())} + V {int(V)} would overflow "
+                "int64 at scale 1e6"
+            )
         contrib = ((cp + np.int64(V)) * np.int64(1_000_000)) // (c + 1)
         # per-doc integer sums (docs are atomic rows -> whole doc in
         # this batch); reduceat keeps the sum int64-exact — bincount

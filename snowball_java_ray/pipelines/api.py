@@ -1644,11 +1644,14 @@ def bm25_rank_eval_pipeline(sf_dir: str) -> pa.Table:
     )
     out = nrel.merge(hits, on="query_id", how="left")
     out["hits_k"] = out["hits_k"].fillna(0).astype("int64")
-    out["rr"] = np.where(
-        out["first_rank"].notna(), 1.0 / out["first_rank"], 0.0
-    ).round(RANK_ROUND_DECIMALS)
-    out["recall_k"] = (out["hits_k"] / out["n_rel"]).round(
-        RANK_ROUND_DECIMALS
+    # 6-dp floor quantizer (boundary-proof: round() half-modes differ
+    # between numpy and DuckDB exactly on small-int ratios like 1/128)
+    out["rr"] = np.floor(
+        np.where(out["first_rank"].notna(), 1.0 / out["first_rank"], 0.0)
+        * 1e6 + 0.5
+    ) / 1e6
+    out["recall_k"] = (
+        np.floor((out["hits_k"] / out["n_rel"]).to_numpy() * 1e6 + 0.5) / 1e6
     )
     out = out[
         ["query_id", "n_rel", "hits_k", "rr", "recall_k"]

@@ -19,30 +19,43 @@ from __future__ import annotations
 import pyarrow as pa
 import ray.data
 
-from snowball_java_ray.constants import STOPWORD_SET
-
 MIN_TERMS = 5
 MAX_STOP_RATIO = 0.5
 
 
 def _quality_gate(t: pa.Table) -> pa.Table:
-    import re
-
+    """Vectorized quality gate (VERDICT r4 fix #2): one Arrow surface
+    tokenize per batch + bincount per-row sums — the same kernel
+    recipe as ``textstats.quality_batch`` — replacing the per-row
+    Python ``tokenize()`` loop on the capstone's first full-corpus
+    scan. The stopword threshold compares in exact integers
+    (``stop_hits <= R * n_tok``; for R=0.5 both sides are exact in
+    float64), equivalent to the oracle's unrounded
+    ``n_stop * 1.0 / n_tokens <= R`` at any feasible per-doc token
+    count."""
     import numpy as np
+    import pyarrow.compute as pc
 
-    from snowball_java_ray.constants import TOKEN_SPLIT_PATTERN
-    from snowball_java_ray.functions.text import tokenize
+    from snowball_java_ray.constants import NUMERIC_TOKEN_PATTERN
+    from snowball_java_ray.functions.text import _STOPWORD_ARR, raw_tokens_arrow
 
-    split_re = re.compile(TOKEN_SPLIT_PATTERN)
-    keep = []
-    for x in t["text"].to_pylist():
-        x = x or ""
-        raw = [w for w in split_re.split(x.lower()) if w]
-        n_terms = len(tokenize(x))
-        stop_ratio = (
-            sum(1 for w in raw if w in STOPWORD_SET) / len(raw) if raw else 0.0
-        )
-        keep.append(n_terms >= MIN_TERMS and stop_ratio <= MAX_STOP_RATIO)
+    texts = pc.fill_null(t["text"].combine_chunks(), "")
+    n = len(texts)
+    row_idx, flat = raw_tokens_arrow(texts)
+    stop_mask = pc.is_in(flat, value_set=_STOPWORD_ARR).to_numpy(
+        zero_copy_only=False
+    )
+    num_mask = pc.match_substring_regex(
+        flat, NUMERIC_TOKEN_PATTERN
+    ).to_numpy(zero_copy_only=False)
+    n_tok = np.bincount(row_idx, minlength=n).astype(np.int64)
+    n_terms = np.bincount(
+        row_idx[~num_mask & ~stop_mask], minlength=n
+    ).astype(np.int64)
+    stop_hits = np.bincount(row_idx[stop_mask], minlength=n).astype(np.int64)
+    keep = (n_terms >= MIN_TERMS) & (
+        stop_hits.astype(np.float64) <= MAX_STOP_RATIO * n_tok
+    )
     return t.filter(pa.array(keep))
 
 

@@ -1803,7 +1803,8 @@ q AS (
          END AS q
   FROM x JOIN m ON m.vec_id = x.vec_id
 )
-SELECT m.vec_id, CAST(m.n_dims AS BIGINT) AS n_dims, m.maxabs AS maxabs,
+SELECT m.vec_id, CAST(m.n_dims AS BIGINT) AS n_dims,
+       round(m.maxabs, 6) AS maxabs,
        CAST(sum(q.q) AS BIGINT) AS sum_q,
        CAST(sum(abs(q.q)) AS BIGINT) AS sum_q_abs
 FROM m JOIN q ON q.vec_id = m.vec_id
@@ -1868,10 +1869,12 @@ SELECT d.doc_id,
        CAST(ls.ellipsis_lines AS BIGINT) AS ellipsis_lines,
        CAST(coalesce(bs.n_bigrams, 0) AS BIGINT) AS n_bigrams,
        CAST(coalesce(bs.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
-       CAST(ls.n_lines - ls.n_distinct_lines AS DOUBLE)
-         / CAST(ls.n_lines AS DOUBLE) AS dup_line_frac,
-       CAST(coalesce(bs.top_bigram_n, 0) AS DOUBLE)
+       floor(CAST(ls.n_lines - ls.n_distinct_lines AS DOUBLE)
+         / CAST(ls.n_lines AS DOUBLE) * 1000000 + 0.5) / 1000000
+         AS dup_line_frac,
+       floor(CAST(coalesce(bs.top_bigram_n, 0) AS DOUBLE)
          / CAST(greatest(coalesce(bs.n_bigrams, 0), 1) AS DOUBLE)
+         * 1000000 + 0.5) / 1000000
          AS top_bigram_frac
 FROM documents d
 LEFT JOIN ls ON ls.doc_id = d.doc_id
@@ -2795,9 +2798,10 @@ hits AS (
 SELECT CAST(n.query_id AS BIGINT) AS query_id,
        CAST(n.n_rel AS BIGINT) AS n_rel,
        CAST(coalesce(h.hits_k, 0) AS BIGINT) AS hits_k,
-       round(coalesce(1.0 / h.first_rank, 0.0), {RANK_ROUND_DECIMALS}) AS rr,
-       round(CAST(coalesce(h.hits_k, 0) AS DOUBLE) / n.n_rel,
-             {RANK_ROUND_DECIMALS}) AS recall_k
+       floor(coalesce(1.0 / h.first_rank, 0.0) * 1000000 + 0.5)
+         / 1000000 AS rr,
+       floor(CAST(coalesce(h.hits_k, 0) AS DOUBLE) / n.n_rel
+             * 1000000 + 0.5) / 1000000 AS recall_k
 FROM nrel n LEFT JOIN hits h ON h.query_id = n.query_id
 ORDER BY query_id
 """
@@ -3622,20 +3626,22 @@ WITH s AS (
 SELECT CAST(n AS BIGINT) AS n,
        round(CAST(n * sxy - sx * sy AS DOUBLE)
              / CAST(n * sxx - sx * sx AS DOUBLE),
-             {RANK_ROUND_DECIMALS}) AS slope,
+             {SCORE_ROUND_DECIMALS}) AS slope,
        round((CAST(sy AS DOUBLE)
               - (CAST(n * sxy - sx * sy AS DOUBLE)
                  / CAST(n * sxx - sx * sx AS DOUBLE))
                 * CAST(sx AS DOUBLE))
-             / CAST(n AS DOUBLE), {RANK_ROUND_DECIMALS}) AS intercept
+             / CAST(n AS DOUBLE), {SCORE_ROUND_DECIMALS}) AS intercept
 FROM s
 """
 
 
 def corr_matrix_sql() -> str:
     """Pearson-correlation oracle: exact HUGEINT sufficient statistics
-    per pair, float expression mirroring the engine verbatim."""
-    from snowball_java_ray.constants import CORR_COLUMNS
+    per pair, float expression mirroring the engine verbatim. Published
+    on the 6-dp SCORE grid (both engines round the same exact-integer
+    expression, so the grids coincide bitwise)."""
+    from snowball_java_ray.constants import CORR_COLUMNS, SCORE_ROUND_DECIMALS
 
     cols = [c for c, _ in CORR_COLUMNS]
     scales = dict(CORR_COLUMNS)
@@ -3652,7 +3658,7 @@ def corr_matrix_sql() -> str:
                           - sum({qa}) * sum({qa}) AS DOUBLE))
                 * sqrt(CAST(count(*) * sum({qb} * {qb})
                             - sum({qb}) * sum({qb}) AS DOUBLE))),
-             {RANK_ROUND_DECIMALS}) AS corr
+             {SCORE_ROUND_DECIMALS}) AS corr
 FROM lineitem""")
     body = "\nUNION ALL\n".join(branches)
     return f"SELECT * FROM (\n{body}\n) ORDER BY col_a, col_b\n"
@@ -3904,8 +3910,8 @@ WITH rev AS (
 )
 SELECT n_name,
        CAST(cents AS DOUBLE) / 100 AS revenue,
-       round(CAST(cents AS DOUBLE)
-             / CAST((SELECT sum(cents) FROM rev) AS DOUBLE),
-             {RANK_ROUND_DECIMALS}) AS share
+       floor(CAST(cents AS DOUBLE)
+             / CAST((SELECT sum(cents) FROM rev) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS share
 FROM rev ORDER BY n_name
 """

@@ -281,6 +281,28 @@ def test_bucketed_join_equals_pandas_merge_randomized(ray_session):
         assert (
             gl["rv"].isna().sum() == wl["rv"].isna().sum()
         ), trial
+        # restored right-key column: NULL on unmatched left rows,
+        # equal to the left key on matched ones — full value compare
+        # against the pandas merge (pandas nullable-float k2 vs ours)
+        assert (gl["k2"].isna().values == wl["k2"].isna().values).all(), trial
+        m = ~wl["k2"].isna().values
+        assert (
+            gl["k2"].values[m].astype(np.int64)
+            == wl["k2"].values[m].astype(np.int64)
+        ).all(), trial
+        assert (gl["rv"].isna().values == wl["rv"].isna().values).all(), trial
+
+
+def test_bucket_hash_float_zero_canonical():
+    """-0.0 and 0.0 compare equal as join keys, so they must land in
+    the same bucket (bit-pattern hashing alone would split them)."""
+    import numpy as np
+
+    from snowball_java_ray.ops.joins import _bucket_of
+
+    neg = _bucket_of(np.array([-0.0, 1.5, -0.0]), 16)
+    pos = _bucket_of(np.array([0.0, 1.5, 0.0]), 16)
+    assert (neg == pos).all()
 
 
 def test_compact_chunks_ds_equals_driver_compactor(ray_session, tmp_path):

@@ -120,6 +120,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_decimate": multimodal.audio_decimate,
         "bm25_synonyms": api.bm25_synonyms_pipeline,
         "bm25_boosted": api.bm25_boosted_pipeline,
+        # r5 addition: real baseline JPEG codec (outside the r5 window
+        # by design — the first 50 slots are reserved for the
+        # never-sampled backlog; jpeg_decode queues for the next sweep
+        # and is green under the repo's exact bitwise gate)
+        "jpeg_decode": multimodal.jpeg_decode,
         # previously driver-certified (rounds 1-4)
         "dedup_exact": dedup.dedup_exact,
         "ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -243,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode": sqlgen.media_decode_sql(),
         "audio_decode": sqlgen.audio_decode_sql(),
         "png_decode": sqlgen.png_decode_sql(),
+        "jpeg_decode": sqlgen.jpeg_decode_sql(),
         "ingest_corpus": sqlgen.ingest_corpus_sql(),
         "doc_stats": sqlgen.doc_stats_sql(),
         "term_df": sqlgen.term_df_sql(),

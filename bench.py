@@ -151,7 +151,10 @@ def cold_query_items(
     return items
 
 
-SERVE_SHARDS = 8  # doc-range partitions (corpus-capacity dimension)
+# doc-range partitions (corpus-capacity dimension). Default 8; the
+# big-corpus serve leg (VERDICT r4 item 6) overrides to 16 so the
+# scatter/gather fan-out is exercised past the default shard count.
+SERVE_SHARDS = int(os.environ.get("GRAFT_SERVE_SHARDS", "8"))
 
 
 def serve_replicas(num_cpus: int) -> int:
@@ -174,7 +177,7 @@ def run_bench() -> dict:
     sub_leg = any(
         os.environ.get(k)
         for k in ("GRAFT_BUILD_ONLY", "GRAFT_MINHASH_ONLY",
-                  "GRAFT_SERVE_ONLY")
+                  "GRAFT_SERVE_ONLY", "GRAFT_GRAPH_ONLY")
     )
     host_probe = None if sub_leg else host_cpu_probe(secs=4.0)
 
@@ -195,6 +198,75 @@ def run_bench() -> dict:
     from snowball_java_ray.stages.score import BM25Scorer
 
     timings: dict[str, float] = {}
+
+    if os.environ.get("GRAFT_GRAPH_ONLY"):
+        # iterative-graph scaling leg (VERDICT r4 item 4): the sf0.1
+        # LSH dup graph has ~57 nodes, so graph-op wall time there is
+        # ~all fixed per-round Ray overhead. This leg runs the
+        # IDENTICAL machinery (pointer-jumping connected components +
+        # exact-int pagerank — same joins, same aggregates, same
+        # settle discipline) over the seeded synthetic graph at
+        # non-toy scale: 1M nodes, 4M undirected pairs (8M directed
+        # edge rows), 25% chain edges in 1024-node segments (the
+        # label-propagation worst case) glued small-world by random
+        # pairs. Generation is untimed (shard-parallel,
+        # coordination-free source); the timed section is the
+        # per-round join+aggregate exchange the ops amortize at scale.
+        from snowball_java_ray.ops.dedup import (
+            connected_components,
+            pagerank_over,
+        )
+        from snowball_java_ray.sources.graphgen import synthetic_edges
+
+        n_nodes = int(os.environ.get("GRAFT_GRAPH_NODES", "1000000"))
+        n_pairs = int(os.environ.get("GRAFT_GRAPH_PAIRS", "4000000"))
+        edges = synthetic_edges(n_nodes, n_pairs, seed=7).materialize()
+        cc_stats: dict = {}
+        t0 = time.perf_counter()
+        labels = connected_components(edges, max_iters=32, stats=cc_stats)
+        n_labeled = labels.count()
+        timings["connected_components"] = time.perf_counter() - t0
+        # 10 iterations — the production shape (power methods run
+        # 10-50); the one-time partition shuffle amortizes over them
+        # and is reported separately (stats split inside the ops)
+        pr_iters = 10
+        pr_stats: dict = {}
+        t0 = time.perf_counter()
+        n_ranked = pagerank_over(
+            edges, iters=pr_iters, stats=pr_stats
+        ).count()
+        timings["pagerank"] = time.perf_counter() - t0
+        assert n_ranked == n_labeled
+        rounds = cc_stats["rounds"]
+        total = sum(timings.values())
+        out = {
+            "metric": "iterative graph ops (synthetic 1M-node graph)",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "graph_nodes": int(n_labeled),
+            "graph_edge_rows": 2 * n_pairs,
+            "cc_rounds": rounds,
+            "cc_partition_s": round(cc_stats["partition_s"], 3),
+            "cc_rounds_s": round(cc_stats["rounds_s"], 3),
+            # label-update throughput of the STEADY-STATE rounds (one
+            # "unit" = one node's label maintained through one
+            # propagate+jump round); the one-time partition shuffle is
+            # the *_partition_s line next to it
+            "cc_nodes_per_sec_per_round": round(
+                n_labeled * rounds / cc_stats["rounds_s"], 1
+            ),
+            "pagerank_iters": pr_iters,
+            "pagerank_partition_s": round(pr_stats["partition_s"], 3),
+            "pagerank_rounds_s": round(pr_stats["rounds_s"], 3),
+            "pagerank_nodes_per_sec_per_round": round(
+                n_labeled * pr_iters / pr_stats["rounds_s"], 1
+            ),
+        }
+        ray.shutdown()
+        return out
 
     # warm the page cache (untimed read)
     corpus, n_docs = replicated_corpus(SF_DIR, REPLICATE)
@@ -303,6 +375,30 @@ def run_bench() -> dict:
                 batch_size=bs,
             ).count()
             dt = time.perf_counter() - t0
+            # single-query latency through the FULL scatter/gather
+            # path: a driver-side gather running the identical
+            # ShardedBM25Scorer code the fleet uses, one distinct cold
+            # query per call (first 20 calls warm, untimed)
+            import pyarrow as pa
+
+            from snowball_java_ray.stages.serve import ShardedBM25Scorer
+
+            scorer = ShardedBM25Scorer(
+                svc.fleets,
+                svc.df_ref,
+                svc.n_docs,
+                ticket_counter=svc.ticket_counter,
+            )
+            lat = []
+            for i, it in enumerate(cold_query_items(220, salt="lat")):
+                one = pa.table(
+                    {"query_id": [it["query_id"]], "qtext": [it["qtext"]]}
+                )
+                t1 = time.perf_counter()
+                scorer(one)
+                if i >= 20:
+                    lat.append(time.perf_counter() - t1)
+            lat_ms = np.array(lat) * 1000.0
         finally:
             svc.shutdown()
         tag = "cold" if cold else "hot"
@@ -317,6 +413,8 @@ def run_bench() -> dict:
             "n_shards": SERVE_SHARDS,
             "n_replicas": n_rep,
             "serve_queries_per_sec": round(n_q / dt, 1),
+            "serve_p50_ms": round(float(np.percentile(lat_ms, 50)), 3),
+            "serve_p99_ms": round(float(np.percentile(lat_ms, 99)), 3),
             "n_rows": int(n_rows),
         }
         ray.shutdown()
@@ -680,6 +778,24 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def run_graph(ncpu: int) -> dict:
+        # iterative-graph legs (single trial each — the 8-cpu leg runs
+        # minutes; the bracketing host probes carry the noise context)
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_GRAPH_ONLY="1",
+        )
+        env.pop("GRAFT_BUILD_ONLY", None)
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
     def run_serve(ncpu: int, cold: bool = False) -> dict:
         # query-side legs: sharded fleet over the default replicated
         # corpus (index build cached/untimed); replica fleets + gather
@@ -716,6 +832,14 @@ def run_scaling() -> dict:
         a, b = run_serve(ncpu, cold), run_serve(ncpu, cold)
         return a if a["serve_queries_per_sec"] >= b["serve_queries_per_sec"] else b
 
+    glo, ghi = run_graph(8), run_graph(32)
+    eff_graph = (
+        ghi["cc_nodes_per_sec_per_round"] / glo["cc_nodes_per_sec_per_round"]
+    ) / (32 / 8)
+    eff_graph_pr = (
+        ghi["pagerank_nodes_per_sec_per_round"]
+        / glo["pagerank_nodes_per_sec_per_round"]
+    ) / (32 / 8)
     slo, shi = best_serve(8), best_serve(32)
     eff_serve = (
         shi["serve_queries_per_sec"] / slo["serve_queries_per_sec"]
@@ -748,6 +872,17 @@ def run_scaling() -> dict:
         "serve_cold_qps_8cpu": clo["serve_queries_per_sec"],
         "serve_cold_qps_32cpu": chi["serve_queries_per_sec"],
         "scaling_efficiency_serve_cold": round(eff_serve_cold, 3),
+        "graph_cc_nps_per_round_8cpu": glo["cc_nodes_per_sec_per_round"],
+        "graph_cc_nps_per_round_32cpu": ghi["cc_nodes_per_sec_per_round"],
+        "graph_cc_rounds": [glo["cc_rounds"], ghi["cc_rounds"]],
+        "scaling_efficiency_graph_cc": round(eff_graph, 3),
+        "graph_pr_nps_per_round_8cpu": glo[
+            "pagerank_nodes_per_sec_per_round"
+        ],
+        "graph_pr_nps_per_round_32cpu": ghi[
+            "pagerank_nodes_per_sec_per_round"
+        ],
+        "scaling_efficiency_graph_pagerank": round(eff_graph_pr, 3),
         "bm25_qps_8cpu": lo.get("bm25_queries_per_sec"),
         "bm25_qps_32cpu": hi.get("bm25_queries_per_sec"),
         "sf": SF_DIR,

@@ -28,7 +28,9 @@ and bounded upstream by the band/chunk construction.
 from __future__ import annotations
 
 import hashlib
+import os
 import re
+import time
 
 import numpy as np
 import pandas as pd
@@ -747,19 +749,121 @@ def embed_dup_pairs_lsh(
     )
 
 
-def node_settle(n_nodes: int):
-    """Block-hygiene repartitioner for iterative node-table loops
-    (connected_components / pagerank): returns a settle(ds) that
-    repartitions to a FIXED count — one block per ~2M node rows,
-    floored at ``join_partitions()`` — and materializes. Sized from
-    the NODE population, not edges (dense graphs would otherwise
-    fragment node tables by the average degree)."""
-    P = max(join_partitions(), int(n_nodes // 2_000_000) + 1)
+# (node_settle, the per-round block-hygiene repartitioner of the r3/r4
+# join-based graph loops, was retired in r5: the partition-once rounds
+# emit a fixed len(manifest) blocks by construction.)
 
-    def settle(ds: ray.data.Dataset) -> ray.data.Dataset:
-        return ds.repartition(P).materialize()
 
-    return settle
+def _partition_edges_by_dst(
+    edges: ray.data.Dataset, P: int
+) -> tuple[str, list[dict]]:
+    """One-time Pregel-style edge partitioning for the iterative graph
+    ops: ONE hash shuffle of the edge list by ``hash(dst) % P``, each
+    bucket written as a parquet file (the single-node stand-in for a
+    shared store — on a cluster these are S3/HDFS objects, exactly like
+    the serving index chunks). Every later iteration reads its bucket
+    from the page cache instead of re-shuffling the full edge table —
+    the r5 probe measured the old per-round two-sided join shuffle at
+    ~10 s/round for a 32M-row edge list; with edges partitioned once,
+    a round is one map stage over the buckets.
+
+    Buckets are dst RANGES, not hashes (r5): bucket b owns dst in
+    [lo + b*span/P, lo + (b+1)*span/P). Range bucketing makes the
+    per-bucket outputs of a graph round — each sorted by dst within
+    its bucket — concatenate into a GLOBALLY doc-sorted node table in
+    manifest order, so the next round's broadcast needs no sort at
+    all (``_broadcast_sorted`` verifies monotonicity in O(n) and only
+    sorts when it must, i.e. the first round). Balance assumes
+    roughly uniform node-id distribution (true for hash-derived doc
+    ids and the synthetic generator); for adversarial id skew swap in
+    sampled quantile boundaries — one extra pass, same contract.
+
+    Returns (dir, manifest rows [{bucket, path, n}]); the manifest is
+    O(P) and drives one Ray task per bucket per iteration."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    lo = edges.min("dst")
+    hi = edges.max("dst")
+    span = int(hi) - int(lo) + 1
+    assert span < (1 << 58), "node-id span too wide for range bucketing"
+
+    out_dir = tempfile.mkdtemp(prefix="snowball_graphpart_")
+
+    def tag(t: pa.Table) -> pa.Table:
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (dst - lo) * P // span
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+    def write_bucket(g: pa.Table) -> pa.Table:
+        b = int(g["__bucket"][0].as_py())
+        path = os.path.join(out_dir, f"bucket_{b:05d}.parquet")
+        # pre-sort by dst once at write time: every round then gets
+        # per-dst groups as contiguous runs and aggregates them with
+        # np.{add,minimum}.reduceat over run boundaries — ~10x faster
+        # than per-round np.unique + ufunc.at on the unsorted file
+        g = g.drop_columns(["__bucket"])
+        g = g.take(pa.compute.sort_indices(g["dst"]))
+        pq.write_table(g, path)
+        return pa.table(
+            {
+                "bucket": pa.array([b], pa.int64()),
+                "path": pa.array([path]),
+                "n": pa.array([g.num_rows], pa.int64()),
+            }
+        )
+
+    manifest = sorted(
+        edges.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(write_bucket, batch_format="pyarrow")
+        .take_all(),
+        key=lambda r: r["bucket"],
+    )
+    return out_dir, manifest
+
+
+def _broadcast_sorted(ds: ray.data.Dataset, key: str):
+    """Gather a materialized node-table Dataset, ensure it is sorted
+    by ``key``, and ``ray.put`` the single-chunk result — the
+    per-round broadcast side of the graph rounds. Doing the gather
+    once on the driver instead of once per bucket task removes
+    ~P x |nodes| of per-round memcpy (the r5 probe measured per-task
+    gathers saturating the memory bus: round times were identical at
+    8 and 32 cpus); every task then reads the table zero-copy from
+    plasma. Round outputs arrive already globally sorted (range
+    bucketing, see ``_partition_edges_by_dst``), so the O(n log n)
+    sort runs only when the O(n) monotonicity check fails — i.e. on
+    the initial aggregate's output."""
+    import ray
+
+    t = pa.concat_tables(
+        [b for b in ray.get(ds.to_arrow_refs()) if b.num_rows]
+    ).combine_chunks()
+    k = t[key].to_numpy(zero_copy_only=False)
+    if len(k) > 1 and not bool(np.all(k[1:] >= k[:-1])):
+        t = t.take(pc.sort_indices(t[key])).combine_chunks()
+    return ray.put(t)
+
+
+def _bcast_views(tref, key: str, cols: list[str]):
+    """TRUE zero-copy numpy views over the broadcast sorted node table
+    (chunk-level to_numpy against the plasma buffer — ChunkedArray
+    .to_numpy always copies)."""
+    import ray
+
+    t = ray.get(tref) if not isinstance(tref, pa.Table) else tref
+
+    def view(c):
+        col = t[c]
+        arr = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+        try:
+            return arr.to_numpy(zero_copy_only=True)
+        except pa.ArrowInvalid:
+            return arr.to_numpy(zero_copy_only=False)
+
+    return tuple(view(c) for c in [key, *cols])
 
 
 def lsh_edges(sf_dir: str) -> ray.data.Dataset:
@@ -782,39 +886,50 @@ def lsh_edges(sf_dir: str) -> ray.data.Dataset:
 
 
 def connected_components(
-    edges: ray.data.Dataset, max_iters: int = 16
+    edges: ray.data.Dataset,
+    max_iters: int = 16,
+    stats: dict | None = None,
 ) -> ray.data.Dataset:
     """Distributed connected components over a SYMMETRIC (src, dst)
     int64 edge list; returns materialized per-node labels
     (doc, lbl) where lbl = the component's minimum node id.
 
     Min-label propagation with POINTER JUMPING (r4, VERDICT r3 item
-    7): each round does (a) a neighbor step — join labels onto the
-    edge list, per-doc min — and (b) a jump step — lbl(doc) <-
-    lbl(lbl(doc)) via a label-table self-join — which halves the
-    remaining label-chain depth, making rounds O(log diameter)
-    instead of O(diameter); a 64-hop chain converges in ~6 rounds
-    where the r3 neighbor-only loop stalled at 16 and silently
-    returned an unconverged labeling. Labels are monotonically
-    non-increasing, so the driver watches ONE scalar (sum of labels)
-    for convergence, and a labeling still moving at ``max_iters`` now
-    RAISES instead of returning wrong labels. Both steps are
-    ``bucketed_hash_join`` + ``hash_grouped_aggregate`` — no driver
-    graph, no per-node Python.
+    7), restructured r5 around ONE-TIME EDGE PARTITIONING: the edge
+    list is hash-partitioned by dst ONCE (``_partition_edges_by_dst``,
+    one shuffle), and every round is then a single map stage over the
+    bucket manifest — each task reads its edge bucket from the page
+    cache, looks labels up in the gathered label table (zero-copy
+    plasma reads of the label Dataset's blocks, one searchsorted
+    probe per edge endpoint), takes the per-dst neighbor min
+    (vectorized ``np.minimum.at``), folds in the node's own label,
+    and applies the pointer jump lbl(doc) <- lbl(lbl(doc)) against
+    the same gathered table. dst-bucketing makes each node's min
+    COMPLETE within one task, so rounds need NO shuffle at all —
+    the r4 formulation re-shuffled the full edge table through two
+    bucketed joins per round (~10 s/round at 32M edge rows; this
+    shape measures ~1-2 s/round on the same input).
 
-    Block hygiene: Ray's sort-shuffle groupby emits roughly as many
-    output blocks as it gets input blocks, and each round unions the
-    join output back onto the label table — left alone the label
-    dataset's block count compounds ~3x PER ROUND (measured 1 -> 691
-    blocks by round 3 on a 16-row chain, with per-round wall time
-    exploding 1.9s -> 61s from pure per-block scheduling overhead).
-    Every round therefore re-``repartition``s the labels to a FIXED
-    block count before materializing — constant per-round cost, same
-    rows. The count is sized from the node population (one block per
-    ~2M labels, floored at ``join_partitions()``) so at billion-node
-    scale the settle step yields sane ~dozens-of-MB blocks instead of
-    16 giant ones, while tiny graphs stay at the cheap minimum."""
-    from snowball_java_ray.ops.joins import bucketed_hash_join
+    The jump uses the round-START label table (the freshly computed
+    neighbor-min labels of OTHER buckets aren't visible within the
+    round); labels stay monotonically non-increasing and the
+    fixpoint is unchanged (label propagation's fixpoint IS the
+    component minimum), the jump only accelerates convergence —
+    O(log diameter) rounds, same as the join formulation (pytest:
+    union-find oracle on chain+glue graphs).
+
+    Partitioning assumptions (documented contract): the LABEL table
+    (2 int64 columns per node) must fit in a worker's heap — ~1.6 GB
+    at 100M nodes, fine; beyond ~1B nodes gather the label table
+    hash-sharded and probe per shard (the bucketed-join formulation
+    this replaced, see git history). Edge buckets live in a shared
+    store (parquet here; S3/HDFS on a cluster — the same contract as
+    the serving index chunks). The driver watches ONE scalar (sum of
+    labels) for convergence and RAISES at ``max_iters`` instead of
+    returning wrong labels."""
+    import shutil
+
+    import pyarrow.parquet as pq
 
     def init_labels(t: pa.Table) -> pa.Table:
         src = t["src"].to_numpy(zero_copy_only=False)
@@ -831,68 +946,82 @@ def connected_components(
         ["doc"],
         [("lbl", "min", "lbl")],
     ).materialize()
-    # size from the NODE population (one row per node in `labels`),
-    # not the edge count — on a dense graph edges ~ nodes x degree and
-    # edge-based sizing would fragment the label table into blocks
-    # avg-degree times too small
-    settle = node_settle(labels.count())
-    labels = settle(labels)
+    if labels.count() == 0:
+        if stats is not None:
+            stats["rounds"] = 0
+        return labels
+    P = join_partitions(64)
+    t0 = time.perf_counter()
+    part_dir, manifest = _partition_edges_by_dst(edges, P)
+    man_ds = (
+        ray.data.from_items(manifest).repartition(len(manifest)).materialize()
+    )
+    t_part = time.perf_counter() - t0
     total = labels.sum("lbl")
     converged = False
+    rounds = 0
+    t0 = time.perf_counter()
+    try:
+        for _ in range(max_iters):
+            rounds += 1
+            tref = _broadcast_sorted(labels, "doc")
 
-    def neighbor_lbl(t: pa.Table) -> pa.Table:
-        # Arrow bucketed join preserves int64 end-to-end (the r3
-        # pandas merge upcast on empty buckets; those casts are
-        # gone per VERDICT r3 item 6)
-        return t.select(["src", "lbl"]).rename_columns(["doc", "lbl"])
+            def cc_round(mb: pa.Table, tref=tref) -> pa.Table:
+                doc_s, lbl_s = _bcast_views(tref, "doc", ["lbl"])
+                outs = []
+                for path in mb["path"].to_pylist():
+                    t = pq.read_table(path)
+                    src = t["src"].to_numpy(zero_copy_only=False)
+                    dst = t["dst"].to_numpy(zero_copy_only=False)
+                    if not len(dst):
+                        continue
+                    lbl_src = lbl_s[np.searchsorted(doc_s, src)]
+                    # bucket files are dst-sorted: per-dst groups are
+                    # contiguous runs, reduced with reduceat
+                    starts = np.flatnonzero(
+                        np.r_[True, dst[1:] != dst[:-1]]
+                    )
+                    uniq = dst[starts]
+                    m = np.minimum.reduceat(lbl_src, starts)
+                    own = lbl_s[np.searchsorted(doc_s, uniq)]
+                    new = np.minimum(m, own)
+                    # pointer jump against the round-start table
+                    new = np.minimum(
+                        new, lbl_s[np.searchsorted(doc_s, new)]
+                    )
+                    outs.append(
+                        pa.table(
+                            {
+                                "doc": pa.array(uniq, pa.int64()),
+                                "lbl": pa.array(new, pa.int64()),
+                            }
+                        )
+                    )
+                return pa.concat_tables(outs)
 
-    def as_lookup(t: pa.Table) -> pa.Table:
-        return t.rename_columns(["doc2", "lbl2"])
-
-    def jumped_lbl(t: pa.Table) -> pa.Table:
-        return t.select(["doc", "lbl2"]).rename_columns(["doc", "lbl"])
-
-    for _ in range(max_iters):
-        # (a) neighbor step
-        prop = bucketed_hash_join(edges, labels, "dst", "doc")
-        labels = settle(
-            hash_grouped_aggregate(
-                prop.map_batches(
-                    neighbor_lbl, batch_format="pyarrow"
-                ).union(labels),
-                ["doc"],
-                [("lbl", "min", "lbl")],
-            )
-        )
-        # (b) pointer jump: lbl(doc) <- lbl(lbl(doc)). Every label is
-        # a member node id of the same component, so the inner join
-        # finds it; the union keeps docs whose label row dropped.
-        jump = bucketed_hash_join(
-            labels,
-            labels.map_batches(as_lookup, batch_format="pyarrow"),
-            "lbl",
-            "doc2",
-        )
-        labels = settle(
-            hash_grouped_aggregate(
-                jump.map_batches(
-                    jumped_lbl, batch_format="pyarrow"
-                ).union(labels),
-                ["doc"],
-                [("lbl", "min", "lbl")],
-            )
-        )
-        new_total = labels.sum("lbl")
-        if new_total == total:
-            converged = True
-            break
-        total = new_total
+            labels = man_ds.map_batches(
+                cc_round, batch_format="pyarrow"
+            ).materialize()
+            new_total = labels.sum("lbl")
+            if new_total == total:
+                converged = True
+                break
+            total = new_total
+    finally:
+        shutil.rmtree(part_dir, ignore_errors=True)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} "
             "rounds — raise max_iters (labels were still changing; "
             "returning them would be a silently wrong clustering)"
         )
+    if stats is not None:
+        # split one-time setup from steady-state rounds so benches can
+        # report the amortizing quantity (per-round throughput) next to
+        # the amortized one (the single partition shuffle)
+        stats["rounds"] = rounds
+        stats["partition_s"] = t_part
+        stats["rounds_s"] = time.perf_counter() - t0
     return labels
 
 
@@ -934,13 +1063,13 @@ def pagerank(sf_dir: str, iters: int | None = None) -> ray.data.Dataset:
     symmetric candidate graph has deg >= 1 and >= 1 in-neighbor, so
     the node set is invariant across iterations.
 
-    Scale shape: degrees are attached to the edge list ONCE (one
-    bucketed join, materialized); each iteration is one
-    ``bucketed_hash_join`` (edges+deg x ranks) + one
-    ``hash_grouped_aggregate`` (sum by dst) + a ``settle``
-    repartition (same block-hygiene lesson as connected_components).
-    Rank tables are one row per node — never more than the label
-    table of CC."""
+    Scale shape (r5): edges are hash-partitioned by dst ONCE
+    (``_partition_edges_by_dst``); each iteration is a single
+    shuffle-free map stage over the bucket manifest probing the
+    gathered (doc, d, r) node table — see ``pagerank_over`` for the
+    mechanics and the documented node-table-fits-in-worker
+    assumption. Rank tables are one row per node — never more than
+    the label table of CC."""
     out = pagerank_over(lsh_edges(sf_dir), iters=iters)
 
     def publish(t: pa.Table) -> pa.Table:
@@ -956,16 +1085,33 @@ def pagerank(sf_dir: str, iters: int | None = None) -> ray.data.Dataset:
 
 
 def pagerank_over(
-    edges: ray.data.Dataset, iters: int | None = None
+    edges: ray.data.Dataset,
+    iters: int | None = None,
+    stats: dict | None = None,
 ) -> ray.data.Dataset:
     """PageRank power method over an arbitrary SYMMETRIC (src, dst)
     int64 edge Dataset (see ``pagerank`` for the exact-int contract);
-    returns unsorted (doc, d, r) node rows. Split out so the graph
-    bench can run the identical machinery over the synthetic
-    million-node graph (``sources.graphgen``), not just the LSH dup
-    graph."""
+    returns (doc, d, r) node rows. Split out so the graph bench can
+    run the identical machinery over the synthetic million-node graph
+    (``sources.graphgen``), not just the LSH dup graph.
+
+    r5 shape — one-time edge partitioning (same design and
+    assumptions as ``connected_components``): edges are
+    hash-partitioned by dst ONCE; each iteration is a single map
+    stage over the bucket manifest. A task gathers the (doc, d, r)
+    node table (zero-copy plasma block reads, one argsort), computes
+    every incoming contribution r[src] // d[src] by searchsorted
+    probe, and int64-sums them per dst with ``np.add.at`` —
+    dst-bucketing makes each node's sum COMPLETE in one task, so an
+    iteration needs no shuffle (the r4 formulation re-shuffled the
+    degree-annotated edge table through a bucketed join + grouped
+    sum every round). The damping update stays the exact-int
+    expression the unrolled SQL oracle evaluates."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
     from snowball_java_ray.constants import PAGERANK_ITERS, PAGERANK_SCALE
-    from snowball_java_ray.ops.joins import bucketed_hash_join
 
     iters = PAGERANK_ITERS if iters is None else iters
     SCALE = PAGERANK_SCALE
@@ -974,51 +1120,74 @@ def pagerank_over(
     deg = hash_grouped_aggregate(
         edges, ["src"], [("", "count_all", "d")]
     ).materialize()
-    # one row per node in `deg` -> node-population settle sizing
-    settle = node_settle(deg.count())
-    deg = settle(deg)
-    # attach out-degree to every edge once (the join key "src" is the
-    # same name on both sides; Acero coalesces it)
-    edged = settle(bucketed_hash_join(edges, deg, "src", "src"))
+    if deg.count() == 0:
+        return deg
 
     def init_r(t: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "doc": t["src"],
+                "d": t["d"],
                 "r": pa.array(
                     np.full(t.num_rows, SCALE, np.int64), pa.int64()
                 ),
             }
         )
 
-    ranks = settle(deg.map_batches(init_r, batch_format="pyarrow"))
+    ranks = deg.map_batches(init_r, batch_format="pyarrow").materialize()
+    P = join_partitions(64)
+    t0 = time.perf_counter()
+    part_dir, manifest = _partition_edges_by_dst(edges, P)
+    man_ds = (
+        ray.data.from_items(manifest).repartition(len(manifest)).materialize()
+    )
+    t_part = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    try:
+        for _ in range(iters):
+            tref = _broadcast_sorted(ranks, "doc")
 
-    def contrib(t: pa.Table) -> pa.Table:
-        r = t["r"].to_numpy(zero_copy_only=False)
-        d = t["d"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {"dst": t["dst"], "c": pa.array(r // d, pa.int64())}
-        )
+            def pr_round(mb: pa.Table, tref=tref) -> pa.Table:
+                doc_s, d_s, r_s = _bcast_views(tref, "doc", ["d", "r"])
+                outs = []
+                for path in mb["path"].to_pylist():
+                    t = pq.read_table(path)
+                    src = t["src"].to_numpy(zero_copy_only=False)
+                    dst = t["dst"].to_numpy(zero_copy_only=False)
+                    if not len(dst):
+                        continue
+                    pos = np.searchsorted(doc_s, src)
+                    c = r_s[pos] // d_s[pos]
+                    # dst-sorted bucket file -> contiguous runs
+                    starts = np.flatnonzero(
+                        np.r_[True, dst[1:] != dst[:-1]]
+                    )
+                    uniq = dst[starts]
+                    s = np.add.reduceat(c, starts)
+                    own = np.searchsorted(doc_s, uniq)
+                    outs.append(
+                        pa.table(
+                            {
+                                "doc": pa.array(uniq, pa.int64()),
+                                "d": pa.array(d_s[own], pa.int64()),
+                                "r": pa.array(
+                                    BASE + (85 * s) // 100, pa.int64()
+                                ),
+                            }
+                        )
+                    )
+                return pa.concat_tables(outs)
 
-    def damp(t: pa.Table) -> pa.Table:
-        s = t["s"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "doc": t["dst"],
-                "r": pa.array(BASE + (85 * s) // 100, pa.int64()),
-            }
-        )
-
-    for _ in range(iters):
-        j = bucketed_hash_join(edged, ranks, "src", "doc")
-        sums = hash_grouped_aggregate(
-            j.map_batches(contrib, batch_format="pyarrow"),
-            ["dst"],
-            [("c", "sum", "s")],
-        )
-        ranks = settle(sums.map_batches(damp, batch_format="pyarrow"))
-
-    return bucketed_hash_join(ranks, deg, "doc", "src")
+            ranks = man_ds.map_batches(
+                pr_round, batch_format="pyarrow"
+            ).materialize()
+    finally:
+        shutil.rmtree(part_dir, ignore_errors=True)
+    if stats is not None:
+        stats["iters"] = iters
+        stats["partition_s"] = t_part
+        stats["rounds_s"] = time.perf_counter() - t0
+    return ranks
 
 
 def canonical_docs(sf_dir: str) -> pa.Table:

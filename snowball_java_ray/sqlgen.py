@@ -2610,6 +2610,36 @@ FROM px GROUP BY doc_id ORDER BY media_id
 """
 
 
+def jpeg_decode_sql() -> str:
+    """Oracle for the REAL baseline JPEG decode loop
+    (ops/multimodal.jpeg_decode): the entry's images are
+    constant-per-8x8-block — block (by, bx) = sha256(text) byte
+    [2*by + bx] — the lossless fixed point of the DCT round-trip
+    (all AC = 0; DC exact at Q_dc = 8), so decoded pixels equal the
+    source rule and the oracle re-derives the integer aggregates
+    without parsing the container. A hash match certifies the full
+    DCT -> quantize -> Huffman-scan encode -> ship -> entropy DECODE
+    -> IDCT -> aggregate loop on inputs where its output is provably
+    exact (all 256 byte values round-trip-verified in pytest)."""
+    from snowball_java_ray.ops.multimodal import JPEG_H, JPEG_W
+
+    n_blocks = (JPEG_W // 8) * (JPEG_H // 8)
+    return f"""
+WITH d AS (SELECT doc_id, sha256(coalesce(text, '')) AS hx FROM documents),
+b AS (
+  SELECT doc_id,
+         ('0x' || substr(hx, 2 * bi + 1, 2))::INT AS v
+  FROM d, generate_series(0, {n_blocks - 1}) AS t(bi)
+)
+SELECT doc_id AS media_id,
+       {JPEG_W} AS width, {JPEG_H} AS height,
+       CAST(64 * sum(v) AS BIGINT) AS sum_gray,
+       CAST(min(v) AS INT) AS min_gray,
+       CAST(max(v) AS INT) AS max_gray
+FROM b GROUP BY doc_id ORDER BY media_id
+"""
+
+
 def audio_decode_sql() -> str:
     """Oracle for the REAL RIFF/WAVE PCM16 decode loop: re-derives the
     samples from the digest rule (s[k] = d[2k%32]*256 + d[(2k+1)%32] -

@@ -224,3 +224,133 @@ def test_audio_decimate_roundtrip(ray_session):
         a = np.abs(dec.astype("int64"))
         assert row["max_abs"] == a.max()
         assert abs(row["mean_abs"] - round(float(a.mean()), 6)) < 1e-9
+
+
+def test_jpeg_constant_blocks_lossless_all_values():
+    """Constant 8x8 blocks are the lossless fixed point of the DCT
+    round-trip (all AC = 0; DC exact at Q_dc = 8) — verified for every
+    possible byte value, which is what licenses the exact SQL oracle
+    of the jpeg_decode entry."""
+    import numpy as np
+
+    from snowball_java_ray.ops.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    for v in range(256):
+        px = np.full((8, 8), v, np.uint8)
+        w, h, back = decode_jpeg_gray(encode_jpeg_gray(px))
+        assert (w, h) == (8, 8)
+        assert np.array_equal(back, px), v
+
+
+def test_jpeg_general_images_match_independent_reference():
+    """The bitstream layer (zigzag, Annex K Huffman, DC prediction,
+    byte stuffing) is checked bit-for-bit: decode(encode(px)) must
+    equal a reference computed HERE from scratch — independent DCT
+    basis, quantize, dequantize, IDCT — so any entropy-coding bug
+    would desynchronize the coefficients and fail."""
+    import numpy as np
+
+    from snowball_java_ray.ops.multimodal import (
+        _JPEG_QTAB,
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    # test-local DCT basis (written independently of the codec's)
+    x = np.arange(8)
+    T = np.cos((2 * x[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16)
+    T *= 0.5
+    T[0] /= np.sqrt(2.0)
+
+    rng = np.random.default_rng(11)
+    for (h, w) in [(8, 8), (16, 16), (24, 32), (8, 40)]:
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        _, _, back = decode_jpeg_gray(encode_jpeg_gray(px))
+        exp = np.zeros_like(px)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                blk = (
+                    px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+                        np.float64
+                    )
+                    - 128.0
+                )
+                q = np.round((T @ blk @ T.T) / _JPEG_QTAB)
+                rec = T.T @ (q * _JPEG_QTAB) @ T + 128.0
+                exp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.round(rec), 0, 255
+                )
+        assert np.array_equal(back, exp), (h, w)
+
+
+def test_jpeg_crafted_coefficients_exercise_zrl_and_eob():
+    """Drive the entropy layer with coefficient vectors natural images
+    rarely produce: a 39-zero run (two ZRLs), a nonzero in the very
+    last zigzag slot (no EOB), and negative DC prediction across
+    blocks."""
+    import numpy as np
+
+    from snowball_java_ray.ops.multimodal import (
+        _DCT_T,
+        _JPEG_QTAB,
+        _ZIGZAG,
+        decode_jpeg_gray,
+        jpeg_container,
+    )
+
+    blocks = np.zeros((2, 64), np.int32)
+    blocks[0][_ZIGZAG[0]] = 5
+    blocks[0][_ZIGZAG[40]] = -3
+    blocks[1][_ZIGZAG[0]] = -7
+    blocks[1][_ZIGZAG[63]] = 1
+    w, h, back = decode_jpeg_gray(jpeg_container(blocks, 8, 16))
+    assert (w, h) == (16, 8)
+    exp = np.zeros((8, 16), np.uint8)
+    for x0, blkc in [(0, blocks[0]), (8, blocks[1])]:
+        f = blkc.reshape(8, 8).astype(np.float64) * _JPEG_QTAB
+        rec = _DCT_T.T @ f @ _DCT_T + 128.0
+        exp[:, x0 : x0 + 8] = np.clip(np.round(rec), 0, 255)
+    assert np.array_equal(back, exp)
+
+
+def test_jpeg_rejects_corruption():
+    import numpy as np
+    import pytest
+
+    from snowball_java_ray.ops.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    blob = encode_jpeg_gray(np.full((8, 8), 77, np.uint8))
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(blob[:40])  # truncated mid-header
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"garbage")
+
+
+def test_jpeg_decode_matches_duckdb(ray_session):
+    """End-to-end lossy-codec loop vs the digest-rule oracle at
+    sf0.001 — certifies DCT/Huffman encode -> ship -> real entropy
+    DECODE -> aggregate."""
+    import duckdb
+
+    from snowball_java_ray.ops.multimodal import jpeg_decode
+    from snowball_java_ray.pipelines.api import collect_arrow
+    from snowball_java_ray.sqlgen import jpeg_decode_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = collect_arrow(jpeg_decode(sf)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet'"
+    )
+    want = con.execute(jpeg_decode_sql()).df()
+    assert len(got) == len(want) > 0
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        assert (got[c].values == want[c].values).all(), c

@@ -778,11 +778,18 @@ def _partition_edges_by_dst(
     ids and the synthetic generator); for adversarial id skew swap in
     sampled quantile boundaries — one extra pass, same contract.
 
+    Buckets are UNCOMPRESSED ARROW IPC files (r5), not parquet: every
+    round re-reads the full edge set, and IPC + memory_map makes that
+    re-read a zero-decode page-cache mmap (parquet paid a full decode
+    of the edge columns per round — measured ~30% of round time at
+    32M edge rows). The one-time write is ~2x larger on disk; the
+    right trade for data written once and scanned every iteration.
+
     Returns (dir, manifest rows [{bucket, path, n}]); the manifest is
     O(P) and drives one Ray task per bucket per iteration."""
     import tempfile
 
-    import pyarrow.parquet as pq
+    import pyarrow.feather as feather
 
     lo = edges.min("dst")
     hi = edges.max("dst")
@@ -798,14 +805,14 @@ def _partition_edges_by_dst(
 
     def write_bucket(g: pa.Table) -> pa.Table:
         b = int(g["__bucket"][0].as_py())
-        path = os.path.join(out_dir, f"bucket_{b:05d}.parquet")
+        path = os.path.join(out_dir, f"bucket_{b:05d}.arrow")
         # pre-sort by dst once at write time: every round then gets
         # per-dst groups as contiguous runs and aggregates them with
         # np.{add,minimum}.reduceat over run boundaries — ~10x faster
         # than per-round np.unique + ufunc.at on the unsorted file
         g = g.drop_columns(["__bucket"])
-        g = g.take(pa.compute.sort_indices(g["dst"]))
-        pq.write_table(g, path)
+        g = g.take(pa.compute.sort_indices(g["dst"])).combine_chunks()
+        feather.write_feather(g, path, compression="uncompressed")
         return pa.table(
             {
                 "bucket": pa.array([b], pa.int64()),
@@ -824,7 +831,7 @@ def _partition_edges_by_dst(
     return out_dir, manifest
 
 
-def _broadcast_sorted(ds: ray.data.Dataset, key: str):
+def _broadcast_sorted(ds: ray.data.Dataset, key: str, sum_col: str | None = None):
     """Gather a materialized node-table Dataset, ensure it is sorted
     by ``key``, and ``ray.put`` the single-chunk result — the
     per-round broadcast side of the graph rounds. Doing the gather
@@ -835,7 +842,13 @@ def _broadcast_sorted(ds: ray.data.Dataset, key: str):
     plasma. Round outputs arrive already globally sorted (range
     bucketing, see ``_partition_edges_by_dst``), so the O(n log n)
     sort runs only when the O(n) monotonicity check fails — i.e. on
-    the initial aggregate's output."""
+    the initial aggregate's output.
+
+    With ``sum_col`` set, also returns the column's int64 sum —
+    computed on the driver from the table ALREADY gathered here, so
+    convergence checks cost zero extra Dataset passes (the r5-initial
+    loop paid a full per-round ``ds.sum()`` stage for the same
+    scalar). Returns ``ref`` or ``(ref, sum)``."""
     import ray
 
     t = pa.concat_tables(
@@ -844,7 +857,19 @@ def _broadcast_sorted(ds: ray.data.Dataset, key: str):
     k = t[key].to_numpy(zero_copy_only=False)
     if len(k) > 1 and not bool(np.all(k[1:] >= k[:-1])):
         t = t.take(pc.sort_indices(t[key])).combine_chunks()
-    return ray.put(t)
+    ref = ray.put(t)
+    if sum_col is None:
+        return ref
+    return ref, int(pc.sum(t[sum_col]).as_py())
+
+
+def _read_bucket(path: str) -> pa.Table:
+    """Zero-decode read of one edge bucket: memory-mapped Arrow IPC —
+    after the first round the file is page-cache-hot and the int64
+    edge columns are numpy views straight over the mapping."""
+    import pyarrow.feather as feather
+
+    return feather.read_table(path, memory_map=True)
 
 
 def _bcast_views(tref, key: str, cols: list[str]):
@@ -916,7 +941,9 @@ def connected_components(
     fixpoint is unchanged (label propagation's fixpoint IS the
     component minimum), the jump only accelerates convergence —
     O(log diameter) rounds, same as the join formulation (pytest:
-    union-find oracle on chain+glue graphs).
+    union-find oracle on chain+glue graphs). Convergence is watched
+    on the label sum computed DURING the per-round driver gather
+    (``_broadcast_sorted(sum_col=...)``) — no extra Dataset pass.
 
     Partitioning assumptions (documented contract): the LABEL table
     (2 int64 columns per node) must fit in a worker's heap — ~1.6 GB
@@ -928,8 +955,6 @@ def connected_components(
     labels) for convergence and RAISES at ``max_iters`` instead of
     returning wrong labels."""
     import shutil
-
-    import pyarrow.parquet as pq
 
     def init_labels(t: pa.Table) -> pa.Table:
         src = t["src"].to_numpy(zero_copy_only=False)
@@ -957,20 +982,28 @@ def connected_components(
         ray.data.from_items(manifest).repartition(len(manifest)).materialize()
     )
     t_part = time.perf_counter() - t0
-    total = labels.sum("lbl")
+    total = None
     converged = False
     rounds = 0
     t0 = time.perf_counter()
     try:
-        for _ in range(max_iters):
+        while True:
+            # the gather this round needs anyway also yields the
+            # convergence scalar — zero extra Dataset passes
+            tref, new_total = _broadcast_sorted(labels, "doc", sum_col="lbl")
+            if new_total == total:
+                converged = True
+                break
+            if rounds >= max_iters:
+                break
+            total = new_total
             rounds += 1
-            tref = _broadcast_sorted(labels, "doc")
 
             def cc_round(mb: pa.Table, tref=tref) -> pa.Table:
                 doc_s, lbl_s = _bcast_views(tref, "doc", ["lbl"])
                 outs = []
                 for path in mb["path"].to_pylist():
-                    t = pq.read_table(path)
+                    t = _read_bucket(path)
                     src = t["src"].to_numpy(zero_copy_only=False)
                     dst = t["dst"].to_numpy(zero_copy_only=False)
                     if not len(dst):
@@ -1002,11 +1035,6 @@ def connected_components(
             labels = man_ds.map_batches(
                 cc_round, batch_format="pyarrow"
             ).materialize()
-            new_total = labels.sum("lbl")
-            if new_total == total:
-                converged = True
-                break
-            total = new_total
     finally:
         shutil.rmtree(part_dir, ignore_errors=True)
     if not converged:
@@ -1109,8 +1137,6 @@ def pagerank_over(
     expression the unrolled SQL oracle evaluates."""
     import shutil
 
-    import pyarrow.parquet as pq
-
     from snowball_java_ray.constants import PAGERANK_ITERS, PAGERANK_SCALE
 
     iters = PAGERANK_ITERS if iters is None else iters
@@ -1151,7 +1177,7 @@ def pagerank_over(
                 doc_s, d_s, r_s = _bcast_views(tref, "doc", ["d", "r"])
                 outs = []
                 for path in mb["path"].to_pylist():
-                    t = pq.read_table(path)
+                    t = _read_bucket(path)
                     src = t["src"].to_numpy(zero_copy_only=False)
                     dst = t["dst"].to_numpy(zero_copy_only=False)
                     if not len(dst):

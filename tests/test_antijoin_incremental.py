@@ -83,7 +83,10 @@ def test_nation_revenue_share_sums_to_one(ray_session):
     from snowball_java_ray.ops.relational import nation_revenue_share
 
     got = nation_revenue_share(SF_TINY).to_pandas()
-    assert abs(got["share"].sum() - 1.0) < 1e-6
+    # shares publish on the 6-dp grid since r5 (floor(x*1e6+0.5) on
+    # both engines): each of the N rows can miss its raw quotient by
+    # up to 0.5e-6, so the sum can miss 1.0 by up to N/2 * 1e-6
+    assert abs(got["share"].sum() - 1.0) < (len(got) / 2 + 1) * 1e-6
     orders = pd.read_parquet(
         f"{SF_TINY}/orders.parquet", columns=["o_totalprice"]
     )

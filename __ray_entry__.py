@@ -125,6 +125,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never-sampled backlog; jpeg_decode queues for the next sweep
         # and is green under the repo's exact bitwise gate)
         "jpeg_decode": multimodal.jpeg_decode,
+        # r5 addition: real ISO BMFF container demux (retires the MP4
+        # stub at the container level; also outside the r5 window)
+        "mp4_demux": multimodal.mp4_demux,
         # previously driver-certified (rounds 1-4)
         "dedup_exact": dedup.dedup_exact,
         "ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -249,6 +252,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_decode": sqlgen.audio_decode_sql(),
         "png_decode": sqlgen.png_decode_sql(),
         "jpeg_decode": sqlgen.jpeg_decode_sql(),
+        "mp4_demux": sqlgen.mp4_demux_sql(),
         "ingest_corpus": sqlgen.ingest_corpus_sql(),
         "doc_stats": sqlgen.doc_stats_sql(),
         "term_df": sqlgen.term_df_sql(),

@@ -9,10 +9,14 @@ Huffman rebuilt from the file's DHT, entropy decode with byte
 unstuffing, IDCT) — each driving an SQL-oracled end-to-end gate entry
 (``media_decode`` / ``audio_decode`` / ``png_decode`` /
 ``jpeg_decode``: encode real container bytes -> ship as binary column
--> actor-pool decode -> aggregate). MP4 (container demux +
-entropy-coded video) is not feasible without codec libs, so
-``DecodeImage.decode_real`` stays an honest NotImplementedError stub
-with a clearly-marked deterministic fake around it. Everything AROUND decode is real and tested: the
+-> actor-pool decode -> aggregate). MP4 demuxes for REAL at the
+CONTAINER level too (``demux_mp4``: ISO BMFF box walk, sample-table
+parse, stsc/stco/stsz chunk-walk payload extraction — the
+``mp4_demux`` entry); only the entropy-coded video BITSTREAM
+(H.264/H.265) stays out of scope without codec libs, so
+``DecodeImage.decode_real`` remains an honest NotImplementedError
+stub with a clearly-marked deterministic fake around it.
+Everything AROUND decode is real and tested: the
 Arrow schema for binary media columns, actor-pool stage shape
 (model/codec "loaded" once per actor), small-batch sizing for wide
 binary rows, and the feature-output layout.
@@ -1302,6 +1306,392 @@ def audio_decimate(sf_dir: str, concurrency: int = 2) -> ray.data.Dataset:
         .map_batches(enc, batch_format="pyarrow")
         .map_batches(
             DecimateWav, batch_format="pyarrow", batch_size=32,
+            concurrency=concurrency,
+        )
+        .sort("media_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF container demux (r5): the last documented media stub
+# retired at the CONTAINER level. Reference-parity note: the reference
+# engine has no media path at all (SURVEY §2.11 addition); this is the
+# training-data-pipeline operator family. The video BITSTREAM decode
+# (H.264/H.265 entropy coding) genuinely needs codec libs and stays out
+# of scope — but everything a data pipeline does with an MP4 before the
+# codec (box walk, sample tables, chunk offsets, payload extraction —
+# i.e. demux) is deterministic integer plumbing, implemented for real
+# below: the muxer writes a spec-shaped ftyp/free/mdat/moov file with
+# multi-chunk stsc/stco/stsz sample tables, and the demuxer
+# independently re-parses the box tree and reconstructs every sample's
+# absolute file span via the standard chunk-walk algorithm.
+
+MP4_TIMESCALE = 90000       # video media timescale (ticks/s)
+MP4_FRAME_DUR = 3000        # ticks per frame (30 fps)
+MP4_CHUNK = 3               # samples per chunk (forces a real stsc walk)
+MP4_MOVIE_TIMESCALE = 1000
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _fullbox(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    import struct
+
+    return _box(btype, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def mp4_frames_for(digest: bytes, doc_id: int) -> list[bytes]:
+    """The digest rule the SQL oracle re-derives: n = 4 + doc_id % 8
+    frames; frame k is 16 + digest[k % 32] bytes long and its byte j
+    is digest[(k + j) % 32]."""
+    n = 4 + int(doc_id) % 8
+    frames = []
+    for k in range(n):
+        size = 16 + digest[k % 32]
+        frames.append(bytes(digest[(k + j) % 32] for j in range(size)))
+    return frames
+
+
+def encode_mp4(frames: list[bytes], width: int, height: int) -> bytes:
+    """Minimal REAL ISO BMFF muxer: ftyp + free + mdat + moov with a
+    single video track whose sample tables (stts/stsc/stsz/stco)
+    describe the frames laid out in chunks of MP4_CHUNK samples.
+    stco carries ABSOLUTE file offsets (the classic mux footgun —
+    computable here because mdat precedes moov, so moov's size can't
+    shift the payload)."""
+    import struct
+
+    n = len(frames)
+    sizes = [len(f) for f in frames]
+    ftyp = _box(
+        b"ftyp",
+        b"isom" + struct.pack(">I", 512) + b"isom" + b"iso2" + b"mp41",
+    )
+    free = _box(b"free", b"snowball_java_ray demo mux")
+    mdat = _box(b"mdat", b"".join(frames))
+    payload_base = len(ftyp) + len(free) + 8  # first sample's offset
+
+    # chunk layout: ceil(n / MP4_CHUNK) chunks, last one possibly short
+    chunk_offsets = []
+    stsc_entries = []
+    pos = payload_base
+    i = 0
+    c = 0
+    while i < n:
+        take = min(MP4_CHUNK, n - i)
+        chunk_offsets.append(pos)
+        pos += sum(sizes[i : i + take])
+        c += 1
+        if not stsc_entries or stsc_entries[-1][1] != take:
+            stsc_entries.append((c, take))
+        i += take
+
+    stts = _fullbox(
+        b"stts", 0, 0, struct.pack(">III", 1, n, MP4_FRAME_DUR)
+    )
+    stsc = _fullbox(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(
+            struct.pack(">III", first, spc, 1)
+            for first, spc in stsc_entries
+        ),
+    )
+    stsz = _fullbox(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    stco = _fullbox(
+        b"stco", 0, 0,
+        struct.pack(">I", len(chunk_offsets))
+        + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+    )
+    # VisualSampleEntry 'mp4v' (78-byte body; no esds — container-level
+    # structure only, the bitstream inside is opaque payload here)
+    entry = (
+        struct.pack(">I", 86) + b"mp4v"
+        + b"\x00" * 6 + struct.pack(">H", 1)          # data_ref_index
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)                        # frame_count
+        + b"\x00" * 32                                # compressorname
+        + struct.pack(">Hh", 24, -1)                  # depth, pre_defined
+    )
+    stsd = _fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _fullbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _fullbox(
+        b"dref", 0, 0,
+        struct.pack(">I", 1) + _fullbox(b"url ", 0, 1, b""),
+    )
+    dinf = _box(b"dinf", dref)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    duration = n * MP4_FRAME_DUR
+    mdhd = _fullbox(
+        b"mdhd", 0, 0,
+        struct.pack(">IIIIHH", 0, 0, MP4_TIMESCALE, duration, 0x55C4, 0),
+    )
+    hdlr = _fullbox(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    mov_dur = duration * MP4_MOVIE_TIMESCALE // MP4_TIMESCALE
+    matrix = struct.pack(
+        ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+    )
+    tkhd = _fullbox(
+        b"tkhd", 0, 7,
+        struct.pack(">IIII", 0, 0, 1, 0)
+        + struct.pack(">I", mov_dur)
+        + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)
+        + matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mvhd = _fullbox(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, MP4_MOVIE_TIMESCALE, mov_dur)
+        + struct.pack(">IH", 0x00010000, 0x0100)
+        + b"\x00" * 10
+        + matrix
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+    return ftyp + free + mdat + moov
+
+
+def _iter_boxes(buf: bytes, pos: int = 0, end: int | None = None):
+    """Yield (type, body_start, body_end) walking a box sequence;
+    handles 64-bit largesize (size == 1) and to-end-of-file boxes
+    (size == 0). Raises on malformed sizes."""
+    import struct
+
+    end = len(buf) if end is None else end
+    while pos < end:
+        if end - pos < 8:
+            raise ValueError("mp4: truncated box header")
+        size = struct.unpack_from(">I", buf, pos)[0]
+        btype = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if end - pos < 16:
+                raise ValueError("mp4: truncated largesize")
+            size = struct.unpack_from(">Q", buf, pos + 8)[0]
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError(f"mp4: bad box size for {btype!r}")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _find_box(buf: bytes, path: list[bytes], pos: int = 0,
+              end: int | None = None) -> tuple[int, int]:
+    """(body_start, body_end) of the first box at the given path."""
+    head, *rest = path
+    for btype, b0, b1 in _iter_boxes(buf, pos, end):
+        if btype == head:
+            if not rest:
+                return b0, b1
+            return _find_box(buf, rest, b0, b1)
+    raise ValueError(f"mp4: box {head!r} not found")
+
+
+def demux_mp4(payload: bytes) -> dict:
+    """Independent ISO BMFF demux: box walk, sample-table parse, and
+    the standard stsc/stco/stsz chunk-walk reconstructing every
+    sample's absolute file span (validated against the mdat bounds).
+    Returns track metadata + the extracted sample payloads."""
+    import struct
+
+    ftyp_seen = False
+    mdat_span = None
+    moov_span = None
+    for btype, b0, b1 in _iter_boxes(payload):
+        if btype == b"ftyp":
+            ftyp_seen = True
+        elif btype == b"mdat" and mdat_span is None:
+            mdat_span = (b0, b1)
+        elif btype == b"moov":
+            moov_span = (b0, b1)
+    if not ftyp_seen or mdat_span is None or moov_span is None:
+        raise ValueError("mp4: missing ftyp/mdat/moov")
+
+    mv0, mv1 = moov_span
+    md0, md1 = _find_box(payload, [b"trak", b"mdia", b"mdhd"], mv0, mv1)
+    ver = payload[md0]
+    if ver == 1:
+        timescale, duration = struct.unpack_from(">IQ", payload, md0 + 20)
+    else:
+        timescale, duration = struct.unpack_from(">II", payload, md0 + 12)
+
+    st0, st1 = _find_box(
+        payload, [b"trak", b"mdia", b"minf", b"stbl"], mv0, mv1
+    )
+    tables: dict[bytes, tuple[int, int]] = {}
+    for btype, b0, b1 in _iter_boxes(payload, st0, st1):
+        tables[btype] = (b0, b1)
+    for need in (b"stsd", b"stts", b"stsc", b"stsz", b"stco"):
+        if need not in tables:
+            raise ValueError(f"mp4: stbl missing {need!r}")
+
+    # stsd -> first VisualSampleEntry's coded width/height
+    sd0, _ = tables[b"stsd"]
+    if struct.unpack_from(">I", payload, sd0 + 4)[0] < 1:
+        raise ValueError("mp4: empty stsd")
+    e0 = sd0 + 8  # entry's own box header
+    width, height = struct.unpack_from(">HH", payload, e0 + 32)
+
+    # stts -> sample count + constant delta check
+    t0, _ = tables[b"stts"]
+    n_stts = struct.unpack_from(">I", payload, t0 + 4)[0]
+    n_samples = 0
+    for i in range(n_stts):
+        cnt, _delta = struct.unpack_from(">II", payload, t0 + 8 + 8 * i)
+        n_samples += cnt
+
+    # stsz -> per-sample sizes
+    z0, _ = tables[b"stsz"]
+    fixed, nz = struct.unpack_from(">II", payload, z0 + 4)
+    if nz != n_samples:
+        raise ValueError("mp4: stsz/stts sample-count mismatch")
+    sizes = (
+        [fixed] * nz
+        if fixed
+        else list(struct.unpack_from(f">{nz}I", payload, z0 + 12))
+    )
+
+    # stsc entries + stco offsets
+    c0, _ = tables[b"stsc"]
+    n_stsc = struct.unpack_from(">I", payload, c0 + 4)[0]
+    stsc = [
+        struct.unpack_from(">III", payload, c0 + 8 + 12 * i)[:2]
+        for i in range(n_stsc)
+    ]
+    o0, _ = tables[b"stco"]
+    n_chunks = struct.unpack_from(">I", payload, o0 + 4)[0]
+    offsets = list(struct.unpack_from(f">{n_chunks}I", payload, o0 + 8))
+
+    # the chunk walk: expand stsc runs across chunks, then lay samples
+    # consecutively from each chunk's absolute offset
+    per_chunk = []
+    for i, (first, spc) in enumerate(stsc):
+        last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else n_chunks
+        per_chunk.extend(spc for _ in range(first, last + 1))
+    if sum(per_chunk) != n_samples:
+        raise ValueError("mp4: stsc chunk walk disagrees with stts")
+    samples = []
+    si = 0
+    lo, hi = mdat_span
+    for ci, spc in enumerate(per_chunk):
+        pos = offsets[ci]
+        for _ in range(spc):
+            size = sizes[si]
+            if pos < lo or pos + size > hi:
+                raise ValueError("mp4: sample outside mdat")
+            samples.append(payload[pos : pos + size])
+            pos += size
+            si += 1
+    return {
+        "width": int(width),
+        "height": int(height),
+        "timescale": int(timescale),
+        "duration": int(duration),
+        "samples": samples,
+    }
+
+
+class DemuxMP4:
+    """Actor-pool container demux stage: full independent ISO BMFF
+    parse per payload and exact-integer sample aggregates — the stage
+    a video curation pipeline runs BEFORE any codec touches bytes
+    (sample extraction, corruption triage, per-shard stats)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {k: [] for k in (
+            "media_id", "width", "height", "timescale", "duration",
+            "n_samples", "total_bytes", "max_sample_size", "sum_payload",
+        )}
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            m = demux_mp4(payload)
+            sizes = [len(s) for s in m["samples"]]
+            cols["media_id"].append(mid)
+            cols["width"].append(m["width"])
+            cols["height"].append(m["height"])
+            cols["timescale"].append(m["timescale"])
+            cols["duration"].append(m["duration"])
+            cols["n_samples"].append(len(sizes))
+            cols["total_bytes"].append(sum(sizes))
+            cols["max_sample_size"].append(max(sizes) if sizes else 0)
+            cols["sum_payload"].append(
+                sum(int(np.frombuffer(s, np.uint8).astype(np.int64).sum())
+                    for s in m["samples"])
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(cols["media_id"], pa.int64()),
+                "width": pa.array(cols["width"], pa.int32()),
+                "height": pa.array(cols["height"], pa.int32()),
+                "timescale": pa.array(cols["timescale"], pa.int32()),
+                "duration": pa.array(cols["duration"], pa.int64()),
+                "n_samples": pa.array(cols["n_samples"], pa.int64()),
+                "total_bytes": pa.array(cols["total_bytes"], pa.int64()),
+                "max_sample_size": pa.array(
+                    cols["max_sample_size"], pa.int32()
+                ),
+                "sum_payload": pa.array(cols["sum_payload"], pa.int64()),
+            }
+        )
+
+
+def mp4_demux(sf_dir: str, concurrency: int = 2) -> ray.data.Dataset:
+    """End-to-end REAL MP4 container demux: each doc's digest-rule
+    frames (``mp4_frames_for``) are muxed into an actual ISO BMFF file
+    (multi-chunk stsc/stco/stsz sample tables, absolute chunk
+    offsets), shipped as an opaque binary column, then independently
+    demuxed back in an actor pool — box walk, sample-table parse,
+    chunk-walk offset reconstruction, payload extraction — and
+    aggregated to exact integers. sqlgen.mp4_demux_sql re-derives
+    every published number from the digest rule without parsing the
+    container, so a hash match certifies the whole mux -> ship ->
+    DEMUX -> aggregate loop. The entropy-coded video bitstream stays
+    out of scope (needs codec libs); the payloads are opaque bytes by
+    design."""
+
+    def enc(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for doc_id, x in zip(ids, t["text"].to_pylist()):
+            frames = mp4_frames_for(_text_digest(x), int(doc_id))
+            w = 64 + int(doc_id) % 4 * 16
+            h = 48 + int(doc_id) % 3 * 16
+            payloads.append(encode_mp4(frames, w, h))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(enc, batch_format="pyarrow")
+        .map_batches(
+            DemuxMP4, batch_format="pyarrow", batch_size=32,
             concurrency=concurrency,
         )
         .sort("media_id")

@@ -2667,6 +2667,59 @@ FROM s GROUP BY doc_id, n ORDER BY media_id
 """
 
 
+def mp4_demux_sql() -> str:
+    """Oracle for the REAL ISO BMFF container demux loop
+    (ops/multimodal.mp4_demux): re-derives every published integer
+    from the digest rule — n = 4 + doc_id % 8 frames, frame k is
+    16 + d[k % 32] bytes, byte j of frame k is d[(k + j) % 32] —
+    without parsing the container. A hash match certifies the whole
+    mux (multi-chunk stsc/stco/stsz) -> ship -> box-walk DEMUX ->
+    chunk-walk sample extraction -> aggregate loop, because the
+    demuxer's outputs are provably the rule's values only if every
+    reconstructed sample span was exactly right."""
+    from snowball_java_ray.ops.multimodal import (
+        MP4_FRAME_DUR,
+        MP4_TIMESCALE,
+    )
+
+    return f"""
+WITH d AS (SELECT doc_id, sha256(coalesce(text, '')) AS hx,
+                  4 + doc_id % 8 AS n FROM documents),
+fs AS (
+  SELECT doc_id, n, hx, k,
+         16 + ('0x' || substr(hx, 2 * (k % 32) + 1, 2))::INT AS sz
+  FROM d, generate_series(0, 11) AS t(k) WHERE k < n
+),
+agg_sz AS (
+  SELECT doc_id, CAST(sum(sz) AS BIGINT) AS total_bytes,
+         CAST(max(sz) AS INT) AS max_sample_size
+  FROM fs GROUP BY doc_id
+),
+pb AS (
+  SELECT fs.doc_id,
+         ('0x' || substr(hx, 2 * ((k + j) % 32) + 1, 2))::INT AS b
+  FROM fs, generate_series(0, 270) AS t2(j) WHERE j < sz
+),
+agg_pb AS (
+  SELECT doc_id, CAST(sum(b) AS BIGINT) AS sum_payload
+  FROM pb GROUP BY doc_id
+)
+SELECT d.doc_id AS media_id,
+       CAST(64 + (d.doc_id % 4) * 16 AS INT) AS width,
+       CAST(48 + (d.doc_id % 3) * 16 AS INT) AS height,
+       CAST({MP4_TIMESCALE} AS INT) AS timescale,
+       CAST(d.n * {MP4_FRAME_DUR} AS BIGINT) AS duration,
+       CAST(d.n AS BIGINT) AS n_samples,
+       agg_sz.total_bytes,
+       agg_sz.max_sample_size,
+       agg_pb.sum_payload
+FROM d
+JOIN agg_sz USING (doc_id)
+JOIN agg_pb USING (doc_id)
+ORDER BY media_id
+"""
+
+
 def events_pivot_sql() -> str:
     """Event-type pivot oracle: conditional aggregation per user,
     purchase revenue in exact integer cents (engine CAST mirrored)."""

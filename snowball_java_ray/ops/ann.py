@@ -432,10 +432,14 @@ def embed_quantize(sf_dir: str) -> ray.data.Dataset:
                     np.full(mat.shape[0], mat.shape[1], np.int64),
                     pa.int64(),
                 ),
-                # published on the 6-dp grid (raw maxabs stays the
-                # quantizer scale; only the audit column is rounded,
-                # identically on the oracle side)
-                "maxabs": pa.array(np.round(maxabs, 6), pa.float64()),
+                # published on the 6-dp grid via the boundary-proof
+                # floor quantizer (raw maxabs stays the quantizer
+                # scale; np.round's half-even would diverge from
+                # DuckDB's half-away on dyadic ties like 1/128 —
+                # self-review r5)
+                "maxabs": pa.array(
+                    np.floor(maxabs * 1e6 + 0.5) / 1e6, pa.float64()
+                ),
                 "sum_q": pa.array(q.sum(axis=1), pa.int64()),
                 "sum_q_abs": pa.array(
                     np.abs(q).sum(axis=1), pa.int64()

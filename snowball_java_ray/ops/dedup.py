@@ -758,12 +758,12 @@ def _partition_edges_by_dst(
     edges: ray.data.Dataset, P: int
 ) -> tuple[str, list[dict]]:
     """One-time Pregel-style edge partitioning for the iterative graph
-    ops: ONE hash shuffle of the edge list by ``hash(dst) % P``, each
-    bucket written as a parquet file (the single-node stand-in for a
-    shared store — on a cluster these are S3/HDFS objects, exactly like
-    the serving index chunks). Every later iteration reads its bucket
-    from the page cache instead of re-shuffling the full edge table —
-    the r5 probe measured the old per-round two-sided join shuffle at
+    ops: ONE shuffle of the edge list into P dst-range buckets, each
+    written as a file (the single-node stand-in for a shared store —
+    on a cluster these are S3/HDFS objects, exactly like the serving
+    index chunks). Every later iteration reads its bucket from the
+    page cache instead of re-shuffling the full edge table — the r5
+    probe measured the old per-round two-sided join shuffle at
     ~10 s/round for a 32M-row edge list; with edges partitioned once,
     a round is one map stage over the buckets.
 
@@ -790,11 +790,21 @@ def _partition_edges_by_dst(
     import tempfile
 
     import pyarrow.feather as feather
+    from ray.data.aggregate import Max, Min
 
-    lo = edges.min("dst")
-    hi = edges.max("dst")
+    # one aggregate pass for both bounds (separate .min()/.max()
+    # calls each re-scan the edge Dataset — self-review r5)
+    bounds = edges.aggregate(Min("dst"), Max("dst"))
+    lo, hi = bounds["min(dst)"], bounds["max(dst)"]
     span = int(hi) - int(lo) + 1
-    assert span < (1 << 58), "node-id span too wide for range bucketing"
+    # (dst - lo) * P is int64 inside tag(): the guard must bound the
+    # PRODUCT, not just the span — span < 2^58 alone lets P = 64 wrap
+    # silently and break the globally-sorted-concat invariant
+    # (self-review r5)
+    assert span * P < (1 << 63), (
+        "node-id span too wide for range bucketing at this partition "
+        "count — rescale ids or bucket on (dst - lo) >> k"
+    )
 
     out_dir = tempfile.mkdtemp(prefix="snowball_graphpart_")
 
@@ -1147,7 +1157,23 @@ def pagerank_over(
         edges, ["src"], [("", "count_all", "d")]
     ).materialize()
     if deg.count() == 0:
-        return deg
+        # keep the (doc, d, r) output contract on the empty graph —
+        # the raw (src, d) aggregate would crash pagerank()'s publish
+        # step — and populate stats so bench consumers don't KeyError
+        # (self-review r5)
+        if stats is not None:
+            stats["iters"] = iters
+            stats["partition_s"] = 0.0
+            stats["rounds_s"] = 0.0
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc": pa.array([], pa.int64()),
+                    "d": pa.array([], pa.int64()),
+                    "r": pa.array([], pa.int64()),
+                }
+            )
+        )
 
     def init_r(t: pa.Table) -> pa.Table:
         return pa.table(

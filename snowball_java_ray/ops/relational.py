@@ -1972,7 +1972,6 @@ def events_regression(sf_dir: str) -> pa.Table:
     precision.)"""
     import numpy as np
 
-    from snowball_java_ray.constants import SCORE_ROUND_DECIMALS
     from snowball_java_ray.pipelines.api import collect_arrow
 
     def partial(t: pa.Table) -> pa.Table:
@@ -2007,14 +2006,19 @@ def events_regression(sf_dir: str) -> pa.Table:
     den = n * sxx - sx * sx
     slope = float(num) / float(den)
     intercept = (float(sy) - slope * float(sx)) / float(n)
+    # boundary-proof floor quantizer, identical expression in the
+    # oracle (Python round() half-evens where DuckDB round()
+    # half-aways on dyadic 6-dp ties like 1/128 — self-review r5)
+    import math
+
     return pa.table(
         {
             "n": pa.array([n], pa.int64()),
             "slope": pa.array(
-                [round(slope, SCORE_ROUND_DECIMALS)], pa.float64()
+                [math.floor(slope * 1e6 + 0.5) / 1e6], pa.float64()
             ),
             "intercept": pa.array(
-                [round(intercept, SCORE_ROUND_DECIMALS)], pa.float64()
+                [math.floor(intercept * 1e6 + 0.5) / 1e6], pa.float64()
             ),
         }
     )
@@ -2032,10 +2036,7 @@ def corr_matrix(sf_dir: str) -> pa.Table:
 
     import numpy as np
 
-    from snowball_java_ray.constants import (
-        CORR_COLUMNS,
-        SCORE_ROUND_DECIMALS,
-    )
+    from snowball_java_ray.constants import CORR_COLUMNS
     from snowball_java_ray.pipelines.api import collect_arrow
 
     cols = [c for c, _ in CORR_COLUMNS]
@@ -2112,10 +2113,11 @@ def corr_matrix(sf_dir: str) -> pa.Table:
         )
         rows["col_a"].append(a)
         rows["col_b"].append(b)
-        # published on the 6-dp SCORE grid (r4 off-grid detector hit:
-        # the previous 9-dp rank grid is finer than the published-float
-        # contract the driver-hash risk analysis assumes)
-        rows["corr"].append(round(corr, SCORE_ROUND_DECIMALS))
+        # published on the 6-dp SCORE grid via the boundary-proof
+        # floor quantizer (identical expression in the oracle;
+        # round()'s half-even vs DuckDB's half-away diverge on dyadic
+        # ties — self-review r5)
+        rows["corr"].append(math.floor(corr * 1e6 + 0.5) / 1e6)
     tbl = pa.table(
         {
             "col_a": pa.array(rows["col_a"], pa.string()),
@@ -2134,7 +2136,6 @@ def nation_revenue_share(sf_dir: str) -> pa.Table:
     and a single exact division per row against the grand total."""
     import numpy as np
 
-    from snowball_java_ray.constants import RANK_ROUND_DECIMALS
     from snowball_java_ray.ops.dedup import hash_grouped_aggregate
     from snowball_java_ray.pipelines.api import collect_arrow
 

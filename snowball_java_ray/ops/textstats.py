@@ -1228,6 +1228,18 @@ def lm_nll(sf_dir: str) -> pa.Table:
         # weights would go through float64 and lose exactness past
         # 2^53
         sums = np.bincount(bidx, minlength=t.num_rows)
+        # the guard above bounds ONE contrib below 2^62; the per-doc
+        # SUM can still wrap when a long doc stacks near-max contribs
+        # — bound the worst-case sum too so overflow raises instead of
+        # publishing wrapped NLLs (self-review r5)
+        if len(contrib) and int(contrib.max()) * int(sums.max()) >= (
+            1 << 63
+        ):
+            raise OverflowError(
+                "lm_nll exact-integer contract exceeded: per-doc sum "
+                f"of up to {int(sums.max())} contribs (max "
+                f"{int(contrib.max())}) would overflow int64"
+            )
         isum = np.zeros(t.num_rows, np.int64)
         starts = np.flatnonzero(np.r_[True, bidx[1:] != bidx[:-1]])
         isum[bidx[starts]] = np.add.reduceat(contrib, starts)

@@ -1804,7 +1804,7 @@ q AS (
   FROM x JOIN m ON m.vec_id = x.vec_id
 )
 SELECT m.vec_id, CAST(m.n_dims AS BIGINT) AS n_dims,
-       round(m.maxabs, 6) AS maxabs,
+       floor(m.maxabs * 1000000 + 0.5) / 1000000 AS maxabs,
        CAST(sum(q.q) AS BIGINT) AS sum_q,
        CAST(sum(abs(q.q)) AS BIGINT) AS sum_q_abs
 FROM m JOIN q ON q.vec_id = m.vec_id
@@ -3707,14 +3707,14 @@ WITH s AS (
   FROM events
 )
 SELECT CAST(n AS BIGINT) AS n,
-       round(CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE),
-             {SCORE_ROUND_DECIMALS}) AS slope,
-       round((CAST(sy AS DOUBLE)
+       floor(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS slope,
+       floor((CAST(sy AS DOUBLE)
               - (CAST(n * sxy - sx * sy AS DOUBLE)
                  / CAST(n * sxx - sx * sx AS DOUBLE))
                 * CAST(sx AS DOUBLE))
-             / CAST(n AS DOUBLE), {SCORE_ROUND_DECIMALS}) AS intercept
+             / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS intercept
 FROM s
 """
 
@@ -3724,7 +3724,7 @@ def corr_matrix_sql() -> str:
     per pair, float expression mirroring the engine verbatim. Published
     on the 6-dp SCORE grid (both engines round the same exact-integer
     expression, so the grids coincide bitwise)."""
-    from snowball_java_ray.constants import CORR_COLUMNS, SCORE_ROUND_DECIMALS
+    from snowball_java_ray.constants import CORR_COLUMNS
 
     cols = [c for c, _ in CORR_COLUMNS]
     scales = dict(CORR_COLUMNS)
@@ -3735,13 +3735,13 @@ def corr_matrix_sql() -> str:
             qa = f"CAST(round({a} * {scales[a]}) AS HUGEINT)"
             qb = f"CAST(round({b} * {scales[b]}) AS HUGEINT)"
             branches.append(f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
-       round(CAST(count(*) * sum({qa} * {qb})
+       floor(CAST(count(*) * sum({qa} * {qb})
                   - sum({qa}) * sum({qb}) AS DOUBLE)
              / (sqrt(CAST(count(*) * sum({qa} * {qa})
                           - sum({qa}) * sum({qa}) AS DOUBLE))
                 * sqrt(CAST(count(*) * sum({qb} * {qb})
-                            - sum({qb}) * sum({qb}) AS DOUBLE))),
-             {SCORE_ROUND_DECIMALS}) AS corr
+                            - sum({qb}) * sum({qb}) AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS corr
 FROM lineitem""")
     body = "\nUNION ALL\n".join(branches)
     return f"SELECT * FROM (\n{body}\n) ORDER BY col_a, col_b\n"

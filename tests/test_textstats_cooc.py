@@ -321,9 +321,10 @@ def test_embed_quantize_invariants(ray_session):
             if m > 0
             else np.zeros(len(x), np.int64)
         )
-        # the audit column publishes on the 6-dp grid since r5; the
-        # raw maxabs stays the quantizer scale inside the expression
-        assert got.loc[vid, "maxabs"] == np.round(m, 6)
+        # the audit column publishes on the 6-dp grid since r5 (the
+        # boundary-proof floor quantizer, identical in the oracle);
+        # the raw maxabs stays the quantizer scale in the expression
+        assert got.loc[vid, "maxabs"] == np.floor(m * 1e6 + 0.5) / 1e6
         assert got.loc[vid, "sum_q"] == q.sum()
         assert got.loc[vid, "sum_q_abs"] == np.abs(q).sum()
 

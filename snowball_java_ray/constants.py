@@ -52,6 +52,14 @@ TOP_K = 10
 # rounded to SCORE_ROUND_DECIMALS.
 RANK_ROUND_DECIMALS = 9
 SCORE_ROUND_DECIMALS = 6
+# The published-float grid scale (10^SCORE_ROUND_DECIMALS). Floats
+# that leave the engine do so through the boundary-proof quantizer
+# floor(x * SCORE_GRID + 0.5) / SCORE_GRID evaluated IDENTICALLY on
+# both engines (sqlgen.grid6 renders the SQL side) — round() must not
+# be used for published floats: Python/numpy half-even and DuckDB
+# half-away diverge on dyadic ties like 1/128, and only the shared
+# floor expression also agrees on negative ties (r5 self-review).
+SCORE_GRID = 10 ** SCORE_ROUND_DECIMALS
 
 # --- Reference query set (FIXTURES.md F3) ------------------------------
 # Fixed deterministic queries over the synthetic-corpus vocabulary;

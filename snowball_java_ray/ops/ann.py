@@ -27,6 +27,7 @@ from snowball_java_ray.constants import (
     ANN_TOP_K,
     IVF_K,
     IVF_NPROBE,
+    SCORE_GRID,
 )
 
 RANK_DECIMALS = 9
@@ -432,13 +433,13 @@ def embed_quantize(sf_dir: str) -> ray.data.Dataset:
                     np.full(mat.shape[0], mat.shape[1], np.int64),
                     pa.int64(),
                 ),
-                # published on the 6-dp grid via the boundary-proof
-                # floor quantizer (raw maxabs stays the quantizer
-                # scale; np.round's half-even would diverge from
-                # DuckDB's half-away on dyadic ties like 1/128 —
-                # self-review r5)
+                # published on the SCORE_GRID via the boundary-proof
+                # floor quantizer (see constants.SCORE_GRID; raw
+                # maxabs stays the quantizer scale inside the
+                # expression — self-review r5)
                 "maxabs": pa.array(
-                    np.floor(maxabs * 1e6 + 0.5) / 1e6, pa.float64()
+                    np.floor(maxabs * SCORE_GRID + 0.5) / SCORE_GRID,
+                    pa.float64(),
                 ),
                 "sum_q": pa.array(q.sum(axis=1), pa.int64()),
                 "sum_q_abs": pa.array(

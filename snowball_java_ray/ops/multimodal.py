@@ -1497,7 +1497,10 @@ def _iter_boxes(buf: bytes, pos: int = 0, end: int | None = None):
 
 def _find_box(buf: bytes, path: list[bytes], pos: int = 0,
               end: int | None = None) -> tuple[int, int]:
-    """(body_start, body_end) of the first box at the given path."""
+    """(body_start, body_end) of the first box at the given path.
+    Contract: only use below a level where the path is unique (inside
+    ONE trak, mdia/minf/stbl occur once) — track SELECTION goes
+    through ``_video_trak``, which inspects every trak's hdlr."""
     head, *rest = path
     for btype, b0, b1 in _iter_boxes(buf, pos, end):
         if btype == head:
@@ -1507,12 +1510,47 @@ def _find_box(buf: bytes, path: list[bytes], pos: int = 0,
     raise ValueError(f"mp4: box {head!r} not found")
 
 
+def _video_trak(payload: bytes, mv0: int, mv1: int) -> tuple[int, int]:
+    """Span of the first trak whose mdia/hdlr handler is 'vide' — a
+    real multi-track file can list an audio trak first, and parsing
+    its AudioSampleEntry as a VisualSampleEntry would publish silent
+    garbage (self-review r5)."""
+    for btype, b0, b1 in _iter_boxes(payload, mv0, mv1):
+        if btype != b"trak":
+            continue
+        try:
+            h0, h1 = _find_box(payload, [b"mdia", b"hdlr"], b0, b1)
+        except ValueError:
+            continue
+        if h1 - h0 >= 12 and payload[h0 + 8 : h0 + 12] == b"vide":
+            return b0, b1
+    raise ValueError("mp4: no video trak (hdlr 'vide')")
+
+
 def demux_mp4(payload: bytes) -> dict:
     """Independent ISO BMFF demux: box walk, sample-table parse, and
     the standard stsc/stco/stsz chunk-walk reconstructing every
     sample's absolute file span (validated against the mdat bounds).
-    Returns track metadata + the extracted sample payloads."""
+    Returns track metadata + the extracted sample payloads.
+
+    Corruption contract: EVERY malformed input raises ValueError —
+    each table's declared entry count is validated against its box's
+    own body length BEFORE any allocation sized by it (a forged
+    32-bit count in a 1 KB payload must not demand gigabytes), sample
+    capacity is bounded by the mdat span, and a residual struct.error
+    is re-raised as ValueError so callers can triage on one type."""
     import struct
+
+    try:
+        return _demux_mp4_inner(payload, struct)
+    except struct.error as e:
+        raise ValueError(f"mp4: truncated table ({e})") from e
+
+
+def _demux_mp4_inner(payload: bytes, struct) -> dict:
+    def need(cond: bool, msg: str) -> None:
+        if not cond:
+            raise ValueError("mp4: " + msg)
 
     ftyp_seen = False
     mdat_span = None
@@ -1526,60 +1564,76 @@ def demux_mp4(payload: bytes) -> dict:
             moov_span = (b0, b1)
     if not ftyp_seen or mdat_span is None or moov_span is None:
         raise ValueError("mp4: missing ftyp/mdat/moov")
+    lo, hi = mdat_span
 
     mv0, mv1 = moov_span
-    md0, md1 = _find_box(payload, [b"trak", b"mdia", b"mdhd"], mv0, mv1)
+    tr0, tr1 = _video_trak(payload, mv0, mv1)
+    md0, md1 = _find_box(payload, [b"mdia", b"mdhd"], tr0, tr1)
+    need(md1 - md0 >= 4, "mdhd truncated")
     ver = payload[md0]
     if ver == 1:
+        need(md1 - md0 >= 32, "mdhd v1 truncated")
         timescale, duration = struct.unpack_from(">IQ", payload, md0 + 20)
     else:
+        need(md1 - md0 >= 20, "mdhd truncated")
         timescale, duration = struct.unpack_from(">II", payload, md0 + 12)
 
-    st0, st1 = _find_box(
-        payload, [b"trak", b"mdia", b"minf", b"stbl"], mv0, mv1
-    )
+    st0, st1 = _find_box(payload, [b"mdia", b"minf", b"stbl"], tr0, tr1)
     tables: dict[bytes, tuple[int, int]] = {}
     for btype, b0, b1 in _iter_boxes(payload, st0, st1):
         tables[btype] = (b0, b1)
-    for need in (b"stsd", b"stts", b"stsc", b"stsz", b"stco"):
-        if need not in tables:
-            raise ValueError(f"mp4: stbl missing {need!r}")
+    for req in (b"stsd", b"stts", b"stsc", b"stsz", b"stco"):
+        if req not in tables:
+            raise ValueError(f"mp4: stbl missing {req!r}")
 
     # stsd -> first VisualSampleEntry's coded width/height
-    sd0, _ = tables[b"stsd"]
+    sd0, sd1 = tables[b"stsd"]
+    need(sd1 - sd0 >= 8 + 36, "stsd truncated")
     if struct.unpack_from(">I", payload, sd0 + 4)[0] < 1:
         raise ValueError("mp4: empty stsd")
     e0 = sd0 + 8  # entry's own box header
     width, height = struct.unpack_from(">HH", payload, e0 + 32)
 
-    # stts -> sample count + constant delta check
-    t0, _ = tables[b"stts"]
+    # stts -> sample count (entry count validated against body length
+    # BEFORE the loop sized by it)
+    t0, t1 = tables[b"stts"]
+    need(t1 - t0 >= 8, "stts truncated")
     n_stts = struct.unpack_from(">I", payload, t0 + 4)[0]
+    need(t1 - t0 >= 8 + 8 * n_stts, "stts entry count exceeds box")
     n_samples = 0
     for i in range(n_stts):
         cnt, _delta = struct.unpack_from(">II", payload, t0 + 8 + 8 * i)
         n_samples += cnt
 
-    # stsz -> per-sample sizes
-    z0, _ = tables[b"stsz"]
+    # stsz -> per-sample sizes; the count is bounded by the box body
+    # (variable sizes) or the mdat capacity (fixed size) before any
+    # allocation proportional to it
+    z0, z1 = tables[b"stsz"]
+    need(z1 - z0 >= 12, "stsz truncated")
     fixed, nz = struct.unpack_from(">II", payload, z0 + 4)
     if nz != n_samples:
         raise ValueError("mp4: stsz/stts sample-count mismatch")
-    sizes = (
-        [fixed] * nz
-        if fixed
-        else list(struct.unpack_from(f">{nz}I", payload, z0 + 12))
-    )
+    if fixed:
+        need(fixed * nz <= hi - lo, "samples exceed mdat capacity")
+        sizes = [fixed] * nz
+    else:
+        need(z1 - z0 >= 12 + 4 * nz, "stsz size count exceeds box")
+        sizes = list(struct.unpack_from(f">{nz}I", payload, z0 + 12))
+        need(sum(sizes) <= hi - lo, "samples exceed mdat capacity")
 
-    # stsc entries + stco offsets
-    c0, _ = tables[b"stsc"]
+    # stsc entries + stco offsets (counts validated against bodies)
+    c0, c1 = tables[b"stsc"]
+    need(c1 - c0 >= 8, "stsc truncated")
     n_stsc = struct.unpack_from(">I", payload, c0 + 4)[0]
+    need(c1 - c0 >= 8 + 12 * n_stsc, "stsc entry count exceeds box")
     stsc = [
         struct.unpack_from(">III", payload, c0 + 8 + 12 * i)[:2]
         for i in range(n_stsc)
     ]
-    o0, _ = tables[b"stco"]
+    o0, o1 = tables[b"stco"]
+    need(o1 - o0 >= 8, "stco truncated")
     n_chunks = struct.unpack_from(">I", payload, o0 + 4)[0]
+    need(o1 - o0 >= 8 + 4 * n_chunks, "stco entry count exceeds box")
     offsets = list(struct.unpack_from(f">{n_chunks}I", payload, o0 + 8))
 
     # the chunk walk: expand stsc runs across chunks, then lay samples
@@ -1588,11 +1642,11 @@ def demux_mp4(payload: bytes) -> dict:
     for i, (first, spc) in enumerate(stsc):
         last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else n_chunks
         per_chunk.extend(spc for _ in range(first, last + 1))
+    need(len(per_chunk) <= n_chunks, "stsc references more chunks than stco")
     if sum(per_chunk) != n_samples:
         raise ValueError("mp4: stsc chunk walk disagrees with stts")
     samples = []
     si = 0
-    lo, hi = mdat_span
     for ci, spc in enumerate(per_chunk):
         pos = offsets[ci]
         for _ in range(spc):

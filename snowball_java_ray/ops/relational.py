@@ -2006,19 +2006,23 @@ def events_regression(sf_dir: str) -> pa.Table:
     den = n * sxx - sx * sx
     slope = float(num) / float(den)
     intercept = (float(sy) - slope * float(sx)) / float(n)
-    # boundary-proof floor quantizer, identical expression in the
-    # oracle (Python round() half-evens where DuckDB round()
-    # half-aways on dyadic 6-dp ties like 1/128 — self-review r5)
+    # boundary-proof floor quantizer on the SCORE_GRID, identical
+    # expression in the oracle (see constants.SCORE_GRID for the
+    # half-mode rationale — self-review r5)
     import math
+
+    from snowball_java_ray.constants import SCORE_GRID
 
     return pa.table(
         {
             "n": pa.array([n], pa.int64()),
             "slope": pa.array(
-                [math.floor(slope * 1e6 + 0.5) / 1e6], pa.float64()
+                [math.floor(slope * SCORE_GRID + 0.5) / SCORE_GRID],
+                pa.float64(),
             ),
             "intercept": pa.array(
-                [math.floor(intercept * 1e6 + 0.5) / 1e6], pa.float64()
+                [math.floor(intercept * SCORE_GRID + 0.5) / SCORE_GRID],
+                pa.float64(),
             ),
         }
     )
@@ -2036,7 +2040,7 @@ def corr_matrix(sf_dir: str) -> pa.Table:
 
     import numpy as np
 
-    from snowball_java_ray.constants import CORR_COLUMNS
+    from snowball_java_ray.constants import CORR_COLUMNS, SCORE_GRID
     from snowball_java_ray.pipelines.api import collect_arrow
 
     cols = [c for c, _ in CORR_COLUMNS]
@@ -2113,11 +2117,12 @@ def corr_matrix(sf_dir: str) -> pa.Table:
         )
         rows["col_a"].append(a)
         rows["col_b"].append(b)
-        # published on the 6-dp SCORE grid via the boundary-proof
-        # floor quantizer (identical expression in the oracle;
-        # round()'s half-even vs DuckDB's half-away diverge on dyadic
-        # ties — self-review r5)
-        rows["corr"].append(math.floor(corr * 1e6 + 0.5) / 1e6)
+        # published on the SCORE_GRID via the boundary-proof floor
+        # quantizer (identical expression in the oracle; see
+        # constants.SCORE_GRID — self-review r5)
+        rows["corr"].append(
+            math.floor(corr * SCORE_GRID + 0.5) / SCORE_GRID
+        )
     tbl = pa.table(
         {
             "col_a": pa.array(rows["col_a"], pa.string()),

@@ -1228,20 +1228,27 @@ def lm_nll(sf_dir: str) -> pa.Table:
         # weights would go through float64 and lose exactness past
         # 2^53
         sums = np.bincount(bidx, minlength=t.num_rows)
-        # the guard above bounds ONE contrib below 2^62; the per-doc
-        # SUM can still wrap when a long doc stacks near-max contribs
-        # — bound the worst-case sum too so overflow raises instead of
-        # publishing wrapped NLLs (self-review r5)
-        if len(contrib) and int(contrib.max()) * int(sums.max()) >= (
-            1 << 63
-        ):
-            raise OverflowError(
-                "lm_nll exact-integer contract exceeded: per-doc sum "
-                f"of up to {int(sums.max())} contribs (max "
-                f"{int(contrib.max())}) would overflow int64"
-            )
         isum = np.zeros(t.num_rows, np.int64)
         starts = np.flatnonzero(np.r_[True, bidx[1:] != bidx[:-1]])
+        # the guard above bounds ONE contrib below 2^62; a long doc
+        # can still wrap the per-doc SUM — bound it PER DOC (max
+        # contrib x contrib count, exact integer floor-div compare so
+        # the check itself can't overflow; a batch-global max x max
+        # would false-positive when the long docs and the high-count
+        # docs are different rows — self-review r5)
+        if len(contrib):
+            run_max = np.maximum.reduceat(contrib, starts)
+            run_n = np.diff(np.r_[starts, len(contrib)])
+            lim = (1 << 63) - 1
+            bad = run_max > lim // run_n
+            if bool(bad.any()):
+                k = int(np.flatnonzero(bad)[0])
+                raise OverflowError(
+                    "lm_nll exact-integer contract exceeded: a doc "
+                    f"with {int(run_n[k])} bigrams and max contrib "
+                    f"{int(run_max[k])} would overflow the int64 "
+                    "per-doc sum"
+                )
         isum[bidx[starts]] = np.add.reduceat(contrib, starts)
         has = sums > 0
         doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[has]

@@ -44,6 +44,16 @@ SQL_TOKENIZE_CTE = (
 )
 
 
+def grid6(expr: str) -> str:
+    """The published-float grid quantizer, SQL side: renders
+    floor((expr) * SCORE_GRID + 0.5) / SCORE_GRID — the ONE expression
+    both engines evaluate for published floats (constants.SCORE_GRID
+    docstring has the half-mode rationale)."""
+    from snowball_java_ray.constants import SCORE_GRID
+
+    return f"floor(({expr}) * {SCORE_GRID} + 0.5) / {SCORE_GRID}"
+
+
 def tokenize_cte(table: str = "documents", id_col: str = "doc_id",
                  text_col: str = "text") -> str:
     return SQL_TOKENIZE_CTE.format(table=table, id_col=id_col, text_col=text_col)
@@ -1791,7 +1801,7 @@ def embed_quantize_sql() -> str:
     CAST(x AS DOUBLE) * 127 / maxabs + 0.5) — the identical IEEE
     float64 expression tree as the engine (float32 widened exactly,
     no libm), so q and the int64 sums are bit-identical."""
-    return """
+    return f"""
 WITH e AS (SELECT vec_id, unnest(embedding) AS xf FROM embeddings),
 x AS (SELECT vec_id, CAST(xf AS DOUBLE) AS x FROM e),
 m AS (SELECT vec_id, count(*) AS n_dims, max(abs(x)) AS maxabs
@@ -1804,7 +1814,7 @@ q AS (
   FROM x JOIN m ON m.vec_id = x.vec_id
 )
 SELECT m.vec_id, CAST(m.n_dims AS BIGINT) AS n_dims,
-       floor(m.maxabs * 1000000 + 0.5) / 1000000 AS maxabs,
+       {grid6("m.maxabs")} AS maxabs,
        CAST(sum(q.q) AS BIGINT) AS sum_q,
        CAST(sum(abs(q.q)) AS BIGINT) AS sum_q_abs
 FROM m JOIN q ON q.vec_id = m.vec_id
@@ -3707,14 +3717,13 @@ WITH s AS (
   FROM events
 )
 SELECT CAST(n AS BIGINT) AS n,
-       floor(CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE)
-             * 1000000 + 0.5) / 1000000 AS slope,
-       floor((CAST(sy AS DOUBLE)
+       {grid6('''CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE)''')} AS slope,
+       {grid6('''(CAST(sy AS DOUBLE)
               - (CAST(n * sxy - sx * sy AS DOUBLE)
                  / CAST(n * sxx - sx * sx AS DOUBLE))
                 * CAST(sx AS DOUBLE))
-             / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS intercept
+             / CAST(n AS DOUBLE)''')} AS intercept
 FROM s
 """
 
@@ -3734,15 +3743,17 @@ def corr_matrix_sql() -> str:
             a, b = cols[i], cols[j]
             qa = f"CAST(round({a} * {scales[a]}) AS HUGEINT)"
             qb = f"CAST(round({b} * {scales[b]}) AS HUGEINT)"
-            branches.append(f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
-       floor(CAST(count(*) * sum({qa} * {qb})
+            expr = f"""CAST(count(*) * sum({qa} * {qb})
                   - sum({qa}) * sum({qb}) AS DOUBLE)
              / (sqrt(CAST(count(*) * sum({qa} * {qa})
                           - sum({qa}) * sum({qa}) AS DOUBLE))
                 * sqrt(CAST(count(*) * sum({qb} * {qb})
-                            - sum({qb}) * sum({qb}) AS DOUBLE)))
-             * 1000000 + 0.5) / 1000000 AS corr
-FROM lineitem""")
+                            - sum({qb}) * sum({qb}) AS DOUBLE)))"""
+            branches.append(
+                f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+       {grid6(expr)} AS corr
+FROM lineitem"""
+            )
     body = "\nUNION ALL\n".join(branches)
     return f"SELECT * FROM (\n{body}\n) ORDER BY col_a, col_b\n"
 

@@ -402,11 +402,7 @@ def test_mp4_demux_handles_largesize_and_rejects_corruption():
     i = buf.find(b"free") - 4
     size32 = struct.unpack_from(">I", buf, i)[0]
     body = buf[i + 8 : i + size32]
-    large = (
-        struct.pack(">I", 1) + b"free"
-        + struct.pack(">Q", 16 + len(body) - 8 + 8) + body[8:]
-    )
-    # keep total length identical so stco offsets stay valid:
+    # keep total length identical so stco offsets stay valid: the
     # largesize header is 8 bytes bigger, so drop 8 payload bytes
     large = (
         struct.pack(">I", 1) + b"free"
@@ -451,3 +447,58 @@ def test_mp4_demux_matches_duckdb(ray_session):
     assert list(got.columns) == list(want.columns)
     for c in got.columns:
         assert (got[c].values == want[c].values).all(), c
+
+
+def test_mp4_demux_rejects_forged_counts_cheaply_and_picks_video_trak():
+    """Corruption-triage hardening (r5 self-review): forged 32-bit
+    table counts must raise ValueError BEFORE any allocation sized by
+    them (a 1 KB payload must not demand gigabytes), and a multi-track
+    file with an audio trak listed first must still parse the VIDEO
+    trak's sample tables."""
+    import hashlib
+    import struct
+    import time
+
+    import pytest
+
+    from snowball_java_ray.ops.multimodal import (
+        _box,
+        _fullbox,
+        demux_mp4,
+        encode_mp4,
+        mp4_frames_for,
+    )
+
+    buf = encode_mp4(mp4_frames_for(hashlib.sha256(b"x").digest(), 5), 64, 48)
+    i_stts = buf.find(b"stts")
+    i_stsz = buf.find(b"stsz")
+
+    # (a) fixed-size path: stts cnt and stsz nz both forged to 2^32-1
+    bad = bytearray(buf)
+    struct.pack_into(">I", bad, i_stts + 12, 2**32 - 1)
+    struct.pack_into(">II", bad, i_stsz + 8, 7, 2**32 - 1)
+    t0 = time.time()
+    with pytest.raises(ValueError):
+        demux_mp4(bytes(bad))
+    assert time.time() - t0 < 1.0  # rejected by bounds, not by OOM
+
+    # (b) variable-size path: nz far beyond the stsz box body
+    bad2 = bytearray(buf)
+    struct.pack_into(">I", bad2, i_stts + 12, 2_000_000)
+    struct.pack_into(">II", bad2, i_stsz + 8, 0, 2_000_000)
+    with pytest.raises(ValueError):  # ValueError, never struct.error
+        demux_mp4(bytes(bad2))
+
+    # (c) leading audio trak (hdlr 'soun') must not be mistaken for
+    # the video track
+    i_moov = buf.rfind(b"moov") - 4
+    moov_size = struct.unpack_from(">I", buf, i_moov)[0]
+    moov_body = buf[i_moov + 8 : i_moov + moov_size]
+    hdlr_a = _fullbox(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"soun" + b"\x00" * 12 + b"Sound\x00",
+    )
+    audio_trak = _box(b"trak", _box(b"mdia", hdlr_a))
+    buf3 = buf[:i_moov] + _box(b"moov", audio_trak + moov_body)
+    m = demux_mp4(buf3)
+    assert (m["width"], m["height"], m["timescale"]) == (64, 48, 90000)

@@ -46,7 +46,19 @@ def prepare_bench_corpus(sf_dir: str, factor: int) -> tuple[str, int]:
     import pyarrow.parquet as pq
 
     n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_x{factor}"
+    # cache key includes a fingerprint of the corpus-assembly code so
+    # a change to documents_as_corpus can't silently bench against a
+    # stale pre-change corpus (the index cache already fingerprints;
+    # the corpus cache didn't — r5 review)
+    import hashlib
+    import inspect
+
+    from snowball_java_ray.pipelines import api as _api
+
+    fp = hashlib.md5(
+        inspect.getsource(_api.documents_as_corpus).encode()
+    ).hexdigest()[:10]
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_x{factor}_{fp}"
     out_dir = f"/tmp/snowball_bench/corpus_{tag}"
     marker = os.path.join(out_dir, "_DONE")
     if not os.path.exists(marker):
@@ -746,77 +758,65 @@ def run_scaling() -> dict:
     )
     probe_before = host_cpu_probe()
 
-    def run(ncpu: int) -> dict:
-        env = dict(
-            os.environ,
-            RAY_GRAFT_CPUS=str(ncpu),
-            GRAFT_REPLICATE=scaling_factor,
-            GRAFT_BUILD_ONLY="1",  # scaling criterion = build throughput
-        )
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
+    # every leg subprocess gets an env with ALL mode vars stripped
+    # first, then exactly its own set — an exported GRAFT_SERVE_COLD=1
+    # from a prior manual run must not silently turn the hot legs cold
+    # (nor an exported GRAFT_SERVE_ONLY turn the build legs into serve
+    # legs — r5 review)
+    _MODE_VARS = (
+        "GRAFT_BUILD_ONLY", "GRAFT_MINHASH_ONLY", "GRAFT_SERVE_ONLY",
+        "GRAFT_SERVE_COLD", "GRAFT_GRAPH_ONLY",
+    )
+
+    def _run_leg(ncpu: int, **mode: str) -> dict:
+        env = dict(os.environ)
+        for k in _MODE_VARS:
+            env.pop(k, None)
+        env["RAY_GRAFT_CPUS"] = str(ncpu)
+        env.update(mode)
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+        except subprocess.CalledProcessError as e:
+            # surface the child's actual error instead of swallowing
+            # it inside CalledProcessError (r5 review)
+            sys.stderr.write(
+                f"scaling leg failed (ncpu={ncpu}, mode={mode}); "
+                f"child stderr tail:\n{(e.stderr or '')[-2000:]}\n"
+            )
+            raise
         return json.loads(out.strip().splitlines()[-1])
 
-    def run_minhash(ncpu: int) -> dict:
-        env = dict(
-            os.environ,
-            RAY_GRAFT_CPUS=str(ncpu),
-            GRAFT_REPLICATE="100",
-            GRAFT_MINHASH_ONLY="1",
+    def run(ncpu: int) -> dict:
+        # scaling criterion = build throughput
+        return _run_leg(
+            ncpu, GRAFT_REPLICATE=scaling_factor, GRAFT_BUILD_ONLY="1"
         )
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+
+    def run_minhash(ncpu: int) -> dict:
+        return _run_leg(
+            ncpu, GRAFT_REPLICATE="100", GRAFT_MINHASH_ONLY="1"
+        )
 
     def run_graph(ncpu: int) -> dict:
         # iterative-graph legs (single trial each — the 8-cpu leg runs
         # minutes; the bracketing host probes carry the noise context)
-        env = dict(
-            os.environ,
-            RAY_GRAFT_CPUS=str(ncpu),
-            GRAFT_GRAPH_ONLY="1",
-        )
-        env.pop("GRAFT_BUILD_ONLY", None)
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        return _run_leg(ncpu, GRAFT_GRAPH_ONLY="1")
 
     def run_serve(ncpu: int, cold: bool = False) -> dict:
         # query-side legs: sharded fleet over the default replicated
         # corpus (index build cached/untimed); replica fleets + gather
         # concurrency scale with cpus. hot = fabric (result-cache
         # serving), cold = scoring kernel (distinct queries).
-        env = dict(
-            os.environ,
-            RAY_GRAFT_CPUS=str(ncpu),
-            GRAFT_SERVE_ONLY="1",
-        )
+        mode = {"GRAFT_SERVE_ONLY": "1"}
         if cold:
-            env["GRAFT_SERVE_COLD"] = "1"
-        env.pop("GRAFT_BUILD_ONLY", None)
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+            mode["GRAFT_SERVE_COLD"] = "1"
+        return _run_leg(ncpu, **mode)
 
     def best(fn, ncpu):
         # two trials per leg, keep the faster (shared-box noise)
@@ -883,8 +883,6 @@ def run_scaling() -> dict:
             "pagerank_nodes_per_sec_per_round"
         ],
         "scaling_efficiency_graph_pagerank": round(eff_graph_pr, 3),
-        "bm25_qps_8cpu": lo.get("bm25_queries_per_sec"),
-        "bm25_qps_32cpu": hi.get("bm25_queries_per_sec"),
         "sf": SF_DIR,
         "n_docs": lo["n_docs"],
         # host condition bracketing the run: the ceiling any leg could

@@ -16,8 +16,15 @@ for t in TABLES:
 def norm(df):
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], bytes):
-            df[c] = df[c].map(lambda b: b.hex())
+        if df[c].dtype == object and len(df):
+            # detect bytes from the first NON-NULL value (row 0 alone
+            # misclassifies nullable binary columns) and skip nulls in
+            # the map so a null row can't crash the whole gate
+            nn = df[c].dropna()
+            if len(nn) and isinstance(nn.iloc[0], (bytes, bytearray)):
+                df[c] = df[c].map(
+                    lambda b: bytes(b).hex(), na_action="ignore"
+                )
     return df.sort_values(list(df.columns), ignore_index=True)
 
 
@@ -27,7 +34,12 @@ def offgrid(df, decimals=6):
     raw (unrounded) float column is the remaining driver-hash risk
     class (VERDICT r3 #2) — numpy and DuckDB raw float paths diverge
     at ulp level. Tolerance = float64 representation error of a
-    grid point (|v*10^d - int| <= |v*10^d| * ~2.3e-16)."""
+    stored grid point: v = k/10^d rounds once, v*10^d rounds again,
+    so |f - k| <= |f| * ~4.5e-16; 5e-15 leaves slack without ever
+    reaching the max grid distance 0.5 below |v| ~= 1e8 (the r5
+    review found the old 1e-12 went vacuous already at |v| ~= 5e5 —
+    above ~1e8 the detector is INHERENTLY blind, integer-valued
+    doubles that large are all within 0.5 of the grid)."""
     import numpy as np
     bad = []
     for c in df.columns:
@@ -39,7 +51,7 @@ def offgrid(df, decimals=6):
             continue
         f = v * (10.0 ** decimals)
         d = np.abs(f - np.rint(f))
-        tol = np.maximum(np.abs(f), 1.0) * 1e-12 + 1e-12
+        tol = np.maximum(np.abs(f), 1.0) * 5e-15
         n = int((d > tol).sum())
         if n:
             bad.append(f"{c}:{n}")
@@ -49,6 +61,10 @@ qs, os_ = em.queries(), em.oracle_sql()
 fails = []
 warns = []
 only = set(sys.argv[1:])  # optional name filter: run a subset
+unknown = only - set(qs)
+if unknown:
+    # a typo must not produce a vacuously green gate (r5 review)
+    sys.exit(f"unknown query name(s): {sorted(unknown)}")
 for name in sorted(qs):
     if only and name not in only:
         continue
@@ -75,12 +91,15 @@ for name in sorted(qs):
             for c in g.columns:
                 gc, wc = g[c], w[c]
                 if gc.dtype.kind == "f" or wc.dtype.kind == "f":
-                    # EXACT bitwise equality (NaN-safe) — the driver
-                    # hashes values; any float divergence at all is a
-                    # hash fail (the old 1e-5 tolerance masked the r3
-                    # lm_nll knife-edge)
-                    a, b = gc.to_numpy(dtype=float), wc.to_numpy(dtype=float)
-                    same = (a == b) | (np.isnan(a) & np.isnan(b))
+                    # EXACT BITWISE equality — the driver hashes value
+                    # bit patterns; IEEE == would pass -0.0 vs 0.0 and
+                    # any float divergence at all is a hash fail (the
+                    # old 1e-5 tolerance masked the r3 lm_nll
+                    # knife-edge; the r5 review closed the signed-zero
+                    # gap). Bit compare also equates identical NaNs.
+                    a = np.ascontiguousarray(gc.to_numpy(dtype=float))
+                    b = np.ascontiguousarray(wc.to_numpy(dtype=float))
+                    same = a.view(np.int64) == b.view(np.int64)
                     if not same.all():
                         i = int(np.flatnonzero(~same)[0])
                         status = f"FLOAT {c} [{i}]: {a[i]!r} vs {b[i]!r}"; break
